@@ -1,0 +1,223 @@
+"""The map/reduce Job: the reference's two-class API as one Spark-native runner.
+
+Reference surface being re-expressed (SURVEY.md §2.1):
+
+- O1  user ``map(input) -> yields (key, value)``      -> ``rdd.flatMap``
+- O4  combiner iff user has ``reduce``                 -> ``reduceByKey`` map-side combine
+- O5  sort-based group-reduce (binary fold)            -> ``reduceByKey`` merge
+- O6  SHA1-of-JSON hash partitioning, pluggable        -> ``partitionFunc``
+- O14 multi-run final reduce / Enumerator form         -> shuffle reduce / ``toLocalIterator``
+- O15 key-sorted output within each partition          -> external sort within partitions
+- O16 no-reduce passthrough (duplicates preserved)     -> ``repartitionAndSortWithinPartitions``
+- O2/O7-O11/O17 (spill, k-way merge, fan-in caps, temp files) are intentionally
+  NOT here: that machinery *is* Spark's sort-based shuffle (SURVEY.md §4).
+
+Contract notes carried over verbatim from the reference:
+- ``reduce(key, v1, v2)`` must be associative + commutative; it is applied in
+  arbitrary pairing across chunks (reference README.md:42-50) — Spark pairs
+  arbitrarily too, so the contract is identical.
+- ``reduce`` is optional; without it duplicates are preserved and merely
+  partitioned + key-sorted (reference CHANGELOG v2.1.0,
+  spec/map_reduce/mapper_spec.rb:89-125).
+- Incomparable keys raise at first comparison during the sort/merge, not at
+  ingest (reference spec/map_reduce/reducer_spec.rb:15-35).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Iterable, Iterator
+
+from pyspark import RDD, SparkContext
+from pyspark.sql import SparkSession
+
+from map_reduce_ruby_spark.core.keys import SortKey
+from map_reduce_ruby_spark.core.partitioner import HashPartitioner, PartitionFn
+
+
+class MapReduceError(Exception):
+    """Base error (reference lib/map_reduce.rb:17)."""
+
+
+class InvalidNumPartitions(MapReduceError):
+    """num_partitions must be >= 1 (analog of the reference's InvalidChunkLimit
+    guard, lib/map_reduce.rb:18 / mapper.rb:77 — chunk_limit itself dissolves:
+    Spark manages merge fan-in internally)."""
+
+
+MapFn = Callable[[Any], Iterable[tuple[Any, Any]]]
+ReduceFn = Callable[[Any, Any, Any], Any]
+
+
+class Job:
+    """A map-reduce job over Spark.
+
+    Parameters
+    ----------
+    map_fn : input -> iterable of (key, value) pairs (0..n per input); the
+        generator replaces the reference's ``yield`` protocol
+        (reference README.md:35-41). The input is arbitrary — the map function
+        doubles as the source connector, exactly as in the reference where the
+        README's mapper fetches a URL.
+    reduce_fn : optional binary fold ``(key, v1, v2) -> value``; enables the
+        map-side combiner and reduce-side merge.
+    partitioner : any callable ``key -> int``; default
+        ``HashPartitioner(num_partitions)`` (SHA1-of-canonical-JSON placement).
+    """
+
+    def __init__(
+        self,
+        map_fn: MapFn,
+        reduce_fn: ReduceFn | None = None,
+        partitioner: PartitionFn | None = None,
+        num_partitions: int = 32,
+    ):
+        if num_partitions < 1:
+            raise InvalidNumPartitions(f"num_partitions must be >= 1, got {num_partitions}")
+        self.map_fn = map_fn
+        self.reduce_fn = reduce_fn
+        self.num_partitions = num_partitions
+        self.partitioner = partitioner or HashPartitioner(num_partitions)
+
+    # ------------------------------------------------------------------ run
+
+    def run(self, spark: SparkSession, inputs: Any, sort_output: bool = True) -> RDD:
+        """Execute map -> shuffle(partition) -> [reduce] -> [sort] and return
+        an ``RDD[(key, value)]`` partitioned by ``self.partitioner`` and, when
+        ``sort_output``, key-sorted within each partition (O15).
+
+        ``inputs`` may be an RDD, a DataFrame (rows are passed to ``map_fn``),
+        or a plain Python iterable (parallelized).
+        """
+        rdd = self._as_rdd(spark, inputs)
+        map_fn = self.map_fn
+        pairs = rdd.flatMap(lambda x: ((SortKey(k), v) for k, v in map_fn(x)))
+
+        part = self.partitioner
+        partition_func = lambda sk: part(sk.key)  # noqa: E731
+
+        if self.reduce_fn is not None:
+            reduce_fn = self.reduce_fn
+            # reduceByKey = map-side combine (O4) + shuffle + reduce-side merge
+            # (O5/O14), all memory-bounded by Spark's ExternalMerger — the
+            # engine never materializes a partition. The fold receives
+            # key=None on this fast path (every reference example ignores the
+            # key in reduce); use run_with_key_in_reduce when the fold needs it.
+            out = pairs.reduceByKey(
+                lambda v1, v2: reduce_fn(None, v1, v2),
+                numPartitions=self.num_partitions,
+                partitionFunc=partition_func,
+            )
+        else:
+            # No-reduce passthrough (O16): duplicates preserved; the external
+            # sort below gives the key-sorted-within-partition guarantee.
+            out = pairs.repartitionAndSortWithinPartitions(
+                numPartitions=self.num_partitions, partitionFunc=partition_func
+            )
+            return out.map(lambda kv: (kv[0].key, kv[1]), preservesPartitioning=True)
+
+        if sort_output:
+            # Post-aggregation rows are one per distinct key per partition;
+            # sorting them reproduces O15. (At 100 TB, distinct-keys-per-
+            # partition is shuffle-partition-sized by construction — tune
+            # num_partitions, not this sort.)
+            out = out.mapPartitions(
+                lambda it: iter(sorted(it, key=lambda kv: kv[0])), preservesPartitioning=True
+            )
+        return out.map(lambda kv: (kv[0].key, kv[1]), preservesPartitioning=True)
+
+    def run_with_key_in_reduce(self, spark: SparkSession, inputs: Any) -> RDD:
+        """Variant for reduce functions that actually use the key argument.
+
+        The common path (run) assumes the fold ignores ``key`` (true for every
+        reference spec and README example). This variant carries the key
+        through the fold at the cost of one extra tuple per value.
+        """
+        rdd = self._as_rdd(spark, inputs)
+        map_fn, reduce_fn, part = self.map_fn, self.reduce_fn, self.partitioner
+        if reduce_fn is None:
+            return self.run(spark, inputs)
+        pairs = rdd.flatMap(lambda x: ((SortKey(k), (k, v)) for k, v in map_fn(x)))
+        reduced = pairs.reduceByKey(
+            lambda a, b: (a[0], reduce_fn(a[0], a[1], b[1])),
+            numPartitions=self.num_partitions,
+            partitionFunc=lambda sk: part(sk.key),
+        )
+        return (
+            reduced.mapPartitions(
+                lambda it: iter(sorted(it, key=lambda kv: kv[0])), preservesPartitioning=True
+            )
+            .map(lambda kv: (kv[0].key, kv[1][1]), preservesPartitioning=True)
+        )
+
+    # ------------------------------------------------- enumerator-style API
+
+    def to_local_iterator(self, spark: SparkSession, inputs: Any) -> Iterator[tuple[Any, Any]]:
+        """Lazy (key, value) stream — the reference's block-less
+        ``Reducer#reduce`` Enumerator form (reference lib/map_reduce/reducer.rb:70)."""
+        return self.run(spark, inputs).toLocalIterator()
+
+    # --------------------------------------------------- chunk-file interop
+
+    def shuffle_to_files(self, spark: SparkSession, inputs: Any, out_dir: str) -> dict[int, str]:
+        """Materialize the shuffle as the reference's partition->file map
+        (reference lib/map_reduce/mapper.rb:76-96 ``Mapper#shuffle``): one
+        JSON-lines file per non-empty partition, each line
+        ``json([key, value])``, keys sorted within the file
+        (reference lib/map_reduce/mapper.rb:115,131-135 chunk format).
+
+        On a real cluster this handoff dissolves into Spark's own shuffle; the
+        file form exists for interop with reference-format consumers.
+        """
+        os.makedirs(out_dir, exist_ok=True)
+        result = self.run(spark, inputs, sort_output=True)
+
+        def write_partition(pid: int, it: Iterator[tuple[Any, Any]]) -> Iterator[tuple[int, str]]:
+            path = os.path.join(out_dir, f"partition-{pid}.jsonl")
+            wrote = False
+            with open(path, "w", encoding="utf-8") as f:
+                for k, v in it:
+                    f.write(json.dumps([k, v], separators=(",", ":"), ensure_ascii=False))
+                    f.write("\n")
+                    wrote = True
+            if wrote:
+                yield (pid, path)
+            else:
+                os.unlink(path)
+
+        return dict(result.mapPartitionsWithIndex(write_partition).collect())
+
+    @classmethod
+    def reduce_files(
+        cls,
+        spark: SparkSession,
+        paths: list[str],
+        reduce_fn: ReduceFn | None,
+        num_partitions: int = 1,
+        partitioner: PartitionFn | None = None,
+    ) -> RDD:
+        """Reducer-side ingest (reference ``Reducer#add_chunk`` + ``#reduce``,
+        lib/map_reduce/reducer.rb:34-100): read reference-format JSON-lines
+        chunks and run the merge/reduce. Identity map; same output guarantees
+        as ``run``."""
+        job = cls(
+            map_fn=lambda line: [tuple(json.loads(line))],
+            reduce_fn=reduce_fn,
+            num_partitions=num_partitions,
+            partitioner=partitioner,
+        )
+        rdd = spark.sparkContext.textFile(",".join(paths))
+        return job.run(spark, rdd)
+
+    # ----------------------------------------------------------- internals
+
+    @staticmethod
+    def _as_rdd(spark: SparkSession, inputs: Any) -> RDD:
+        if isinstance(inputs, RDD):
+            return inputs
+        if hasattr(inputs, "rdd"):  # DataFrame
+            return inputs.rdd
+        sc: SparkContext = spark.sparkContext
+        inputs = list(inputs)
+        return sc.parallelize(inputs, numSlices=max(1, min(len(inputs), 32)))

@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is the test substrate; the config is written for a real cluster
+(AQE on, skew-join handling, sensible shuffle partitioning) so the same code
+scales to 100 TB by changing only master/partition counts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "map_reduce_ruby_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Defaults: ``local[$SPARK_GRAFT_CPUS]`` (falls back to ``local[*]``),
+    shuffle partitions = cores (not the 200 default, which over-parallelizes
+    local data and under-parallelizes 100 TB — on a real cluster set it to
+    ~2-3x total executor cores or let AQE coalesce).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime coalescing, skew-join splitting, dynamic join strategy.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for every Python<->JVM hop (pandas UDFs, toPandas).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Oracle comparisons (DuckDB is UTC-naive) require a pinned session TZ.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Read ns-precision parquet timestamps (events.ts) without error.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
