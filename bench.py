@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline catalog queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is executed twice by default: run 1 warms the JVM/catalog, run 2 is
+the recorded time (steady-state, what a long-lived cluster sees). Set
+BENCH_RUNS=1 for cold timings. Timing includes full materialization
+(count() over the result — no driver-side collect of wide rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family — relational agg/join/window/topk,
+# core map-reduce parity, dedup, similarity, text, events.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "star_join_full",
+    "window_topk_orders_per_customer",
+    "global_topk_orders",
+    "distinct_agg_priority",
+    "mr_wordcount",
+    "mr_user_event_rollup",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "knn_bruteforce",
+    "knn_lsh",
+    "text_quality_score",
+    "events_tumbling_window",
+    "events_sessionize",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("BENCH_RUNS", "2"))
+    only = sys.argv[1:] or HEADLINE
+
+    from map_reduce_ruby_spark.plans import all_entries
+    from map_reduce_ruby_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    entries = all_entries()
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    times: dict[str, float] = {}
+    for name in only:
+        fn = entries[name].fn
+        best = None
+        for _ in range(max(1, runs)):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

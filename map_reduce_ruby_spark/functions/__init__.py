@@ -1,0 +1,20 @@
+from map_reduce_ruby_spark.functions.exact import (
+    dsum,
+    dsum_sql,
+    davg,
+    davg_sql,
+    cents_sum,
+    cents_sum_sql,
+)
+from map_reduce_ruby_spark.functions.hashes import h32, h32_sql
+
+__all__ = [
+    "dsum",
+    "dsum_sql",
+    "davg",
+    "davg_sql",
+    "cents_sum",
+    "cents_sum_sql",
+    "h32",
+    "h32_sql",
+]

@@ -1,0 +1,56 @@
+"""Order-independent exact aggregation helpers.
+
+Floating-point sums depend on addition order, which differs between Spark
+partitions/runs and the DuckDB oracle. Every money/measure aggregate in the
+catalog therefore goes through fixed-point arithmetic: per-row values are cast
+to DECIMAL (deterministic per-row double math, then an exact decimal sum), and
+only the final result is cast back to DOUBLE. Each helper has a ``*_sql`` twin
+emitting the equivalent DuckDB expression so Spark result and oracle result
+are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 18 digits / 6 decimals comfortably covers the synthetic measures (prices
+# < 1e6) even summed over 100 TB partitions: Spark widens sum(decimal(18,6))
+# to decimal(28,6) internally (no overflow-to-null at realistic row counts).
+_DEC = "decimal(18,6)"
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Exact sum of a double expression -> double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_DEC)).cast("double").alias(alias)
+
+
+def dsum_sql(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+
+
+def davg(col: Column | str, alias: str) -> Column:
+    """Exact-sum average: decimal sum / count, one double division at the end."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(c.cast(_DEC)).cast("double") / F.count(c)
+    ).alias(alias)
+
+
+def davg_sql(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )
+
+
+def cents_sum(col: Column | str, alias: str) -> Column:
+    """Exact sum via integer cents (for RDD-side parity jobs that sum in
+    Python: round(x*100) sums exactly in int64 on both engines)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(F.round(c * 100).cast("long")) / 100.0).alias(alias)
+
+
+def cents_sum_sql(expr: str, alias: str) -> str:
+    return f"SUM(CAST(ROUND(({expr}) * 100) AS BIGINT)) / 100.0 AS {alias}"

@@ -1,0 +1,30 @@
+"""Engine-portable deterministic hashes.
+
+The dedup / LSH operators need hash functions that produce the SAME value in
+Spark and in the DuckDB oracle. Neither engine's native ``hash()`` is portable,
+so everything is built on md5 hex (identical in both):
+
+    h32(s) = int(md5(s).hexdigest()[:8], 16)    -- a uniform 32-bit value
+
+Spark:  ``conv(substring(md5(s), 1, 8), 16, 10)`` cast to long
+DuckDB: ``('0x' || substr(md5(s), 1, 8))::UBIGINT``
+
+Seeded family for MinHash: ``h32(seed || ':' || s)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def h32(col: Column, seed: int | None = None) -> Column:
+    """32-bit md5-based hash of a string column (Spark side)."""
+    s = F.concat(F.lit(f"{seed}:"), col) if seed is not None else col
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def h32_sql(expr: str, seed: int | None = None) -> str:
+    """The identical hash as a DuckDB SQL expression."""
+    s = f"'{seed}:' || {expr}" if seed is not None else expr
+    return f"(('0x' || substr(md5({s}), 1, 8))::UBIGINT)::BIGINT"

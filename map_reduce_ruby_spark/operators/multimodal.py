@@ -1,0 +1,151 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata,
+processed in Arrow batches via ``mapInPandas``.
+
+The real decoders (PIL / ffmpeg / torchaudio) are not in this container, so
+``decode_media`` dispatches on a ``codec`` field: the deterministic ``fake``
+codec is fully implemented (byte-stat "decode" — stable across engines and
+runs) while real codecs raise ``NotImplementedError`` behind the same
+interface. Everything Spark-side — schema, Arrow batch shape, partition
+behavior, UDF signatures — is real and tested (tests/test_multimodal.py).
+
+Scale notes:
+- Payloads stay in the executors: no collect, no driver hop; Arrow moves
+  binary columns zero-copy into pandas.
+- ``mapInPandas`` streams batches (spark.sql.execution.arrow.maxRecordsPerBatch
+  bounds memory per batch regardless of payload size).
+- Feature vectors come back as ``array<float>`` ready for the similarity
+  operators (plans/similarity_queries.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_DIM = 16
+
+# media payload + typed metadata, the schema a 100 TB multimodal lake stores
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("codec", T.StringType(), False),  # fake|png|jpeg|wav|mp4
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("payload_len", T.LongType(), False),
+        T.StructField("checksum", T.StringType(), False),  # md5 hex of payload
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    list(MEDIA_SCHEMA.fields)
+    + [
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType(), False), False),
+    ]
+)
+
+
+def attach_fake_media(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic opaque binary payload per document (UTF-8 bytes
+    of the text — stands in for an image/audio blob; derived from driver
+    testdata, never synthesized randomly, and byte-reproducible by the DuckDB
+    oracle so the whole media chain stays hash-checkable)."""
+
+    def make_payload(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf["text"].map(lambda t: t.encode("utf-8"))
+            media_type = pdf["doc_id"].map(
+                lambda i: ("image", "audio", "video")[int(i) % 3]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": media_type,
+                    "codec": "fake",
+                    "payload": payload,
+                    "payload_len": payload.map(len).astype("int64"),
+                    "checksum": payload.map(lambda b: hashlib.md5(b).hexdigest()),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(make_payload, MEDIA_SCHEMA)
+
+
+def _decode_fake(row: pd.Series) -> tuple[int, int, int]:
+    """Deterministic byte-stat 'decode': dimensions derived from the payload
+    checksum — a stable stand-in for a real pixel decode."""
+    h = int(row["checksum"][:8], 16)
+    width = 16 + h % 1024
+    height = 16 + (h >> 10) % 1024
+    n_frames = 1 if row["media_type"] == "image" else 1 + (h >> 20) % 240
+    return width, height, n_frames
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode payloads to typed dimensions. ``fake`` codec is implemented;
+    real codecs raise NotImplementedError (decoder libs not in container —
+    swap the per-codec function, the Spark plumbing is identical)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            unknown = set(pdf["codec"].unique()) - {"fake"}
+            if unknown:
+                raise NotImplementedError(
+                    f"real decoders not available in this container: {sorted(unknown)}"
+                )
+            dims = pdf.apply(_decode_fake, axis=1, result_type="expand")
+            out = pdf.copy()
+            out[["width", "height", "n_frames"]] = dims.astype("int64")
+            yield out
+
+    return media.mapInPandas(decode, DECODED_SCHEMA)
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Per-payload feature vector: L1-normalized 16-bin byte histogram
+    (deterministic; a real pipeline swaps in a model forward pass — same
+    signature, same Arrow batching)."""
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=dim)[:dim].astype("float64")
+                total = hist.sum()
+                vecs.append((hist / total if total else hist).astype("float32"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "feature": vecs,
+                }
+            )
+
+    return media.mapInPandas(features, FEATURES_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Aggregate payload stats per media_type — pure column expressions
+    (the oracle-checkable face of the multimodal path)."""
+    return media.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("payload_len").alias("total_bytes"),
+        F.min("payload_len").alias("min_bytes"),
+        F.max("payload_len").alias("max_bytes"),
+    )

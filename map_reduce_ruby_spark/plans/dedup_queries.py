@@ -1,0 +1,358 @@
+"""Deduplication operators over documents — the core of a pretraining-data
+pipeline: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+
+Every variant is expressed with built-in column functions (no Python UDFs in
+the hot path) and is deterministic: all hashing is the portable 32-bit
+md5-derived h32 (functions/hashes.py), so the DuckDB oracle reproduces the
+exact candidate sets and signatures.
+
+Scale design notes:
+- Exact dedup: hash-groupBy on the fingerprint — one shuffle keyed by a
+  uniform 128-bit hash, no skew by construction.
+- MinHash-LSH: signatures are computed scan-side (narrow), the shuffle is on
+  (band_idx, band_hash) buckets; pair generation is a self-join *within
+  buckets only* — the classic way to avoid the O(n²) cross join at 100 TB.
+- SimHash: 32-bit signature scan-side; grouping on the signature finds
+  hamming-0 families; banded prefixes would extend to hamming<=k.
+- N-gram Jaccard: shingle explode -> equi-join on shingle -> per-pair
+  intersection counts; a shingle frequency cap (stopword shingles) would
+  bound the join fan-out at scale (documented, not needed at these SFs).
+- Embedding cosine: blocked brute force here; the ANN path is
+  similarity_queries.py's LSH variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_ruby_spark.functions import h32, h32_sql
+from map_reduce_ruby_spark.plans.catalog import register
+from map_reduce_ruby_spark.sources import load_table
+
+# --- shared shingling spec (word 3-grams over whitespace tokens) ------------
+
+_TOKENS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
+
+
+def _tokens(col):
+    return F.filter(F.split(col, r"\s+"), lambda w: w != "")
+
+
+def _shingles(tok_col):
+    """Distinct word-3-gram shingles as strings ('w1 w2 w3')."""
+    n = F.size(tok_col)
+    idx = F.sequence(F.lit(0), n - 3)
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(tok_col, i + 1),
+            F.element_at(tok_col, i + 2),
+            F.element_at(tok_col, i + 3),
+        ),
+    )
+    return F.array_distinct(sh)
+
+
+# DuckDB twin (1-based list indexing; range(a, b) is end-exclusive like
+# F.sequence is end-inclusive — offsets adjusted accordingly).
+_SHINGLES_SQL = f"""
+    list_distinct(list_transform(range(1, len({_TOKENS_SQL}) - 1),
+        i -> {_TOKENS_SQL}[i] || ' ' || {_TOKENS_SQL}[i+1] || ' ' || {_TOKENS_SQL}[i+2]))
+"""
+
+# --- MinHash spec ------------------------------------------------------------
+
+_N_HASHES = 12  # signature length
+_N_BANDS = 4  # 4 bands x 3 rows
+_ROWS_PER_BAND = _N_HASHES // _N_BANDS
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+        FROM documents
+    )
+    SELECT fingerprint,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM fp GROUP BY fingerprint HAVING COUNT(*) >= 1
+    """,
+    doc="Exact dedup: hash-groupBy on the normalized-text fingerprint, keep "
+    "the lowest doc_id per group. Uniform 128-bit keys -> skew-free shuffle.",
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return (
+        docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _minhash_sig_spark(shingle_col):
+    """Array of _N_HASHES minhash values (JVM-side expressions only).
+
+    NB: the seed must be captured via a real closure — a two-parameter
+    ``lambda s, i=i:`` would be interpreted by PySpark's ``transform`` as an
+    (element, index) lambda and the seed would silently become the array
+    index Column."""
+
+    def min_hash(i: int):
+        return F.array_min(F.transform(shingle_col, lambda s: h32(s, seed=i)))
+
+    return F.array(*[min_hash(i) for i in range(_N_HASHES)])
+
+
+def _minhash_sig_sql(shingles_expr: str) -> list[str]:
+    return [
+        f"list_aggregate(list_transform({shingles_expr}, s -> {h32_sql('s', seed=i)}), 'min')"
+        for i in range(_N_HASHES)
+    ]
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sig AS (
+        SELECT doc_id, {', '.join(f'{e} AS mh{i}' for i, e in enumerate(_minhash_sig_sql(_SHINGLES_SQL)))}
+        FROM documents
+        WHERE len({_TOKENS_SQL}) >= 3
+    ),
+    bands AS (
+        {' UNION ALL '.join(
+            f"SELECT doc_id, {b} AS band_idx, "
+            f"md5({' || chr(44) || '.join(f'mh{b * _ROWS_PER_BAND + r}::VARCHAR' for r in range(_ROWS_PER_BAND))}) AS band_hash "
+            f"FROM sig"
+            for b in range(_N_BANDS)
+        )}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(DISTINCT a.band_idx) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+    doc="MinHash + LSH near-dup candidates: 12 md5-seeded minhashes, 4 bands "
+    "x 3 rows; documents sharing any band bucket become a candidate pair. "
+    "The self-join runs on band buckets (shuffle key = (band_idx, band_hash)) "
+    "so cost is sum of bucket sizes squared, never |docs|² — the standard "
+    "100 TB-safe LSH layout.",
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    sh = _shingles(toks)
+    sig = (
+        docs.filter(F.size(_tokens(F.col("text"))) >= 3)
+        .select("doc_id", _minhash_sig_spark(sh).alias("sig"))
+    )
+    # bands: (doc_id, band_idx, md5 of comma-joined band slice)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * _ROWS_PER_BAND + r + 1).cast("string")
+                                    for r in range(_ROWS_PER_BAND)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.countDistinct("a.band_idx").alias("n_shared_bands"))
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS w
+        FROM documents
+    ),
+    bits AS (
+        SELECT doc_id, w, {h32_sql('w')} AS h FROM tok
+    ),
+    sig AS (
+        SELECT doc_id,
+               {', '.join(
+                   f"CASE WHEN SUM(CASE WHEN (h >> {bit}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+                   f"THEN {1 << bit} ELSE 0 END AS b{bit}"
+                   for bit in range(16)
+               )}
+        FROM bits GROUP BY doc_id
+    )
+    SELECT CAST({' + '.join(f'b{bit}' for bit in range(16))} AS BIGINT) AS simhash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_docs
+    FROM sig GROUP BY 1
+    """,
+    doc="SimHash (16-bit here for oracle compactness; width is a parameter): "
+    "per distinct token, md5-derived h32; signature bit b = sign of the sum "
+    "of (+-1) over tokens' bit b. Documents grouped by identical signature "
+    "(hamming-0 near-dup families). Scale: signature computed in one "
+    "explode+groupBy pass; banded signature prefixes extend to hamming<=k.",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("w"))
+    bits = tok.select("doc_id", h32(F.col("w")).alias("h"))
+    sig = bits.groupBy("doc_id").agg(
+        *[
+            F.when(
+                F.sum(
+                    F.when(F.shiftright("h", bit).bitwiseAND(1) == 1, 1).otherwise(-1)
+                )
+                > 0,
+                1 << bit,
+            )
+            .otherwise(0)
+            .alias(f"b{bit}")
+            for bit in range(16)
+        ]
+    )
+    simhash = sum(F.col(f"b{bit}") for bit in range(16))  # type: ignore[arg-type]
+    return (
+        sig.select("doc_id", simhash.cast("long").alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+        FROM documents WHERE len({_TOKENS_SQL}) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    """,
+    doc="Exact n-gram Jaccard near-dup pairs (threshold 0.2 over word "
+    "3-gram shingle sets): explode shingles, equi-join on shingle, count "
+    "per-pair intersections, join back set sizes. Scale: the join key is the "
+    "shingle — a frequency cap on hot shingles bounds fan-out (cap not "
+    "triggered at these SFs).",
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    sh = (
+        docs.filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(_shingles(toks)).alias("shingle"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")
+    )
+    return (
+        inter.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id, label, e,
+               sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+        FROM v
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_sum(list_transform(range(1, 65),
+                 i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 4) AS cos_sim
+    FROM norms a JOIN norms b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_sum(list_transform(range(1, 65),
+              i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 4) >= 0.75
+    """,
+    doc="Embedding near-dup: cosine >= 0.75 within label blocks (blocked "
+    "brute force — the block key stands in for an ANN bucket; the unblocked "
+    "ANN path is similarity_queries.py). Dot products in sequential double "
+    "math on both engines, rounded to 4 decimals before thresholding.",
+    tags=("dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    norms = v.withColumn(
+        "nrm", F.sqrt(F.aggregate(F.transform("e", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    )
+    a, b = norms.alias("a"), norms.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4)
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.75)
+    )

@@ -1,0 +1,135 @@
+"""Event-stream queries (batch plans; streaming twins live in streaming/).
+
+Timestamp discipline: events.ts is nanosecond parquet. The loader exposes
+``ts_us`` (microseconds, = DuckDB ``epoch_us(ts)`` exactly) — all bucket and
+gap arithmetic here is integer microsecond math so both engines agree to the
+bit. See sources/tables.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from map_reduce_ruby_spark.functions import cents_sum, cents_sum_sql
+from map_reduce_ruby_spark.plans.catalog import register
+from map_reduce_ruby_spark.sources import load_table
+
+
+@register(
+    "events_tumbling_window",
+    oracle=f"""
+    SELECT (epoch_us(ts) // 300000000) * 300 AS bucket_start_s,
+           event_type,
+           COUNT(*) AS n_events,
+           {cents_sum_sql('value', 'total_value')}
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="5-minute tumbling-window aggregation — the batch twin of the "
+    "Structured Streaming window (streaming/windows.py). Bucketing is "
+    "integer µs arithmetic; at scale this is a plain two-key aggregate with "
+    "map-side partials.",
+    tags=("events", "window", "streaming-twin"),
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket_start_s", F.expr("ts_us div 300000000") * 300)
+        .groupBy("bucket_start_s", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), cents_sum("value", "total_value"))
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts_us,
+               CASE WHEN ts_us - lag(ts_us) OVER w > 600000000
+                    OR lag(ts_us) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+    doc="Sessionization via gap detection: lag() over (user, time), session "
+    "break when idle > 10 min. One shuffle on user_id; skew handled by AQE. "
+    "The streaming twin uses session_window() (streaming/windows.py).",
+    tags=("events", "window", "session"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts_us", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gapped = ev.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w) > 600_000_000)
+            | F.lag("ts_us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    return gapped.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
+    GROUP BY event_type
+    """,
+    doc="Semi-structured JSON column: extract props.k, filter, aggregate — "
+    "get_json_object stays JVM-side (no Python UDF).",
+    tags=("events", "json"),
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("long").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "events_dau_rolling",
+    oracle="""
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day_no,
+               COUNT(DISTINCT user_id) AS dau
+        FROM events GROUP BY 1
+    )
+    SELECT day_no, dau,
+           CAST(SUM(dau) OVER (ORDER BY day_no
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS wau_sum
+    FROM daily
+    """,
+    doc="Daily active users + 7-day rolling window over the daily series. "
+    "The rolling frame runs over the tiny aggregated series, not raw events.",
+    tags=("events", "window", "distinct"),
+)
+def events_dau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("day_no", F.expr("ts_us div 86400000000"))
+        .groupBy("day_no")
+        .agg(F.countDistinct("user_id").alias("dau"))
+    )
+    w = W.orderBy("day_no").rowsBetween(-6, W.currentRow)
+    return daily.select(
+        "day_no", "dau", F.sum("dau").over(w).cast("long").alias("wau_sum")
+    )

@@ -1,0 +1,189 @@
+"""Map-reduce parity queries: the reference's own job shapes, executed through
+the core Job engine (RDD path) and surfaced as DataFrames for the oracle gate.
+
+These prove the semantic layer end-to-end on real tables: the canonical
+wordcount (reference README.md:35-45), the composite-key combiner job
+(spec/map_reduce/mapper_spec.rb:47-87), multi-chunk reduce
+(spec/map_reduce/reducer_spec.rb:99-138), no-reduce passthrough
+(spec/map_reduce/mapper_spec.rb:89-125), and hash partition placement
+(spec/map_reduce/hash_partitioner_spec.rb — md5 variant so DuckDB can check
+placement in pure SQL; the sha1 original is pinned by pytest).
+
+Python-side folds here sum in integer space (counts / cents) so results are
+exactly order-independent and hash-match the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from map_reduce_ruby_spark.core import Job, Md5Partitioner
+from map_reduce_ruby_spark.plans.catalog import register
+from map_reduce_ruby_spark.sources import load_table
+
+
+@register(
+    "mr_wordcount",
+    oracle="""
+    SELECT word, COUNT(*) AS cnt
+    FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS word
+        FROM documents
+    )
+    GROUP BY word
+    """,
+    doc="The reference README's canonical job (map: text -> (word, 1); "
+    "reduce: +) run through the core Job engine: flatMap -> SHA1-placement "
+    "partitionBy -> reduceByKey with map-side combine -> sorted partitions. "
+    "Scale: combiner collapses per-task duplicates before the shuffle, so "
+    "shuffle volume is |distinct words per task|, not |tokens|.",
+    tags=("mapreduce", "core"),
+)
+def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    job = Job(
+        map_fn=lambda row: ((w, 1) for w in row.text.split()),
+        reduce_fn=lambda key, a, b: a + b,
+        num_partitions=16,
+    )
+    schema = T.StructType(
+        [
+            T.StructField("word", T.StringType(), False),
+            T.StructField("cnt", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(job.run(spark, docs, sort_output=False), schema)
+
+
+@register(
+    "mr_composite_key_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Composite-key combiner job (the reference's [str, str] array keys "
+    "with struct values): key=[l_returnflag, l_linestatus], value=(qty, "
+    "price-cents, 1), reduce=field-wise +. Fold runs in integer space so the "
+    "result is bitwise order-independent.",
+    tags=("mapreduce", "core"),
+)
+def mr_composite_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+
+    def map_fn(row):
+        yield (
+            [row.l_returnflag, row.l_linestatus],
+            (int(row.l_quantity), int(round(row.l_extendedprice * 100)), 1),
+        )
+
+    job = Job(
+        map_fn=map_fn,
+        reduce_fn=lambda key, a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2]),
+        num_partitions=8,
+    )
+    rows = job.run(spark, li, sort_output=False).map(
+        lambda kv: (kv[0][0], kv[0][1], kv[1][0], kv[1][1] / 100.0, kv[1][2])
+    )
+    schema = T.StructType(
+        [
+            T.StructField("l_returnflag", T.StringType(), False),
+            T.StructField("l_linestatus", T.StringType(), False),
+            T.StructField("sum_qty", T.LongType(), False),
+            T.StructField("sum_price", T.DoubleType(), False),
+            T.StructField("cnt", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "mr_user_event_rollup",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events GROUP BY user_id
+    """,
+    doc="Multi-chunk reduce over a high-fanout stream: many input slices per "
+    "key (the reference's chunk_limit-cascade scenario) collapse to one "
+    "value per user via the associative fold.",
+    tags=("mapreduce", "core"),
+)
+def mr_user_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    job = Job(
+        map_fn=lambda row: [(row.user_id, (1, int(round(row.value * 100))))],
+        reduce_fn=lambda key, a, b: (a[0] + b[0], a[1] + b[1]),
+        num_partitions=8,
+    )
+    rows = job.run(spark, events, sort_output=False).map(
+        lambda kv: (kv[0], kv[1][0], kv[1][1] / 100.0)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("n_events", T.LongType(), False),
+            T.StructField("total_value", T.DoubleType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "mr_no_reduce_passthrough",
+    oracle="SELECT event_type, event_id FROM events",
+    doc="No-reduce passthrough (reference v2.1.0 / O16): without a reduce "
+    "implementation, duplicates are preserved and merely partitioned + "
+    "key-sorted. Row multiset must equal the raw projection.",
+    tags=("mapreduce", "core"),
+)
+def mr_no_reduce_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("event_type", "event_id")
+    job = Job(map_fn=lambda row: [(row.event_type, row.event_id)], num_partitions=8)
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("event_id", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(job.run(spark, events), schema)
+
+
+@register(
+    "mr_partition_assignment",
+    oracle="""
+    SELECT c_custkey,
+           CAST(('0x' || substr(md5(c_custkey::VARCHAR), 1, 8))::UBIGINT % 8
+                AS BIGINT) AS partition_id
+    FROM customer
+    """,
+    doc="Hash-partition placement checked end-to-end: rows carry the "
+    "partition index Spark actually put them in (mapPartitionsWithIndex), "
+    "and the oracle recomputes md5-of-canonical-JSON placement in SQL. The "
+    "reference's sha1 placement is identical machinery (DuckDB lacks sha1; "
+    "pytest pins the sha1 values from the reference spec).",
+    tags=("mapreduce", "core", "partitioner"),
+)
+def mr_partition_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    job = Job(
+        map_fn=lambda row: [(row.c_custkey, None)],
+        partitioner=Md5Partitioner(8),
+        num_partitions=8,
+    )
+    placed = job.run(spark, cust).mapPartitionsWithIndex(
+        lambda pid, it: ((k, pid) for k, _ in it)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType(), False),
+            T.StructField("partition_id", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(placed, schema)

@@ -1,0 +1,136 @@
+"""Catalog entries for the custom operators: as-of join and the multimodal
+column pipeline. Both are operators Spark lacks as built-ins, composed
+Spark-first (union+window; mapInPandas) — see operators/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_ruby_spark.operators import (
+    asof_join,
+    attach_fake_media,
+    decode_media,
+    extract_features,
+)
+from map_reduce_ruby_spark.plans.catalog import register
+from map_reduce_ruby_spark.sources import load_table
+
+
+@register(
+    "asof_last_purchase",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        FROM events
+    ),
+    p AS (
+        SELECT user_id, ts_us, event_id AS purchase_event_id, value AS purchase_value
+        FROM e WHERE event_type = 'purchase'
+    )
+    SELECT e.event_id, e.user_id, e.ts_us, e.event_type,
+           coalesce(p.purchase_event_id, -1) AS purchase_event_id,
+           coalesce(p.purchase_value, 0.0) AS purchase_value
+    FROM e ASOF LEFT JOIN p
+      ON e.user_id = p.user_id AND e.ts_us >= p.ts_us
+    """,
+    doc="As-of join (backward inclusive): attach each user's most recent "
+    "purchase at-or-before every event. Spark side is the union+window "
+    "composition (operators/asof.py — one shuffle on user_id, no range "
+    "explosion); DuckDB side is its native ASOF JOIN, so two independent "
+    "implementations must agree bit-for-bit. (user_id, ts) is unique in the "
+    "right side, so the match is deterministic.",
+    tags=("asof", "join", "custom-operator"),
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts_us", "event_type", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts_us",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        ev.select("event_id", "user_id", "ts_us", "event_type"),
+        purchases,
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        suffix="",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "event_type",
+        F.coalesce("purchase_event_id", F.lit(-1)).alias("purchase_event_id"),
+        F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+    )
+
+
+@register(
+    "multimodal_decode_stats",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS media_type,
+               octet_length(encode(text)) AS payload_len,
+               ('0x' || substr(md5(text), 1, 8))::UBIGINT AS h
+        FROM documents
+    ),
+    decoded AS (
+        SELECT media_type, payload_len,
+               16 + h % 1024 AS width,
+               16 + (h >> 10) % 1024 AS height,
+               CASE WHEN media_type = 'image' THEN 1
+                    ELSE 1 + (h >> 20) % 240 END AS n_frames
+        FROM media
+    )
+    SELECT media_type,
+           COUNT(*) AS n_items,
+           CAST(SUM(payload_len) AS BIGINT) AS total_bytes,
+           CAST(SUM(width) AS BIGINT) AS sum_width,
+           CAST(SUM(height) AS BIGINT) AS sum_height,
+           CAST(SUM(n_frames) AS BIGINT) AS sum_frames
+    FROM decoded GROUP BY media_type
+    """,
+    doc="Multimodal pipeline end-to-end: attach binary payloads -> "
+    "mapInPandas decode (fake codec: md5-derived dimensions; real codecs "
+    "stub NotImplementedError behind the same interface) -> per-media_type "
+    "stats. The oracle recomputes the decode arithmetic in SQL, so the "
+    "Arrow-batched binary plumbing is value-checked, not just row-counted.",
+    tags=("multimodal", "custom-operator"),
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_media(attach_fake_media(docs))
+    return decoded.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("payload_len").alias("total_bytes"),
+        F.sum("width").alias("sum_width"),
+        F.sum("height").alias("sum_height"),
+        F.sum("n_frames").alias("sum_frames"),
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # byte-histogram features aren't SQL-expressible; pytest pins values
+    doc="Feature extraction over binary payloads (mapInPandas, Arrow "
+    "batches): L1-normalized 16-bin byte histogram per payload — the slot "
+    "where a model forward pass goes. Returned as array<float> joined "
+    "against doc metadata; value-pinned by tests/test_multimodal.py.",
+    tags=("multimodal", "custom-operator"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(attach_fake_media(docs))
+    return feats.select(
+        "doc_id",
+        "media_type",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4).alias("l1_mass"),
+        F.size("feature").alias("dim"),
+    )

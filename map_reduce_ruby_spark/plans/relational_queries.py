@@ -1,0 +1,459 @@
+"""Relational operator coverage: aggregation, joins (broadcast / sort-merge /
+semi / anti), windows, top-k, set ops, pivot, rollup.
+
+The reference has NO relational operators (SURVEY.md §2.2) — everything here
+is the Spark-native capability surface the reference's users get by switching.
+Plans are declared with the DataFrame API so Catalyst handles pushdown,
+pruning and join strategy; small dimensions are broadcast explicitly.
+
+Scale notes (100 TB posture) per query are in the docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from map_reduce_ruby_spark.functions import davg, davg_sql, dsum, dsum_sql
+from map_reduce_ruby_spark.plans.catalog import register
+from map_reduce_ruby_spark.sources import load_table
+
+_REVENUE = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+_REVENUE_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity', 'sum_qty')},
+           {dsum_sql('l_extendedprice', 'sum_base_price')},
+           {dsum_sql(_REVENUE_SQL, 'sum_disc_price')},
+           {dsum_sql(_REVENUE_SQL + ' * (1 + l_tax)', 'sum_charge')},
+           {davg_sql('l_quantity', 'avg_qty')},
+           {davg_sql('l_extendedprice', 'avg_price')},
+           {davg_sql('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan-filter-aggregate, 8 aggregates over 2 group keys. "
+    "Catalyst: partial HashAggregate before the shuffle (the reference's "
+    "combiner, O4, for free); parquet filter pushdown on l_shipdate. "
+    "Scale: group cardinality is tiny (6), so the shuffle carries only "
+    "partial aggregates — bottleneck is the scan, which prunes to 8 columns.",
+    tags=("aggregate",),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(_REVENUE, "sum_disc_price"),
+            dsum(_REVENUE * (1 + F.col("l_tax")), "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {dsum_sql(_REVENUE_SQL, 'revenue')},
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-07-01'
+      AND l_shipdate > TIMESTAMP '1998-07-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective dimension filter -> 3-way join -> agg -> "
+    "deterministic top-10 (revenue DESC, l_orderkey tie-break). Scale: "
+    "customer filter broadcast into the orders join; the lineitem join is the "
+    "only large shuffle; top-k is TakeOrderedAndProject (no global sort).",
+    tags=("join", "topk"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp_ntz")
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(_REVENUE, "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    oracle=f"""
+    SELECT n_name, {dsum_sql(_REVENUE_SQL, 'revenue')}, COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape: star join (fact + 4 dims) with date slice. "
+    "Scale: nation/region/customer are broadcast (dims), so lineitem->orders "
+    "is the only shuffled join; group-by n_name carries 25 partial rows.",
+    tags=("join", "aggregate", "star"),
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(_REVENUE, "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@register(
+    "revenue_by_brand",
+    oracle=f"""
+    SELECT p_brand, {dsum_sql(_REVENUE_SQL, 'revenue')},
+           {dsum_sql('l_quantity', 'sum_qty')}, COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    doc="Broadcast equi-join: part is dimension-sized at every SF, so the "
+    "join is map-side (no shuffle of lineitem); only the 25-brand partial "
+    "aggregates shuffle. The explain plan must show BroadcastHashJoin.",
+    tags=("join", "broadcast"),
+)
+def revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum(_REVENUE, "revenue"),
+            dsum("l_quantity", "sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "semi_join_customers_with_open_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    """,
+    doc="Left-semi join (EXISTS). Scale: semi-join only shuffles the key "
+    "column of the probe side; with AQE it downgrades to broadcast when the "
+    "filtered orders side is small.",
+    tags=("join", "semi"),
+)
+def semi_join_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "anti_join_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    doc="Left-anti join (NOT EXISTS / NOT IN with non-null keys).",
+    tags=("join", "anti"),
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
+    "window_topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="Top-K per group via ranked window — the canonical replacement for a "
+    "per-key sort. Deterministic tie-break on o_orderkey. Scale: one shuffle "
+    "on o_custkey; skewed customers are split by AQE.",
+    tags=("window", "topk"),
+)
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+    doc="Running total per customer (cumulative frame). The windowed sum runs "
+    "in DECIMAL so the result is order-of-addition independent and matches "
+    "the oracle exactly.",
+    tags=("window",),
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "distinct_agg_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="COUNT(DISTINCT) alongside plain aggregates — Catalyst expands to a "
+    "two-phase aggregate automatically.",
+    tags=("aggregate", "distinct"),
+)
+def distinct_agg_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )
+
+
+@register(
+    "rollup_returnflag_linestatus",
+    oracle=f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           {dsum_sql('l_quantity', 'sum_qty')}, COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP grouping sets (subtotals + grand total). NULL group markers "
+    "are coalesced to 'ALL' so the hash compare is null-free.",
+    tags=("aggregate", "rollup"),
+)
+def rollup_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n_items"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_items",
+        )
+    )
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets (all 4 combinations).",
+    tags=("aggregate", "cube"),
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "set_ops_customer_cohorts",
+    oracle="""
+    SELECT 'intersect' AS op, c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    )
+    UNION ALL
+    SELECT 'except' AS op, c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    )
+    """,
+    doc="INTERSECT / EXCEPT / UNION ALL as first-class set operators.",
+    tags=("setops",),
+)
+def set_ops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return (
+        building.intersect(rich).select(F.lit("intersect").alias("op"), "c_custkey")
+    ).unionAll(
+        building.exceptAll(rich).distinct().select(F.lit("except").alias("op"), "c_custkey")
+    )
+
+
+@register(
+    "global_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    doc="Global deterministic top-K: Spark compiles orderBy+limit to "
+    "TakeOrderedAndProject (per-partition heap + driver merge of K rows), "
+    "never a full global sort — exactly the right plan at 100 TB.",
+    tags=("topk", "sort"),
+)
+def global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "pivot_qty_by_status",
+    oracle=f"""
+    SELECT l_returnflag,
+           {dsum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 'qty_f')},
+           {dsum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 'qty_o')}
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Pivot (wide conditional aggregation) with pinned pivot values — "
+    "pinning avoids the extra distinct-values job Spark otherwise runs.",
+    tags=("pivot", "aggregate"),
+)
+def pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("qty_f"),
+            F.col("O").alias("qty_o"),
+        )
+    )
+
+
+@register(
+    "star_join_full",
+    oracle=f"""
+    SELECT r_name, p_brand, {dsum_sql(_REVENUE_SQL, 'revenue')}, COUNT(*) AS n_items
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      JOIN part     ON l_partkey  = p_partkey
+      JOIN supplier ON l_suppkey  = s_suppkey
+    GROUP BY r_name, p_brand
+    """,
+    doc="Full star join: fact + 6 dimensions. Every dimension is broadcast; "
+    "the only shuffled join is lineitem->orders (both fact-sized). At 100 TB "
+    "this is one shuffle + five map-side joins, then a 125-row aggregate.",
+    tags=("join", "star"),
+)
+def star_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .groupBy("r_name", "p_brand")
+        .agg(dsum(_REVENUE, "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )

@@ -1,0 +1,206 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+- ``knn_bruteforce``: exact cosine top-k for a query set — the correctness
+  baseline. Query vectors are a broadcast side; the scan side computes dot
+  products with zip_with/aggregate (JVM codegen, no Python).
+- ``knn_lsh``: the scale path — random-hyperplane LSH: bucket bit p is the
+  sign of <e, w_p>, where hyperplane component w_p[i] = h32("p,i")/2^32 - 0.5
+  is md5-derived and therefore bit-identical in Spark and the DuckDB oracle.
+  Candidates are generated within buckets only.
+
+At 100 TB brute force is O(|queries| x |corpus|) — valid only for small query
+sets; the LSH variant shuffles on the bucket signature so candidate
+generation never crosses buckets (the standard billion-vector layout; IVF
+would swap the hyperplane bucketing for k-means cells).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from map_reduce_ruby_spark.plans.catalog import register
+from map_reduce_ruby_spark.sources import load_table
+
+_DIM = 64
+_K = 5
+_N_QUERIES = 10  # vec_id < 10 form the query set
+_N_PLANES = 6
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(col) -> Column:
+    return F.sqrt(F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+@register(
+    "knn_bruteforce",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_sum(list_transform(range(1, {_DIM + 1}),
+                     i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm), 4) AS cos_sim
+        FROM v q JOIN v c ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {_K}
+    """,
+    doc="Exact cosine top-5 neighbors for query vectors (vec_id < 10): "
+    "broadcast the query set, score the corpus scan-side, rank per query. "
+    "Ties broken by neighbor_id; similarities rounded to 4 decimals before "
+    "ranking so both engines rank identically.",
+    tags=("similarity", "knn"),
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", _as_double(F.col("embedding")).alias("e")).withColumn(
+        "nrm", _norm(F.col("e"))
+    )
+    q = v.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qnrm")
+    )
+    c = v.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), F.col("nrm").alias("cnrm")
+    )
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("qe"), F.col("ce")) / (F.col("qnrm") * F.col("cnrm")), 4).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _K)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+# --- random-hyperplane LSH ---------------------------------------------------
+#
+# w_p[i] = h32("{p},{i}") / 2^32 - 0.5 — deterministic, portable.
+
+
+def _plane_dot_spark(e_col: Column, p: int) -> Column:
+    """<e, w_p> with the hyperplane generated inline (JVM expressions)."""
+    idx = F.sequence(F.lit(0), F.lit(_DIM - 1))
+    w = F.transform(
+        idx,
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{p},"), i.cast("string"))), 1, 8), 16, 10
+        ).cast("double")
+        / F.lit(4294967296.0)
+        - 0.5,
+    )
+    return _dot(e_col, w)
+
+
+def _bucket_spark(e_col: Column) -> Column:
+    bits = [
+        F.when(_plane_dot_spark(e_col, p) > 0, 1 << p).otherwise(0) for p in range(_N_PLANES)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def _plane_dot_sql(p: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {_DIM + 1}), "
+        f"i -> e[i] * ((('0x' || substr(md5('{p},' || (i-1)::VARCHAR), 1, 8))::UBIGINT)::DOUBLE"
+        f" / 4294967296.0 - 0.5)))"
+    )
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {_plane_dot_sql(p)} > 0 THEN {1 << p} ELSE 0 END)" for p in range(_N_PLANES)
+)
+
+
+@register(
+    "knn_lsh",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    sig AS (
+        SELECT vec_id, e,
+               sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
+               CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+        FROM v
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+               ROUND(list_sum(list_transform(range(1, {_DIM + 1}),
+                     i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm), 4) AS cos_sim
+        FROM sig q JOIN sig c
+          ON q.bucket = c.bucket AND q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, bucket, cos_sim,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= {_K}
+    """,
+    doc="Approximate top-5 via random-hyperplane LSH (6 md5-derived planes -> "
+    "64 buckets): candidates restricted to the query's bucket, then exact "
+    "cosine rank within candidates. The bucket join is the only shuffle; "
+    "at billions of vectors multiple hash tables (plane sets) trade recall "
+    "for cost without changing the plan shape.",
+    tags=("similarity", "lsh", "ann"),
+)
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", _as_double(F.col("embedding")).alias("e"))
+    sig = v.select(
+        "vec_id", "e", _norm(F.col("e")).alias("nrm"), _bucket_spark(F.col("e")).alias("bucket")
+    )
+    q = sig.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        F.col("bucket").alias("bucket"),
+    )
+    c = sig.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+        F.col("bucket").alias("cbucket"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("cbucket") == F.col("bucket")) & (F.col("neighbor_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "bucket",
+        F.round(_dot(F.col("qe"), F.col("ce")) / (F.col("qnrm") * F.col("cnrm")), 4).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _K)
+        .select("query_id", "neighbor_id", "bucket", "cos_sim", "rn")
+    )

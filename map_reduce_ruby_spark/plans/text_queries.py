@@ -1,0 +1,139 @@
+"""Text-analysis operators over the documents table (training-data pipeline
+components): token stats, quality scoring, language-ID heuristic, document
+fingerprinting.
+
+All scoring is pure column expressions (JVM-side, codegen'd — no Python in
+the hot path); every rule is mirrored exactly in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_ruby_spark.plans.catalog import register
+from map_reduce_ruby_spark.sources import load_table
+
+# A tiny deterministic stopword lexicon per language for the lang-id
+# heuristic. Real language ID would be an n-gram model behind mapInPandas;
+# the heuristic keeps the operator fully SQL-checkable.
+_STOPWORDS = ["the", "a", "data", "query", "join"]
+
+
+def _tokens_spark(col):
+    return F.filter(F.split(col, r"\s+"), lambda w: w != "")
+
+
+_TOKENS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct({_TOKENS_SQL})) AS BIGINT) AS n_unique,
+           CAST(length(text) AS BIGINT) AS n_chars_actual
+    FROM documents
+    """,
+    doc="Per-document token counting: whitespace tokens, unique tokens, "
+    "chars. Array expressions only — one narrow projection at scale.",
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens_spark(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           n_tokens,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+           ROUND(CAST(n_unique AS DOUBLE) / n_tokens, 6) AS unique_ratio,
+           CASE WHEN n_tokens >= 20 AND n_stop > 0 THEN 1 ELSE 0 END AS quality_ok
+    FROM (
+        SELECT doc_id,
+               CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct({_TOKENS_SQL})) AS BIGINT) AS n_unique,
+               CAST(len(list_filter({_TOKENS_SQL},
+                    w -> list_contains({_STOPWORDS!r}, w))) AS BIGINT) AS n_stop
+        FROM documents
+    ) WHERE n_tokens > 0
+    """,
+    doc="Quality scoring: stopword ratio, type-token ratio, min-length gate — "
+    "the standard cheap filters in a pretraining data pipeline. Ratios are "
+    "rounded to 6 decimals on both engines (single double division).",
+    tags=("text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens_spark(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w))).cast("long").alias("n_stop"),
+    ).filter(F.col("n_tokens") > 0)
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_stop").cast("double") / F.col("n_tokens"), 6).alias("stopword_ratio"),
+        F.round(F.col("n_unique").cast("double") / F.col("n_tokens"), 6).alias("unique_ratio"),
+        F.when((F.col("n_tokens") >= 20) & (F.col("n_stop") > 0), 1).otherwise(0).alias("quality_ok"),
+    )
+
+
+@register(
+    "text_lang_signal",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN list_contains(
+                list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> ''),
+                'the') THEN 1 ELSE 0 END) AS BIGINT) AS n_with_the,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="Language-ID signal aggregation: per labeled lang, how many docs "
+    "contain the English marker token — the skeleton of an n-gram lang-id "
+    "scorer (full model would be a broadcast lexicon joined the same way).",
+    tags=("text", "langid"),
+)
+def text_lang_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens_spark(F.col("text"))
+    return (
+        docs.withColumn("has_the", F.array_contains(toks, "the").cast("int"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("has_the").cast("long").alias("n_with_the"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+    doc="Document fingerprinting: md5 over whitespace-normalized, lowercased "
+    "text — the exact-dedup key. JVM md5, no Python.",
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))

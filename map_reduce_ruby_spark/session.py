@@ -42,8 +42,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Oracle comparisons (DuckDB is UTC-naive) require a pinned session TZ.
         .config("spark.sql.session.timeZone", "UTC")
-        # Read ns-precision parquet timestamps (events.ts) without error.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+        # Parquet TIMESTAMP(NANOS) (events.ts) is unsupported by Spark's
+        # timestamp type; read it as a raw nanos bigint and let the events
+        # loader derive a microsecond timestamp (sources/tables.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -1,0 +1,145 @@
+"""Structured Streaming variants of the events queries.
+
+The reference is batch-only (SURVEY.md §2.2 — no streaming at all); these are
+the additive capability a Spark-native engine gets: the SAME logical plans as
+plans/events_queries.py expressed over an unbounded source with watermarked
+event-time windows and custom stateful processing.
+
+Source discipline: the synthetic events parquet is replayed as a file stream
+(``readStream.parquet``) — in production this is Kafka/Kinesis; only the
+``streaming_events`` loader changes. Every query here is verified by the
+batch-equivalence tests (tests/test_streaming.py): running the stream with
+``trigger(availableNow=True)`` over the finite table must produce exactly the
+batch twin's result — the Dataflow-model consistency check.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table as an unbounded file stream with a proper event_time col.
+
+    maxFilesPerTrigger keeps each micro-batch bounded — the knob that matters
+    when replaying a 100 TB backlog without one giant first batch.
+    """
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+    # ts is nanos-as-long (see session.py nanosAsLong); derive a µs timestamp.
+    return (
+        raw.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts_us", F.expr("ts_ns div 1000"))
+        .withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+    )
+
+
+def streaming_tumbling_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """5-minute tumbling window x event_type counts + exact value sum.
+
+    Watermark bounds state: windows older than max(event_time) - 30 min are
+    finalized and evicted — state size is O(active windows), not O(history).
+    """
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", "5 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("total_value"),
+        )
+        .select(
+            (F.unix_timestamp("win.start")).alias("bucket_start_s"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_sessionize(events: DataFrame, gap: str = "10 minutes",
+                         watermark: str = "30 minutes") -> DataFrame:
+    """Session windows per user (10-minute inactivity gap) — the streaming
+    twin of the batch lag()-based sessionizer. session_window merges
+    overlapping per-event windows in state; watermark closes idle sessions."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("sess.start").alias("session_start_s"),
+            F.unix_timestamp("sess.end").alias("session_end_s"),
+            "n_events",
+        )
+    )
+
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_cents", T.LongType()),
+    ]
+)
+
+_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def streaming_stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running per-user
+    event count + exact value total (integer-cents state, so totals are
+    order-independent). This is the engine's escape hatch for operators the
+    built-in windows can't express — the streaming analog of the reference's
+    user-defined binary reduce."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            cents += int(pd.Series(pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [cents / 100.0]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+    """Drain all available input through the streaming plan into a memory
+    sink (tests / smoke only — a real deployment writes a kafka/parquet sink)
+    and return the final table."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = df.sparkSession
+    return spark.table(name)
