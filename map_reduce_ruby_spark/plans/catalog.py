@@ -51,6 +51,7 @@ def all_entries() -> dict[str, CatalogEntry]:
         operator_queries,
         relational_queries,
         similarity_queries,
+        streaming_queries,
         text_queries,
     )
 

@@ -63,10 +63,28 @@ _SHINGLES_SQL = f"""
 """
 
 # --- MinHash spec ------------------------------------------------------------
+#
+# Signature family: ONE md5-derived base hash per shingle, then affine
+# permutations h_i(x) = (a_i * x + b_i) mod p over p = 2^31 - 1 (the classic
+# universal-hash MinHash construction — 1 md5 per shingle instead of
+# _N_HASHES, ~10x less hashing at 100 TB). Constants a_i/b_i are themselves
+# md5-derived so both engines can regenerate them; a_i*x stays < 2^62, no
+# int64 overflow on either engine.
 
 _N_HASHES = 12  # signature length
 _N_BANDS = 4  # 4 bands x 3 rows
 _ROWS_PER_BAND = _N_HASHES // _N_BANDS
+_P = (1 << 31) - 1
+
+
+def _h32_const(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+_A = [1 + _h32_const(f"minhash-a-{i}") % (_P - 1) for i in range(_N_HASHES)]
+_B = [_h32_const(f"minhash-b-{i}") % _P for i in range(_N_HASHES)]
 
 
 @register(
@@ -96,23 +114,34 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sig_spark(shingle_col):
-    """Array of _N_HASHES minhash values (JVM-side expressions only).
+def _base_hashes_spark(shingle_col):
+    """One md5-derived base hash per shingle, reduced mod p (computed once,
+    then permuted _N_HASHES ways arithmetically)."""
+    return F.transform(shingle_col, lambda s: h32(s) % _P)
 
-    NB: the seed must be captured via a real closure — a two-parameter
-    ``lambda s, i=i:`` would be interpreted by PySpark's ``transform`` as an
-    (element, index) lambda and the seed would silently become the array
+
+def _minhash_sig_spark(hashes_col):
+    """Array of _N_HASHES minhash values over a precomputed base-hash array.
+
+    NB: constants must be captured via a real closure — a two-parameter
+    ``lambda x, i=i:`` would be interpreted by PySpark's ``transform`` as an
+    (element, index) lambda and the constant would silently become the array
     index Column."""
 
     def min_hash(i: int):
-        return F.array_min(F.transform(shingle_col, lambda s: h32(s, seed=i)))
+        a, b = _A[i], _B[i]
+        return F.array_min(F.transform(hashes_col, lambda x: (a * x + b) % _P))
 
     return F.array(*[min_hash(i) for i in range(_N_HASHES)])
 
 
-def _minhash_sig_sql(shingles_expr: str) -> list[str]:
+def _base_hashes_sql(shingles_expr: str) -> str:
+    return f"list_transform({shingles_expr}, s -> {h32_sql('s')} % {_P})"
+
+
+def _minhash_sig_sql(hashes_expr: str) -> list[str]:
     return [
-        f"list_aggregate(list_transform({shingles_expr}, s -> {h32_sql('s', seed=i)}), 'min')"
+        f"list_aggregate(list_transform({hashes_expr}, x -> ({_A[i]} * x + {_B[i]}) % {_P}), 'min')"
         for i in range(_N_HASHES)
     ]
 
@@ -120,10 +149,14 @@ def _minhash_sig_sql(shingles_expr: str) -> list[str]:
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
-    WITH sig AS (
-        SELECT doc_id, {', '.join(f'{e} AS mh{i}' for i, e in enumerate(_minhash_sig_sql(_SHINGLES_SQL)))}
+    WITH hs AS (
+        SELECT doc_id, {_base_hashes_sql(_SHINGLES_SQL)} AS hashes
         FROM documents
         WHERE len({_TOKENS_SQL}) >= 3
+    ),
+    sig AS (
+        SELECT doc_id, {', '.join(f'{e} AS mh{i}' for i, e in enumerate(_minhash_sig_sql('hashes')))}
+        FROM hs
     ),
     bands AS (
         {' UNION ALL '.join(
@@ -149,12 +182,16 @@ def _minhash_sig_sql(shingles_expr: str) -> list[str]:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    sh = _shingles(toks)
-    sig = (
-        docs.filter(F.size(_tokens(F.col("text"))) >= 3)
-        .select("doc_id", _minhash_sig_spark(sh).alias("sig"))
+    # Stage the pipeline as materialized columns (tokens -> shingles -> base
+    # hashes -> signature) so each step is computed once per row, not once
+    # per hash-family member.
+    toked = docs.select("doc_id", _tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 3
     )
+    hashed = toked.select(
+        "doc_id", _base_hashes_spark(_shingles(F.col("toks"))).alias("hs")
+    )
+    sig = hashed.select("doc_id", _minhash_sig_spark(F.col("hs")).alias("sig"))
     # bands: (doc_id, band_idx, md5 of comma-joined band slice)
     bands = sig.select(
         "doc_id",

@@ -1,0 +1,76 @@
+"""Catalog entries that run the Structured Streaming plans to completion
+(trigger=availableNow over the finite events table) and surface the final
+result as a batch DataFrame — so the streaming engine itself sits behind the
+DuckDB oracle gate, not just its batch twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from map_reduce_ruby_spark.functions import cents_sum_sql
+from map_reduce_ruby_spark.plans.catalog import register
+from map_reduce_ruby_spark.streaming import (
+    run_stream_to_memory,
+    streaming_events,
+    streaming_stateful_user_totals,
+    streaming_tumbling_counts,
+)
+
+
+@register(
+    "streaming_tumbling_window",
+    oracle=f"""
+    SELECT (epoch_us(ts) // 300000000) * 300 AS bucket_start_s,
+           event_type,
+           COUNT(*) AS n_events,
+           {cents_sum_sql('value', 'total_value')}
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="The 5-minute tumbling-window aggregation executed by the Structured "
+    "Streaming engine (file-stream source, watermarked event-time window, "
+    "availableNow drain to a memory sink) — must equal the batch oracle "
+    "exactly, proving the streaming plan's replay-consistency. Window starts "
+    "align with epoch µs buckets, so bucket arithmetic matches the oracle.",
+    tags=("streaming", "window"),
+)
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_memory(
+        streaming_tumbling_counts(streaming_events(spark, sf_dir)),
+        f"catalog_stream_tumbling_{abs(hash(sf_dir)) % 10**8}",
+    )
+
+
+@register(
+    "streaming_stateful_totals",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events, {cents_sum_sql('value', 'total_value')}
+    FROM events GROUP BY user_id
+    """,
+    doc="Custom stateful streaming operator (applyInPandasWithState): running "
+    "per-user totals in integer-cents state, drained to the final snapshot. "
+    "The state fold is associative/commutative — the reference's binary "
+    "reduce contract carried into streaming.",
+    tags=("streaming", "stateful"),
+)
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    name = f"catalog_stream_totals_{abs(hash(sf_dir)) % 10**8}"
+    out = run_stream_to_memory(
+        streaming_stateful_user_totals(streaming_events(spark, sf_dir)),
+        name,
+        output_mode="update",
+    )
+    # update-mode sink holds one row per user per micro-batch; the final
+    # state per user is the last emitted row (monotone n_events).
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )

@@ -15,6 +15,9 @@ batch twin's result — the Dataflow-model consistency check.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,11 +30,21 @@ def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxFilesPerTrigger keeps each micro-batch bounded — the knob that matters
     when replaying a 100 TB backlog without one giant first batch.
     """
+    # FileStreamSource wants a directory; the testdata table is a single
+    # parquet file, so expose it through a symlink dir (no data copied).
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream_{abs(hash(sf_dir)) % 10**8}"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 4)
-        .parquet(f"{sf_dir}/events.parquet")
+        .parquet(stream_dir)
     )
     # ts is nanos-as-long (see session.py nanosAsLong); derive a µs timestamp.
     return (

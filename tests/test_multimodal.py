@@ -1,0 +1,70 @@
+"""Multimodal column plumbing: schema, Arrow batch shape, deterministic fake
+decode, feature extraction, and the NotImplementedError gate for real codecs."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_ruby_spark.operators import (
+    FEATURE_DIM,
+    attach_fake_media,
+    decode_media,
+    extract_features,
+)
+from map_reduce_ruby_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    return attach_fake_media(load_table(spark, sf_dir, "documents"))
+
+
+def test_payload_schema_and_checksum(media, spark, sf_dir):
+    row = media.filter(media.doc_id == 0).collect()[0]
+    text = (
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") == 0).collect()[0].text
+    )
+    assert bytes(row.payload) == text.encode("utf-8")
+    assert row.payload_len == len(text.encode("utf-8"))
+    assert row.checksum == hashlib.md5(text.encode("utf-8")).hexdigest()
+    assert row.media_type == "image"  # doc_id 0 % 3
+
+
+def test_decode_dims_deterministic(media):
+    rows = {r.doc_id: r for r in decode_media(media).filter(F.col("doc_id") < 6).collect()}
+    for doc_id, r in rows.items():
+        h = int(r.checksum[:8], 16)
+        assert r.width == 16 + h % 1024
+        assert r.height == 16 + (h >> 10) % 1024
+        if r.media_type == "image":
+            assert r.n_frames == 1
+        else:
+            assert r.n_frames == 1 + (h >> 20) % 240
+
+
+def test_unknown_codec_raises(spark):
+    bad = spark.createDataFrame(
+        [(1, "image", "jpeg", bytearray(b"\xff\xd8"), 2, "00")],
+        "doc_id long, media_type string, codec string, payload binary, payload_len long, checksum string",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|real decoders"):
+        decode_media(bad).collect()
+
+
+def test_features_match_numpy(media, spark, sf_dir):
+    feats = {r.doc_id: np.array(r.feature) for r in extract_features(media).filter(F.col("doc_id") < 4).collect()}
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 4).collect()
+    }
+    for doc_id, vec in feats.items():
+        arr = np.frombuffer(texts[doc_id].encode("utf-8"), dtype=np.uint8)
+        hist = np.bincount(arr >> 4, minlength=FEATURE_DIM)[:FEATURE_DIM].astype("float64")
+        expected = (hist / hist.sum()).astype("float32")
+        assert vec.shape == (FEATURE_DIM,)
+        np.testing.assert_array_equal(vec, expected)
+        assert abs(vec.sum() - 1.0) < 1e-5

@@ -1,0 +1,79 @@
+"""Streaming/batch equivalence: draining the finite events table through each
+Structured Streaming plan with trigger(availableNow) must reproduce the batch
+twin exactly (the Dataflow-model consistency property)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_ruby_spark.sources import load_table
+from map_reduce_ruby_spark.streaming import (
+    run_stream_to_memory,
+    streaming_events,
+    streaming_sessionize,
+    streaming_stateful_user_totals,
+    streaming_tumbling_counts,
+)
+
+
+def _sorted_pdf(df) -> pd.DataFrame:
+    pdf = df.toPandas()
+    return pdf[sorted(pdf.columns)].sort_values(by=sorted(pdf.columns)).reset_index(drop=True)
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    got = run_stream_to_memory(
+        streaming_tumbling_counts(streaming_events(spark, sf_dir)), "t_tumbling"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    expected = (
+        ev.withColumn("bucket_start_s", F.expr("ts_us div 300000000") * 300)
+        .groupBy("bucket_start_s", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("total_value"),
+        )
+    )
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(expected))
+
+
+def test_streaming_sessionize_equals_batch_session_count(spark, sf_dir):
+    got = run_stream_to_memory(
+        streaming_sessionize(streaming_events(spark, sf_dir)), "t_sessions"
+    )
+    # Batch twin: lag-based session starts; same gap (10 min) ⇒ same number of
+    # sessions and events per user.
+    from map_reduce_ruby_spark.plans.catalog import all_entries
+
+    batch = all_entries()["events_sessionize"].fn(spark, sf_dir).toPandas()
+    got_pdf = got.toPandas().groupby("user_id").agg(
+        n_sessions=("session_start_s", "count"), n_events=("n_events", "sum")
+    ).reset_index()
+    merged = got_pdf.merge(batch, on="user_id", suffixes=("_s", "_b"))
+    assert len(merged) == len(batch)
+    assert (merged["n_sessions_s"] == merged["n_sessions_b"]).all()
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+
+
+def test_streaming_stateful_totals_equals_batch(spark, sf_dir):
+    got = run_stream_to_memory(
+        streaming_stateful_user_totals(streaming_events(spark, sf_dir)),
+        "t_totals",
+        output_mode="update",
+    ).toPandas()
+    # update mode emits one row per user per micro-batch: keep the last.
+    got = got.groupby("user_id").tail(1).sort_values("user_id").reset_index(drop=True)
+    ev = load_table(spark, sf_dir, "events")
+    expected = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("total_value"),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
