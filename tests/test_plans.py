@@ -1,0 +1,84 @@
+"""Physical-plan shape assertions — the 100 TB posture, checked in CI.
+
+Correctness says the answer is right; these tests say the PLAN is the one
+that survives a 1000-executor cluster: dimensions broadcast (no fact-table
+shuffle for dim joins), parquet filters pushed to the scan, column pruning
+active, global top-k via TakeOrderedAndProject (never a full sort), and
+whole-stage codegen covering the hot path.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from map_reduce_ruby_spark.plans import all_entries
+
+
+def plan_of(spark, sf_dir, name: str, execute: bool = False) -> str:
+    df = all_entries()[name].fn(spark, sf_dir)
+    if execute:  # finalize AQE on THIS plan so codegen ids are assigned
+        df.collect()
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "star_join_full")
+    # 5 dimension joins must be broadcast; only lineitem<->orders may shuffle.
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_q1_filter_pushed_to_parquet_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    # Scan must read only the 8 needed columns, not l_orderkey/l_partkey/....
+    scan = plan[plan.index("ReadSchema") :].split("\n")[0]
+    assert "l_orderkey" not in scan and "l_partkey" not in scan, scan
+    assert "l_quantity" in scan and "l_returnflag" in scan, scan
+
+
+def test_global_topk_never_global_sorts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "global_topk_orders")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_q1_has_partial_aggregation(spark, sf_dir):
+    # Map-side combine (the reference's O4) must appear as a partial
+    # HashAggregate before the exchange.
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_q1_stays_in_codegen(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary", execute=True)
+    assert "codegen id" in plan, plan  # formatted mode tags codegen'd operators
+    # No Python evaluation in the hot path of SQL-native queries.
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_semi_join_is_semi_in_plan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "semi_join_customers_with_open_orders")
+    assert "LeftSemi" in plan, plan
+
+
+def test_asof_is_single_shuffle(spark, sf_dir):
+    # The as-of composition must shuffle ONCE on the key (hashpartitioning) —
+    # no range-join blowup, no extra exchanges beyond AQE reads.
+    plan = plan_of(spark, sf_dir, "asof_last_purchase")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    exchanges = plan.count("hashpartitioning(")
+    assert exchanges == 1, f"expected 1 shuffle, saw {exchanges}\n{plan}"
+
+
+def test_lsh_join_is_bucket_equi_join(spark, sf_dir):
+    # Candidate generation must be an equi-join on the band bucket — a
+    # cartesian/theta join here would be the O(n^2) trap at scale.
+    plan = plan_of(spark, sf_dir, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
