@@ -1,4 +1,5 @@
 from map_reduce_ruby_spark.operators.asof import asof_join
+from map_reduce_ruby_spark.operators.skew import salted_agg
 from map_reduce_ruby_spark.operators.multimodal import (
     attach_fake_media,
     decode_media,
@@ -9,6 +10,7 @@ from map_reduce_ruby_spark.operators.multimodal import (
 
 __all__ = [
     "asof_join",
+    "salted_agg",
     "attach_fake_media",
     "decode_media",
     "extract_features",

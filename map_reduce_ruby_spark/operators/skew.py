@@ -1,0 +1,54 @@
+"""Skew-aware aggregation: two-stage salted groupBy.
+
+The reference would put each hot key on one partition and degrade
+(SURVEY.md §7.4.6 — its SHA1 partitioner has no skew remedy). At 100 TB a
+single hot key (one viral document, one bot user) turns a groupBy into a
+straggler. The standard fix, packaged as an operator:
+
+    stage 1: group on (key, salt)  — hot keys spread over `salt_buckets`
+             reducers, each holding a partial aggregate
+    stage 2: group on key          — combine `salt_buckets` partials per key
+
+Works for any algebraic aggregate (sum/count/min/max and compositions).
+AQE's skew-join handling covers JOIN skew at runtime; aggregation skew still
+benefits from explicit salting because the partial/final split must be
+declared in the plan. For aggregates this cheap Spark's own partial
+aggregation usually suffices — salting matters when per-key state is large
+(collect_list-ish, large HLL sketches) or when AQE is unavailable; the
+operator exists so callers can opt in per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    partials: dict[str, tuple[Column, Column]],
+    salt_buckets: int = 16,
+    salt_from: str | None = None,
+) -> DataFrame:
+    """Two-stage aggregation over ``keys``.
+
+    partials maps output column name -> (stage1 aggregate over raw rows,
+    stage2 aggregate over stage-1 partials). E.g.::
+
+        salted_agg(df, ["k"], {
+            "n":   (F.count(F.lit(1)),        F.sum("n")),
+            "tot": (F.sum("x"),               F.sum("tot")),
+        })
+
+    ``salt_from``: a deterministic column to derive the salt from (so reruns
+    place rows identically); defaults to a uniform hash of all columns.
+    """
+    salt_src = F.col(salt_from) if salt_from else F.hash(*[F.col(c) for c in df.columns])
+    salted = df.withColumn("__salt", F.pmod(salt_src, F.lit(salt_buckets)))
+    stage1 = salted.groupBy(*keys, "__salt").agg(
+        *[expr.alias(name) for name, (expr, _) in partials.items()]
+    )
+    return stage1.groupBy(*keys).agg(
+        *[combine.alias(name) for name, (_, combine) in partials.items()]
+    )

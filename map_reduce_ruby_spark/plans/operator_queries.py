@@ -13,6 +13,7 @@ from map_reduce_ruby_spark.operators import (
     attach_fake_media,
     decode_media,
     extract_features,
+    salted_agg,
 )
 from map_reduce_ruby_spark.plans.catalog import register
 from map_reduce_ruby_spark.sources import load_table
@@ -133,4 +134,41 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_type",
         F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4).alias("l1_mass"),
         F.size("feature").alias("dim"),
+    )
+
+
+@register(
+    "salted_skew_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents,
+           CAST(MIN(user_id) AS BIGINT) AS min_user,
+           CAST(MAX(user_id) AS BIGINT) AS max_user
+    FROM events GROUP BY event_type
+    """,
+    doc="Skew-aware two-stage salted aggregation (operators/skew.py): "
+    "event_type has only 5 values over all rows — exactly the hot-key shape "
+    "that makes a naive groupBy a straggler at 100 TB. Stage 1 groups on "
+    "(key, salt) across 16 buckets, stage 2 combines partials per key; the "
+    "oracle is the plain single-stage GROUP BY, proving the decomposition "
+    "is exact. Sum runs in integer cents so the salted re-association is "
+    "bitwise identical.",
+    tags=("skew", "aggregate", "custom-operator"),
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return salted_agg(
+        ev,
+        keys=["event_type"],
+        partials={
+            "n_events": (F.count(F.lit(1)), F.sum("n_events")),
+            "value_cents": (F.sum("cents"), F.sum("value_cents")),
+            "min_user": (F.min("user_id"), F.min("min_user")),
+            "max_user": (F.max("user_id"), F.max("max_user")),
+        },
+        salt_buckets=16,
+        salt_from="user_id",
     )

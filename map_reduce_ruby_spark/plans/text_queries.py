@@ -137,3 +137,52 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+@register(
+    "text_regex_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_word_tokens,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct_tokens,
+           CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+               AS n_unique_words
+    FROM documents
+    """,
+    doc="BPE-ish regex tokenization: alphanumeric word tokens + single-char "
+    "punctuation tokens (the pre-tokenizer split most BPE vocabularies "
+    "assume), plus lowercased unique-word count. regexp_extract_all stays "
+    "JVM-side; at scale this is a narrow scan-side projection feeding token "
+    "budget accounting.",
+    tags=("text", "tokenize"),
+)
+def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.expr(r"regexp_extract_all(text, '[A-Za-z0-9]+', 0)")
+    punct = F.expr(r"regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0)")
+    uniq = F.array_distinct(F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_word_tokens"),
+        F.size(punct).cast("long").alias("n_punct_tokens"),
+        F.size(uniq).cast("long").alias("n_unique_words"),
+    )
+
+
+@register(
+    "approx_distinct_users_daily",
+    oracle=None,  # HLL sketches differ across engines; pytest bounds the error vs exact
+    doc="approx_count_distinct (HyperLogLog++) of daily active users — the "
+    "sketch that replaces exact COUNT(DISTINCT) at 100 TB (mergeable, "
+    "fixed-size state instead of a per-key hash set). Engine-specific sketch "
+    "values can't hash-match DuckDB, so the driver records rows-only; "
+    "tests/test_approx.py asserts <5% relative error against the exact count.",
+    tags=("aggregate", "approx", "sketch"),
+)
+def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day_no", F.expr("ts_us div 86400000000"))
+        .groupBy("day_no")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_dau"))
+    )
