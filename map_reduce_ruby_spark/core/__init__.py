@@ -20,8 +20,11 @@ from map_reduce_ruby_spark.core.keys import (
 )
 from map_reduce_ruby_spark.core.partitioner import HashPartitioner, Md5Partitioner
 from map_reduce_ruby_spark.core.job import Job
+from map_reduce_ruby_spark.core.df_adapter import pairs_df, reduce_by_key
 
 __all__ = [
+    "pairs_df",
+    "reduce_by_key",
     "IncomparableKeyError",
     "SortKey",
     "canonical_json",

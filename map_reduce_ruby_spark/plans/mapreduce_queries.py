@@ -187,3 +187,76 @@ def mr_partition_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(placed, schema)
+
+
+@register(
+    "df_reduce_by_key_custom",
+    oracle="""
+    SELECT user_id,
+           CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS max_cents,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           COUNT(*) AS n
+    FROM events GROUP BY user_id
+    """,
+    doc="DataFrame adapter (core/df_adapter.py): the reference's binary "
+    "reduce contract run per key group via applyInPandas (max_cents folds "
+    "with a Python lambda pairwise, exactly reduce(key, v1, v2)) alongside "
+    "primitive fast-path folds (sum/count compile to JVM aggregates). "
+    "Integer-cents space keeps the fold order-independent.",
+    tags=("mapreduce", "dataframe-adapter"),
+)
+def df_reduce_by_key_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from map_reduce_ruby_spark.core import reduce_by_key
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("max_cents"),
+        F.round(F.col("value") * 100).cast("long").alias("sum_cents"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    return reduce_by_key(
+        ev,
+        keys=["user_id"],
+        values={
+            "max_cents": lambda key, a, b: a if a >= b else b,  # custom binary fold
+            "sum_cents": "sum",
+            "n": "sum",
+        },
+    )
+
+
+@register(
+    "df_reduce_by_key_fastpath",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+           CAST(MIN(l_orderkey) AS BIGINT) AS first_order,
+           CAST(MAX(l_orderkey) AS BIGINT) AS last_order,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="DataFrame adapter fast path: every fold is a recognized primitive, "
+    "so the plan is pure JVM aggregation (partial + final HashAggregate, no "
+    "Python anywhere) — same user-facing reduce contract, Catalyst execution.",
+    tags=("mapreduce", "dataframe-adapter"),
+)
+def df_reduce_by_key_fastpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from map_reduce_ruby_spark.core import reduce_by_key
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("l_orderkey").alias("first_order"),
+        F.col("l_orderkey").alias("last_order"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    return reduce_by_key(
+        li,
+        keys=["l_returnflag", "l_linestatus"],
+        values={"qty": "sum", "first_order": "min", "last_order": "max", "n": "sum"},
+    )
