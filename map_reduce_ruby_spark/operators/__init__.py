@@ -1,19 +1,24 @@
 from map_reduce_ruby_spark.operators.asof import asof_join
+from map_reduce_ruby_spark.operators.ivf import build_ivf_index, ivf_search
 from map_reduce_ruby_spark.operators.skew import salted_agg
 from map_reduce_ruby_spark.operators.multimodal import (
     attach_fake_media,
     decode_media,
     extract_features,
+    sample_frames,
     MEDIA_SCHEMA,
     FEATURE_DIM,
 )
 
 __all__ = [
     "asof_join",
+    "build_ivf_index",
+    "ivf_search",
     "salted_agg",
     "attach_fake_media",
     "decode_media",
     "extract_features",
+    "sample_frames",
     "MEDIA_SCHEMA",
     "FEATURE_DIM",
 ]

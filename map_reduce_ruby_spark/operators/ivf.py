@@ -1,0 +1,136 @@
+"""IVF (inverted-file) approximate nearest neighbor — the k-means-cell
+counterpart to the random-hyperplane LSH in plans/similarity_queries.py.
+
+Build: deterministic centroid init (evenly strided ids) + fixed Lloyd
+iterations, structured the way k-means actually scales on Spark (it is how
+MLlib's KMeans is shaped):
+
+    assign:  centroids are k x dim doubles — collected to the driver and
+             embedded as LITERALS, so assignment is a narrow projection over
+             the corpus scan (argmin of k squared distances). No join, no
+             shuffle, no per-row Python.
+    update:  groupBy(cell) with one SUM column per dimension — partial
+             aggregation map-side, the shuffle carries k x (dim+1) doubles
+             total. No collect_list, no per-cell array state.
+
+Search: queries probe their ``nprobe`` nearest cells (same literal argmin);
+candidates are the corpus rows in those cells (equi-join on cell id — the
+ONLY corpus shuffle in the whole operator), then exact cosine rank.
+
+At a billion vectors: k ~ sqrt(n) centroids still fit the driver/broadcast
+comfortably for dim<=1024; the per-iteration cost is one corpus scan + a
+k-row shuffle. Ties (equidistant centroids) break to the lowest cell id, so
+the index is bit-deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(col: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def _lit_array(values: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in values])
+
+
+def _sqdist_to_lit(e: Column, centroid: list[float]) -> Column:
+    return F.aggregate(
+        F.zip_with(e, _lit_array(centroid), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cell_expr(e: Column, centroids: list[list[float]]) -> Column:
+    """argmin over literal centroids; array_position returns the FIRST match,
+    so equidistant ties resolve to the lowest cell id."""
+    dists = F.array(*[_sqdist_to_lit(e, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+
+
+def assign_cells(vectors: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """vectors(id, e) -> (id, e, cell): a narrow projection (no shuffle)."""
+    return vectors.withColumn("cell", _cell_expr(F.col("e"), centroids))
+
+
+def build_ivf_index(
+    vectors: DataFrame, k: int = 16, iterations: int = 2
+) -> tuple[DataFrame, list[list[float]]]:
+    """vectors: (id: long, e: array<double>). Returns (assignments(id, e, cell),
+    centroids as a k x dim Python list). Deterministic end-to-end."""
+    n = vectors.count()
+    stride = max(1, n // k)
+    init_ids = [i * stride for i in range(k)]
+    seed_rows = (
+        vectors.filter(F.col("id").isin(init_ids)).orderBy("id").select("e").collect()
+    )
+    centroids = [list(r.e) for r in seed_rows]
+    dim = len(centroids[0])
+
+    for _ in range(iterations):
+        assigned = assign_cells(vectors, centroids)
+        stats = (
+            assigned.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.element_at("e", i + 1)).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        by_cell = {int(r.cell): r for r in stats}
+        centroids = [
+            [by_cell[c][f"s{i}"] / by_cell[c].n for i in range(dim)]
+            if c in by_cell
+            else centroids[c]  # empty cell keeps its previous centroid
+            for c in range(len(centroids))
+        ]
+
+    return assign_cells(vectors, centroids), centroids
+
+
+def ivf_search(
+    assignments: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    top_k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """queries: (qid, qe). Probe the nprobe nearest cells per query; exact
+    cosine rank within candidates. Returns (query_id, neighbor_id, cos_sim, rn)."""
+    dists = F.array(*[_sqdist_to_lit(F.col("qe"), c) for c in centroids])
+    probe_cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(
+                    dists,
+                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                    lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
+                )
+            ),
+            lambda s: s.cell.cast("long"),
+        ),
+        1,
+        nprobe,
+    )
+    qcells = queries.select("qid", "qe", F.explode(probe_cells).alias("cell"))
+    cands = qcells.join(assignments, "cell").filter(F.col("id") != F.col("qid"))
+    scored = cands.select(
+        F.col("qid").alias("query_id"),
+        F.col("id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qe"), F.col("e")) / (_norm(F.col("qe")) * _norm(F.col("e"))), 4
+        ).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= top_k)
+    )

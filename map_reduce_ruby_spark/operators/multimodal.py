@@ -149,3 +149,19 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.min("payload_len").alias("min_bytes"),
         F.max("payload_len").alias("max_bytes"),
     )
+
+
+def sample_frames(decoded: DataFrame, every_k: int = 10) -> DataFrame:
+    """Frame sampling for video/audio payloads: one row per sampled frame
+    index (0, k, 2k, ... < n_frames). Pure JVM explode — the decode of the
+    sampled frame itself would be the per-frame Pandas UDF slot. At scale
+    this multiplies rows scan-side BEFORE any shuffle, so downstream
+    operators see only sampled frames."""
+    return decoded.select(
+        "doc_id",
+        "media_type",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_k))
+        ).alias("frame_idx"),
+    )

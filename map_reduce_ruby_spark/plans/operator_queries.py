@@ -172,3 +172,73 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_buckets=16,
         salt_from="user_id",
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS media_type,
+               ('0x' || substr(md5(text), 1, 8))::UBIGINT AS h
+        FROM documents
+    ),
+    decoded AS (
+        SELECT doc_id, media_type,
+               CASE WHEN media_type = 'image' THEN 1
+                    ELSE 1 + (h >> 20) % 240 END AS n_frames
+        FROM media
+    )
+    SELECT media_type,
+           COUNT(*) AS n_sampled_frames,
+           CAST(SUM(frame_idx) AS BIGINT) AS sum_frame_idx,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+        SELECT doc_id, media_type, unnest(range(0, n_frames::BIGINT, 10)) AS frame_idx
+        FROM decoded
+    )
+    GROUP BY media_type
+    """,
+    doc="Frame sampling (every 10th frame) over decoded media: JVM-side "
+    "sequence+explode multiplies rows scan-side, the slot where per-frame "
+    "decode/embedding plugs in. Oracle re-derives the sampled index set in "
+    "SQL, so the explode arithmetic is value-checked.",
+    tags=("multimodal", "custom-operator"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_ruby_spark.operators import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(decode_media(attach_fake_media(docs)), every_k=10)
+    return frames.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_sampled_frames"),
+        F.sum("frame_idx").alias("sum_frame_idx"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@register(
+    "knn_ivf",
+    oracle=None,  # k-means build isn't reasonably SQL-expressible; pytest bounds recall
+    doc="IVF (inverted-file) ANN (operators/ivf.py): deterministic k-means "
+    "over the embedding corpus (16 cells, 2 Lloyd iterations, every step a "
+    "DataFrame plan), then queries probe their 2 nearest cells and rank "
+    "candidates by exact cosine. The FAISS IVF-flat layout re-expressed "
+    "relationally: broadcast centroids, narrow assignment scan, candidate "
+    "equi-join on cell id. tests/test_ivf.py bounds recall@5 vs brute force.",
+    tags=("similarity", "ann", "ivf", "custom-operator"),
+)
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_ruby_spark.operators import build_ivf_index, ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    assignments, centroids = build_ivf_index(v, k=16, iterations=2)
+    queries = v.filter(F.col("id") < 10).select(
+        F.col("id").alias("qid"), F.col("e").alias("qe")
+    )
+    return ivf_search(assignments, centroids, queries, top_k=5, nprobe=2)

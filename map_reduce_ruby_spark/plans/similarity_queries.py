@@ -96,20 +96,29 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- random-hyperplane LSH ---------------------------------------------------
 #
-# w_p[i] = h32("{p},{i}") / 2^32 - 0.5 — deterministic, portable.
+# w_p[i] = h32("{p},{i}") / 2^32 - 0.5 — md5-derived so both engines could
+# regenerate it, but the planes are CONSTANTS: they are materialized here in
+# Python once and embedded as literal arrays, so per-row work is just the dot
+# product (the inline-generation alternative costs _DIM * _N_PLANES md5 calls
+# per row — 384/row — for identical results). h/2^32 and -0.5 are exact in
+# binary, so the Python-computed literals match engine arithmetic bit-for-bit.
+
+
+def _h32_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+_PLANES: list[list[float]] = [
+    [_h32_py(f"{p},{i}") / 4294967296.0 - 0.5 for i in range(_DIM)]
+    for p in range(_N_PLANES)
+]
 
 
 def _plane_dot_spark(e_col: Column, p: int) -> Column:
-    """<e, w_p> with the hyperplane generated inline (JVM expressions)."""
-    idx = F.sequence(F.lit(0), F.lit(_DIM - 1))
-    w = F.transform(
-        idx,
-        lambda i: F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{p},"), i.cast("string"))), 1, 8), 16, 10
-        ).cast("double")
-        / F.lit(4294967296.0)
-        - 0.5,
-    )
+    """<e, w_p> against the literal hyperplane (JVM zip_with/aggregate)."""
+    w = F.array(*[F.lit(x) for x in _PLANES[p]])
     return _dot(e_col, w)
 
 
@@ -124,11 +133,8 @@ def _bucket_spark(e_col: Column) -> Column:
 
 
 def _plane_dot_sql(p: int) -> str:
-    return (
-        f"list_sum(list_transform(range(1, {_DIM + 1}), "
-        f"i -> e[i] * ((('0x' || substr(md5('{p},' || (i-1)::VARCHAR), 1, 8))::UBIGINT)::DOUBLE"
-        f" / 4294967296.0 - 0.5)))"
-    )
+    w = "[" + ", ".join(repr(x) for x in _PLANES[p]) + "]"
+    return f"list_sum(list_transform(range(1, {_DIM + 1}), i -> e[i] * ({w}::DOUBLE[])[i]))"
 
 
 _BUCKET_SQL = " + ".join(
