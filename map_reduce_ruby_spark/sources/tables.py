@@ -29,19 +29,31 @@ TABLES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's timestamp type
+        # rejects; nanosAsLong makes it arrive as a raw nanos bigint. The conf
+        # is runtime-settable, so set it here too — the caller's session (e.g.
+        # the driver's) may not have been built by session.get_spark.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # fall through; the dtype branch below handles either form
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); with
-        # spark.sql.legacy.parquet.nanosAsLong it arrives as a nanos bigint.
-        # Expose: ts_ns (exact), ts_us (= DuckDB epoch_us(ts), which truncates
-        # ns -> us the same way), and ts as a real microsecond timestamp.
+        # Expose: ts_ns (exact nanos), ts_us (= DuckDB epoch_us(ts) — same
+        # ns -> µs truncation), and ts as a real microsecond timestamp.
         from pyspark.sql import functions as F
 
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts_us", F.expr("ts_ns div 1000"))
-            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
-        )
+        if dict(df.dtypes).get("ts") == "bigint":  # nanos-as-long
+            df = (
+                df.withColumnRenamed("ts", "ts_ns")
+                .withColumn("ts_us", F.expr("ts_ns div 1000"))
+                .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            )
+        else:  # engine already delivered a (truncated) timestamp
+            df = df.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp"))).withColumn(
+                "ts_ns", F.col("ts_us") * 1000
+            )
     return df
 
 
