@@ -34,9 +34,15 @@ HEADLINE = [
     "dedup_simhash",
     "knn_bruteforce",
     "knn_lsh",
+    "knn_ivf",
     "text_quality_score",
+    "text_regex_tokens",
     "events_tumbling_window",
     "events_sessionize",
+    "asof_last_purchase",
+    "salted_skew_agg",
+    "df_reduce_by_key_fastpath",
+    "multimodal_decode_stats",
 ]
 
 

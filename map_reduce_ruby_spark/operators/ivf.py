@@ -29,30 +29,55 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+# All vector math is unrolled to fixed-length element_at chains: Catalyst
+# evaluates higher-order-function lambdas interpreted per element (no
+# codegen); unrolling keeps the scan inside whole-stage codegen. Left-
+# associated addition preserves sequential fold order for reproducibility.
 
 
-def _norm(col: Column) -> Column:
-    return F.sqrt(F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+def _chain_sum(terms: list[Column]) -> Column:
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
-def _lit_array(values: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in values])
+def _dot(a: Column, b: Column, dim: int) -> Column:
+    return _chain_sum(
+        [F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)]
+    )
 
 
-def _sqdist_to_lit(e: Column, centroid: list[float]) -> Column:
-    return F.aggregate(
-        F.zip_with(e, _lit_array(centroid), lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _norm(col: Column, dim: int) -> Column:
+    return F.sqrt(
+        _chain_sum(
+            [F.element_at(col, i + 1) * F.element_at(col, i + 1) for i in range(dim)]
+        )
+    )
+
+
+def _dists_expr(e: Column, centroids: list[list[float]]) -> Column:
+    """Array of squared distances to every centroid. Deliberately a nested
+    higher-order-function expression over a 2-D literal array, NOT an
+    unrolled chain: k x dim unrolled terms (16x64 here) blow up codegen
+    compilation time across the many small k-means jobs; the compact HOF
+    expression compiles instantly and its interpreted evaluation is cheap at
+    k*dim ops per row."""
+    C = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    return F.transform(
+        C,
+        lambda c: F.aggregate(
+            F.zip_with(e, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
     )
 
 
 def _cell_expr(e: Column, centroids: list[list[float]]) -> Column:
     """argmin over literal centroids; array_position returns the FIRST match,
     so equidistant ties resolve to the lowest cell id."""
-    dists = F.array(*[_sqdist_to_lit(e, c) for c in centroids])
+    dists = _dists_expr(e, centroids)
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
 
 
@@ -105,7 +130,7 @@ def ivf_search(
 ) -> DataFrame:
     """queries: (qid, qe). Probe the nprobe nearest cells per query; exact
     cosine rank within candidates. Returns (query_id, neighbor_id, cos_sim, rn)."""
-    dists = F.array(*[_sqdist_to_lit(F.col("qe"), c) for c in centroids])
+    dists = _dists_expr(F.col("qe"), centroids)
     probe_cells = F.slice(
         F.transform(
             F.array_sort(
@@ -121,12 +146,15 @@ def ivf_search(
         nprobe,
     )
     qcells = queries.select("qid", "qe", F.explode(probe_cells).alias("cell"))
+    dim = len(centroids[0])
     cands = qcells.join(assignments, "cell").filter(F.col("id") != F.col("qid"))
     scored = cands.select(
         F.col("qid").alias("query_id"),
         F.col("id").alias("neighbor_id"),
         F.round(
-            _dot(F.col("qe"), F.col("e")) / (_norm(F.col("qe")) * _norm(F.col("e"))), 4
+            _dot(F.col("qe"), F.col("e"), dim)
+            / (_norm(F.col("qe"), dim) * _norm(F.col("e"), dim)),
+            4,
         ).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

@@ -86,14 +86,17 @@ def attach_fake_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(make_payload, MEDIA_SCHEMA)
 
 
-def _decode_fake(row: pd.Series) -> tuple[int, int, int]:
-    """Deterministic byte-stat 'decode': dimensions derived from the payload
-    checksum — a stable stand-in for a real pixel decode."""
-    h = int(row["checksum"][:8], 16)
-    width = 16 + h % 1024
-    height = 16 + (h >> 10) % 1024
-    n_frames = 1 if row["media_type"] == "image" else 1 + (h >> 20) % 240
-    return width, height, n_frames
+def _decode_fake(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic byte-stat 'decode' (vectorized): dimensions derived from
+    the payload checksum — a stable stand-in for a real pixel decode."""
+    h = pdf["checksum"].str[:8].map(lambda s: int(s, 16)).to_numpy(dtype="int64")
+    out = pdf.copy()
+    out["width"] = 16 + h % 1024
+    out["height"] = 16 + (h >> 10) % 1024
+    out["n_frames"] = np.where(
+        (pdf["media_type"] == "image").to_numpy(), 1, 1 + (h >> 20) % 240
+    )
+    return out
 
 
 def decode_media(media: DataFrame) -> DataFrame:
@@ -108,10 +111,7 @@ def decode_media(media: DataFrame) -> DataFrame:
                 raise NotImplementedError(
                     f"real decoders not available in this container: {sorted(unknown)}"
                 )
-            dims = pdf.apply(_decode_fake, axis=1, result_type="expand")
-            out = pdf.copy()
-            out[["width", "height", "n_frames"]] = dims.astype("int64")
-            yield out
+            yield _decode_fake(pdf)
 
     return media.mapInPandas(decode, DECODED_SCHEMA)
 

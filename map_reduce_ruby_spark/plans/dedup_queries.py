@@ -368,22 +368,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "embedding"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Unrolled vector math (shared with similarity_queries): higher-order
+    # lambdas are interpreted per element, unrolled chains stay in codegen.
+    from map_reduce_ruby_spark.plans.similarity_queries import _dot, _norm
+
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    norms = v.withColumn(
-        "nrm", F.sqrt(F.aggregate(F.transform("e", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    )
+    norms = v.withColumn("nrm", _norm(F.col("e")))
     a, b = norms.alias("a"), norms.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4)
+    cos = F.round(_dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm")), 4)
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(

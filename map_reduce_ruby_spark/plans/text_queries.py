@@ -186,3 +186,162 @@ def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day_no")
         .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_dau"))
     )
+
+
+# --- n-gram language ID ------------------------------------------------------
+#
+# Two-pass scorer: (1) per labeled lang, the top-20 char trigrams by frequency
+# (ties -> trigram asc) form the lang profile; (2) every document scores
+# against every profile by distinct-trigram overlap, predicting the argmax
+# (ties -> lang asc). The profile is ~20 x |langs| rows — broadcast — so
+# scoring is a map-side join however large the corpus is.
+
+_TRIGRAMS_SQL = (
+    "list_transform(range(1, length(lower(text)) - 1), i -> substr(lower(text), i, 3))"
+)
+
+
+def _trigrams_spark(col):
+    t = F.lower(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.length(t) - 2), lambda i: F.substring(t, i, 3)
+    )
+
+
+@register(
+    "text_langid_ngram",
+    oracle=f"""
+    WITH tri AS (
+        SELECT doc_id, lang, unnest({_TRIGRAMS_SQL}) AS g
+        FROM documents WHERE length(text) >= 3
+    ),
+    profile AS (
+        SELECT lang, g FROM (
+            SELECT lang, g, row_number() OVER (
+                PARTITION BY lang ORDER BY COUNT(*) DESC, g
+            ) AS rn
+            FROM tri GROUP BY lang, g
+        ) WHERE rn <= 20
+    ),
+    doc_tri AS (SELECT DISTINCT doc_id, g FROM tri),
+    scores AS (
+        SELECT d.doc_id, p.lang AS cand_lang, COUNT(*) AS overlap
+        FROM doc_tri d JOIN profile p ON d.g = p.g
+        GROUP BY d.doc_id, p.lang
+    ),
+    pred AS (
+        SELECT doc_id, cand_lang AS pred_lang FROM (
+            SELECT doc_id, cand_lang, row_number() OVER (
+                PARTITION BY doc_id ORDER BY overlap DESC, cand_lang
+            ) AS rn
+            FROM scores
+        ) WHERE rn = 1
+    )
+    SELECT d.lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct
+    FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    GROUP BY d.lang
+    """,
+    doc="N-gram language ID, end to end: char-trigram profiles per labeled "
+    "lang (top-20 by frequency, deterministic ties), then every document "
+    "scores against every profile by distinct-trigram overlap and predicts "
+    "the argmax. Reports per-lang accuracy. Scale: the profile is tiny and "
+    "broadcast; scoring is one scan + a small groupBy — corpus never "
+    "self-joins.",
+    tags=("text", "langid"),
+)
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Materialize lower(text) BEFORE the per-index transform: referencing the
+    # raw expression inside the lambda would re-lower the string per trigram.
+    lowered = docs.filter(F.length("text") >= 3).select(
+        "doc_id", "lang", F.lower("text").alias("lt")
+    )
+    tri_expr = F.transform(
+        F.sequence(F.lit(1), F.length("lt") - 2), lambda i: F.substring(F.col("lt"), i, 3)
+    )
+    tri = lowered.select("doc_id", "lang", F.explode(tri_expr).alias("g"))
+
+    # Pass 1: the profile is <= 20 x |langs| rows — an aggregate artifact like
+    # IVF centroids. Collect it so pass 2 is ONE corpus scan joined against a
+    # literal-backed broadcast frame (otherwise the trigram explode lineage is
+    # recomputed for both branches of the self-referential plan).
+    w_prof = W.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("g"))
+    profile_rows = (
+        tri.groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w_prof))
+        .filter(F.col("rn") <= 20)
+        .select(F.col("lang").alias("cand_lang"), "g")
+        .collect()
+    )
+    profile = spark.createDataFrame(
+        [(r.cand_lang, r.g) for r in profile_rows], "cand_lang string, g string"
+    )
+
+    doc_tri = tri.select("doc_id", "g").distinct()
+    scores = (
+        doc_tri.join(F.broadcast(profile), "g")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    w_pred = W.partitionBy("doc_id").orderBy(F.desc("overlap"), F.asc("cand_lang"))
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w_pred))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"))
+    )
+    return (
+        docs.join(pred, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("pred_lang") == F.col("lang")).cast("int")).cast("long").alias("n_correct"),
+        )
+    )
+
+
+@register(
+    "text_rolling_fingerprint",
+    oracle=f"""
+    WITH win AS (
+        SELECT doc_id,
+               list_transform(range(1, len({_TOKENS_SQL}) - 6),
+                   i -> {' || chr(32) || '.join(f'{_TOKENS_SQL}[i+{j}]' for j in range(8))}) AS windows
+        FROM documents
+        WHERE len({_TOKENS_SQL}) >= 8
+    )
+    SELECT doc_id,
+           list_aggregate(list_transform(windows,
+               w -> (('0x' || substr(md5(w), 1, 8))::UBIGINT)::BIGINT), 'min')
+               AS fingerprint,
+           CAST(len(windows) AS BIGINT) AS n_windows
+    FROM win
+    """,
+    doc="Rolling-window document fingerprint (winnowing-style): hash every "
+    "8-token window, keep the minimum — robust to edits outside the minimal "
+    "window, the standard near-dup fingerprint for long documents. One "
+    "narrow projection; no shuffle until fingerprints are grouped.",
+    tags=("text", "fingerprint"),
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_ruby_spark.functions import h32
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens_spark(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 8)
+    windows = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 8),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("toks", i + j + 1) for j in range(8)]
+        ),
+    )
+    hashed = base.select("doc_id", F.transform(windows, lambda w: h32(w)).alias("hs"))
+    return hashed.select(
+        "doc_id",
+        F.array_min("hs").alias("fingerprint"),
+        F.size("hs").cast("long").alias("n_windows"),
+    )

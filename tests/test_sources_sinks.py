@@ -1,0 +1,61 @@
+"""Sources/sinks beyond parquet: the reference has none at all (its user map
+doubles as the connector, SURVEY.md §2.2) — here CSV/JSON-lines read+write and
+the partitioned sink are first-class Spark surfaces, pinned by roundtrips."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_ruby_spark.sources import load_table
+from map_reduce_ruby_spark.sources.jsonlines import chunks_rdd, read_chunk, write_chunk
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_csv")
+    nation.write.option("header", True).csv(out)
+    back = spark.read.option("header", True).option("inferSchema", True).csv(out)
+    assert back.count() == nation.count()
+    assert {r.n_name for r in back.collect()} == {r.n_name for r in nation.collect()}
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    out = str(tmp_path / "cust_json")
+    cust.write.json(out)
+    back = spark.read.json(out)
+    assert back.count() == cust.count()
+    assert back.agg(F.sum("c_custkey")).first()[0] == cust.agg(F.sum("c_custkey")).first()[0]
+
+
+def test_partitioned_parquet_sink(spark, sf_dir, tmp_path):
+    """df.write.partitionBy — the DataFrame face of the reference's
+    partition->file shuffle handoff (Mapper#shuffle, O11/O12)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "user_id")
+    out = str(tmp_path / "events_by_type")
+    ev.write.partitionBy("event_type").parquet(out)
+    dirs = {d for d in os.listdir(out) if d.startswith("event_type=")}
+    assert len(dirs) == 5  # one physical partition dir per event type
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    # partition pruning: a filter on the partition column scans 1/5 of dirs
+    pruned = back.filter(F.col("event_type") == "click")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert back.filter(F.col("event_type") == "click").count() == ev.filter(
+        F.col("event_type") == "click"
+    ).count()
+    assert "PartitionFilters: [isnotnull(event_type" in plan, plan
+
+
+def test_chunk_file_helpers_roundtrip(tmp_path, spark):
+    path = str(tmp_path / "chunk.jsonl")
+    pairs = [(["a", 1], {"v": 1}), (["b", 2], {"v": 2})]
+    write_chunk(path, pairs)
+    with open(path) as f:
+        assert f.readline().strip() == '[["a",1],{"v":1}]'  # reference byte format
+    assert list(read_chunk(path)) == pairs
+    rdd_pairs = sorted(chunks_rdd(spark, [path]).collect())
+    assert rdd_pairs == sorted([(["a", 1], {"v": 1}), (["b", 2], {"v": 2})])
