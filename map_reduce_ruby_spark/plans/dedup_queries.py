@@ -75,6 +75,7 @@ _N_HASHES = 12  # signature length
 _N_BANDS = 4  # 4 bands x 3 rows
 _ROWS_PER_BAND = _N_HASHES // _N_BANDS
 _P = (1 << 31) - 1
+_SHINGLE_DF_CAP = 100  # drop shingles present in more docs (stop-shingles)
 
 
 def _h32_const(s: str) -> int:
@@ -289,9 +290,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH sh AS (
+    WITH sh_all AS (
         SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
         FROM documents WHERE len({_TOKENS_SQL}) >= 3
+    ),
+    sh AS (
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+            FROM sh_all
+        ) WHERE df <= {_SHINGLE_DF_CAP}
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
@@ -308,17 +315,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Exact n-gram Jaccard near-dup pairs (threshold 0.2 over word "
     "3-gram shingle sets): explode shingles, equi-join on shingle, count "
-    "per-pair intersections, join back set sizes. Scale: the join key is the "
-    "shingle — a frequency cap on hot shingles bounds fan-out (cap not "
-    "triggered at these SFs).",
+    "per-pair intersections, join back set sizes. Scale guard: shingles in "
+    "more than 100 documents (stop-shingles) are dropped from the shingle "
+    "universe BEFORE the self-join — a hot shingle in d documents otherwise "
+    "fans out d^2 join rows; jaccard is computed over the capped universe "
+    "and the oracle applies the identical cap.",
     tags=("dedup", "jaccard"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
-    sh = (
+    sh_all = (
         docs.filter(F.size(toks) >= 3)
         .select("doc_id", F.explode(_shingles(toks)).alias("shingle"))
+    )
+    # Doc-frequency cap via a window on the same shuffle key the self-join
+    # uses, so the exchange is reused, not repeated.
+    sh = (
+        sh_all.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
+        .filter(F.col("df") <= _SHINGLE_DF_CAP)
+        .drop("df")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
