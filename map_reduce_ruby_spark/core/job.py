@@ -82,20 +82,50 @@ class Job:
 
     # ------------------------------------------------------------------ run
 
-    def run(self, spark: SparkSession, inputs: Any, sort_output: bool = True) -> RDD:
+    def run(
+        self,
+        spark: SparkSession,
+        inputs: Any,
+        sort_output: bool = True,
+        stable: bool = False,
+    ) -> RDD:
         """Execute map -> shuffle(partition) -> [reduce] -> [sort] and return
         an ``RDD[(key, value)]`` partitioned by ``self.partitioner`` and, when
         ``sort_output``, key-sorted within each partition (O15).
+
+        ``stable=True`` (no-reduce mode only) additionally makes duplicates of
+        equal keys come out in input order — the reference's FIFO-stable merge
+        (lib/map_reduce/priority_queue.rb:35,50-53; SURVEY.md §7.4.4). Spark's
+        shuffle is not duplicate-order-stable, so stability costs one
+        ``zipWithIndex`` pass to attach a sequence tie-break; leave it off
+        unless byte-stable output is required.
 
         ``inputs`` may be an RDD, a DataFrame (rows are passed to ``map_fn``),
         or a plain Python iterable (parallelized).
         """
         rdd = self._as_rdd(spark, inputs)
         map_fn = self.map_fn
-        pairs = rdd.flatMap(lambda x: ((SortKey(k), v) for k, v in map_fn(x)))
 
         part = self.partitioner
         partition_func = lambda sk: part(sk.key)  # noqa: E731
+
+        if stable and self.reduce_fn is None:
+            # (key, seq) composite sort key: seq = (input index, intra-input
+            # yield order) — total input order, FIFO within equal keys.
+            indexed = rdd.zipWithIndex()
+            pairs_seq = indexed.flatMap(
+                lambda xi: (
+                    ((SortKey(kv[0]), xi[1], j), kv[1])
+                    for j, kv in enumerate(map_fn(xi[0]))
+                )
+            )
+            out = pairs_seq.repartitionAndSortWithinPartitions(
+                numPartitions=self.num_partitions,
+                partitionFunc=lambda key3: part(key3[0].key),
+            )
+            return out.map(lambda kv: (kv[0][0].key, kv[1]), preservesPartitioning=True)
+
+        pairs = rdd.flatMap(lambda x: ((SortKey(k), v) for k, v in map_fn(x)))
 
         if self.reduce_fn is not None:
             reduce_fn = self.reduce_fn

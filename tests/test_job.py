@@ -196,3 +196,28 @@ class TestChunkFileInterop:
             spark, [p1, p2], reduce_fn=lambda k, a, b: a + b, num_partitions=2
         )
         assert dict(result.collect()) == {"a": 3, "b": 1, "c": 5}
+
+
+class TestStableNoReduce:
+    """FIFO-stable duplicate order (reference priority_queue.rb:35 stability;
+    O10/P8): with stable=True, equal keys keep input order."""
+
+    def test_duplicates_in_input_order(self, spark):
+        inputs = [("k", f"v{i}") for i in range(50)] + [("a", "first"), ("a", "second")]
+        job = Job(map_fn=lambda kv: [kv], num_partitions=4)
+        out = job.run(spark, inputs, stable=True).collect()
+        k_vals = [v for k, v in out if k == "k"]
+        assert k_vals == [f"v{i}" for i in range(50)]
+        assert [v for k, v in out if k == "a"] == ["first", "second"]
+
+    def test_still_key_sorted_within_partition(self, spark):
+        inputs = [("b", 1), ("a", 2), ("b", 3), ("a", 4)]
+        job = Job(map_fn=lambda kv: [kv], num_partitions=1)
+        out = job.run(spark, inputs, stable=True).collect()
+        assert out == [("a", 2), ("a", 4), ("b", 1), ("b", 3)]
+
+    def test_intra_input_yield_order(self, spark):
+        # one input yields several pairs with the same key: yield order kept
+        job = Job(map_fn=lambda x: [("k", x * 10 + j) for j in range(3)], num_partitions=2)
+        out = job.run(spark, [1, 2], stable=True).collect()
+        assert [v for _, v in out] == [10, 11, 12, 20, 21, 22]
