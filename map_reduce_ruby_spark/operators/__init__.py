@@ -1,4 +1,5 @@
 from map_reduce_ruby_spark.operators.asof import asof_join
+from map_reduce_ruby_spark.operators.bucketing import write_bucketed
 from map_reduce_ruby_spark.operators.ivf import build_ivf_index, ivf_search
 from map_reduce_ruby_spark.operators.skew import salted_agg
 from map_reduce_ruby_spark.operators.multimodal import (
@@ -14,6 +15,7 @@ __all__ = [
     "asof_join",
     "build_ivf_index",
     "ivf_search",
+    "write_bucketed",
     "salted_agg",
     "attach_fake_media",
     "decode_media",

@@ -1,0 +1,64 @@
+"""Bucketed tables: the join and aggregation on the bucket key must run with
+ZERO exchanges — the write-time shuffle is reused by every query."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_ruby_spark.operators.bucketing import write_bucketed
+from map_reduce_ruby_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, sf_dir, tmp_path_factory):
+    base = tmp_path_factory.mktemp("buckets")
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"), "orders_b", "o_orderkey", 8, str(base / "o")
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem"), "lineitem_b", "l_orderkey", 8, str(base / "l")
+    )
+    yield
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed):
+    # At this SF Spark would rather broadcast the small side (also shuffle-
+    # free, "Bucketed: false (disabled by query planner)"); disable broadcast
+    # to exercise the layout that matters when BOTH sides are fact-sized.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("lineitem_b").join(
+            spark.table("orders_b"), F.col("l_orderkey") == F.col("o_orderkey")
+        ).select("l_orderkey", "o_custkey", "l_quantity")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed):
+    bucketed_count = (
+        spark.table("lineitem_b")
+        .join(spark.table("orders_b"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .count()
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    plain_count = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    assert bucketed_count == plain_count
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed):
+    agg = spark.table("lineitem_b").groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    agg.collect()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
