@@ -457,3 +457,33 @@ def star_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "p_brand")
         .agg(dsum(_REVENUE, "revenue"), F.count(F.lit(1)).alias("n_items"))
     )
+
+
+_Q_SQL = """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+@register(
+    "sql_interface_nation_revenue",
+    oracle=_Q_SQL,
+    doc="The raw spark.sql face: the SAME ANSI text runs on Spark (over "
+    "register_views temp views) and on DuckDB as its own oracle — proving "
+    "the SQL surface is a first-class entry point, not just the DataFrame "
+    "DSL. Catalyst picks broadcast joins for the dims on its own here "
+    "(no explicit hints in SQL).",
+    tags=("sql", "join", "aggregate"),
+)
+def sql_interface_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_ruby_spark.sources import register_views
+
+    register_views(spark, sf_dir, ["lineitem", "orders", "customer", "nation"])
+    return spark.sql(_Q_SQL)

@@ -77,3 +77,56 @@ def test_streaming_stateful_totals_equals_batch(spark, sf_dir):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+
+
+def test_watermark_drops_late_data(spark, sf_dir, tmp_path):
+    """True late-data semantics: replay events as three micro-batches where
+    the LAST batch is days older than the watermark; its rows must be dropped,
+    not aggregated. (Three batches because since Spark 3.4 the late-event
+    filter uses the watermark lagged by one micro-batch, so a drop first
+    manifests in batch >= 2.)"""
+    import os
+
+    ev = load_table(spark, sf_dir, "events").select("ts_ns", "user_id", "value")
+    m = ev.agg(F.max("ts_ns").alias("m")).first().m
+    late_cutoff_ns = m - 3 * 24 * 3600 * 10**9  # 3 days before max
+    mid_cutoff_ns = m - 24 * 3600 * 10**9  # last day
+    batches = [
+        ("b0", ev.filter(F.col("ts_ns") > mid_cutoff_ns)),
+        ("b1", ev.filter((F.col("ts_ns") > late_cutoff_ns) & (F.col("ts_ns") <= mid_cutoff_ns))),
+        ("b2_late", ev.filter(F.col("ts_ns") <= late_cutoff_ns)),
+    ]
+    counts = {name: df.count() for name, df in batches}
+    assert all(c > 0 for c in counts.values())  # the synthetic month spans all
+
+    stream_dir = str(tmp_path / "replay")
+    os.makedirs(stream_dir)
+    # FileStreamSource picks files oldest-modification-first; pin mtimes so
+    # replay order == declaration order.
+    for i, (name, df) in enumerate(batches):
+        d = os.path.join(stream_dir, name)
+        df.coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(d, f), (1_000_000_000 + i, 1_000_000_000 + i))
+
+    schema = spark.read.parquet(stream_dir + "/b0").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir + "/*")
+    )
+    counted = (
+        raw.withColumn("event_time", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        .withWatermark("event_time", "30 minutes")
+        .groupBy(F.window("event_time", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_stream_to_memory(counted, "t_late_drop", output_mode="append")
+    total = out.agg(F.sum("n")).first()[0]
+    n_live = counts["b0"] + counts["b1"]
+    # every b2 row is days below the watermark established by batches 0-1:
+    # none may be counted; only the unfinalized tail of live windows may be
+    # missing from the append output.
+    assert total <= n_live, (total, counts)
+    assert total >= n_live - 200, (total, counts)
