@@ -112,7 +112,8 @@ def main() -> int:
                 print(f"     {p}")
         else:
             print(f"ok   {name}: {len(spark_pdf)} rows match ({time.time()-t0:.1f}s)")
-    print(f"\n{len(entries) - len(failures)}/{len([n for n in entries if not only or n in only])} queries match")
+    ran = [n for n in entries if not only or n in only]
+    print(f"\n{len(ran) - len(failures)}/{len(ran)} queries match")
     return 1 if failures else 0
 
 
