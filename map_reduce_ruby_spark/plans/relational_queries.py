@@ -18,8 +18,13 @@ from map_reduce_ruby_spark.functions import davg, davg_sql, dsum, dsum_sql
 from map_reduce_ruby_spark.plans.catalog import register
 from map_reduce_ruby_spark.sources import load_table
 
-_REVENUE = F.col("l_extendedprice") * (1 - F.col("l_discount"))
 _REVENUE_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+def _revenue() -> "F.Column":
+    # Built lazily: constructing a Column requires an active SparkContext,
+    # and this module must stay importable before the session exists.
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 @register(
@@ -53,8 +58,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            dsum(_REVENUE, "sum_disc_price"),
-            dsum(_REVENUE * (1 + F.col("l_tax")), "sum_charge"),
+            dsum(_revenue(), "sum_disc_price"),
+            dsum(_revenue() * (1 + F.col("l_tax")), "sum_charge"),
             davg("l_quantity", "avg_qty"),
             davg("l_extendedprice", "avg_price"),
             davg("l_discount", "avg_disc"),
@@ -99,7 +104,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(_REVENUE, "revenue"))
+        .agg(dsum(_revenue(), "revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -143,7 +148,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(dsum(_REVENUE, "revenue"), F.count(F.lit(1)).alias("n_items"))
+        .agg(dsum(_revenue(), "revenue"), F.count(F.lit(1)).alias("n_items"))
     )
 
 
@@ -167,7 +172,7 @@ def revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
-            dsum(_REVENUE, "revenue"),
+            dsum(_revenue(), "revenue"),
             dsum("l_quantity", "sum_qty"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -455,7 +460,7 @@ def star_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
         .groupBy("r_name", "p_brand")
-        .agg(dsum(_REVENUE, "revenue"), F.count(F.lit(1)).alias("n_items"))
+        .agg(dsum(_revenue(), "revenue"), F.count(F.lit(1)).alias("n_items"))
     )
 
 
