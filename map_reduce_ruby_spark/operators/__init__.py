@@ -1,5 +1,6 @@
 from map_reduce_ruby_spark.operators.asof import asof_join
 from map_reduce_ruby_spark.operators.bucketing import write_bucketed
+from map_reduce_ruby_spark.operators.range_join import range_join
 from map_reduce_ruby_spark.operators.ivf import build_ivf_index, ivf_search
 from map_reduce_ruby_spark.operators.skew import salted_agg
 from map_reduce_ruby_spark.operators.multimodal import (
@@ -13,6 +14,7 @@ from map_reduce_ruby_spark.operators.multimodal import (
 
 __all__ = [
     "asof_join",
+    "range_join",
     "build_ivf_index",
     "ivf_search",
     "write_bucketed",

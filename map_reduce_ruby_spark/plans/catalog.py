@@ -49,6 +49,7 @@ def all_entries() -> dict[str, CatalogEntry]:
         events_queries,
         mapreduce_queries,
         operator_queries,
+        pipeline_queries,
         relational_queries,
         similarity_queries,
         streaming_queries,

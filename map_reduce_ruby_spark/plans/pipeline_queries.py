@@ -1,0 +1,161 @@
+"""Training-data-pipeline queries beyond the dedup/similarity families:
+deterministic train/test splitting, TF-IDF term weighting, and the bucketed
+range join applied to a point-in-interval workload.
+
+The reference has none of these (SURVEY.md §2.2 — no joins, no sampling, no
+scalar function library); they are part of the Spark-native capability
+surface a pretraining pipeline needs at 100 TB.
+"""
+
+from __future__ import annotations
+
+from datetime import date
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_ruby_spark.functions import dsum, dsum_sql, h32, h32_sql
+from map_reduce_ruby_spark.operators import range_join
+from map_reduce_ruby_spark.plans.catalog import register
+from map_reduce_ruby_spark.sources import load_table
+
+# --- promo calendar for the range-join query --------------------------------
+# 24 overlapping 45-day promo windows, every 30 days from 1995-06-01: stride <
+# length, so an order date can fall inside two windows (a genuine
+# many-to-many range join, not a binning).
+_PROMO_BASE_DAY = (date(1995, 6, 1) - date(1970, 1, 1)).days
+_N_PROMOS = 24
+_PROMO_STRIDE = 30
+_PROMO_LEN = 45
+_PROMO_BIN = 64  # bin width ~ interval length: fan-out <= 2 bins per interval
+
+
+@register(
+    "range_join_orders_promos",
+    oracle=f"""
+    WITH promos AS (
+        SELECT k::BIGINT AS promo_id,
+               {_PROMO_BASE_DAY} + k * {_PROMO_STRIDE} AS start_day,
+               {_PROMO_BASE_DAY} + k * {_PROMO_STRIDE} + {_PROMO_LEN} AS end_day
+        FROM range(0, {_N_PROMOS}) t(k)
+    ),
+    pts AS (
+        SELECT o_totalprice,
+               date_diff('day', DATE '1970-01-01', o_orderdate::DATE) AS order_day
+        FROM orders
+    )
+    SELECT promo_id,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice', 'promo_revenue')}
+    FROM pts JOIN promos ON order_day BETWEEN start_day AND end_day
+    GROUP BY promo_id
+    """,
+    doc="Point-in-interval range join (operators/range_join.py): orders "
+    "joined to overlapping promo windows by order date, then revenue per "
+    "promo. Executed as a bin-bucketed EQUI-join (bin width ~ interval "
+    "length) + residual BETWEEN — a shuffle hash join instead of the "
+    "BroadcastNestedLoopJoin Spark would pick for a raw theta join. Scale: "
+    "both sides stay distributed; interval fan-out is <= 2 rows per promo; "
+    "the shuffle key (bin) is time, so AQE skew-split handles hot periods. "
+    "The reference has no join operators at all (SURVEY.md §2.2).",
+    tags=("join", "range", "custom-operator"),
+)
+def range_join_orders_promos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        "o_totalprice",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("order_day"),
+    )
+    promos = spark.range(_N_PROMOS).select(
+        F.col("id").alias("promo_id"),
+        (F.lit(_PROMO_BASE_DAY) + F.col("id") * _PROMO_STRIDE).alias("start_day"),
+        (F.lit(_PROMO_BASE_DAY) + F.col("id") * _PROMO_STRIDE + _PROMO_LEN).alias("end_day"),
+    )
+    joined = range_join(pts, promos, "order_day", "start_day", "end_day", _PROMO_BIN)
+    return joined.groupBy("promo_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "promo_revenue"),
+    )
+
+
+@register(
+    "train_test_split",
+    oracle=f"""
+    SELECT CASE WHEN {h32_sql("'split:' || doc_id::VARCHAR")} % 100 < 80
+                THEN 'train' ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    doc="Deterministic hash-based train/test split (80/20): the split label "
+    "is a pure function of doc_id via the portable md5 h32, so membership is "
+    "reproducible across engines, runs, and re-partitions — the property "
+    "random sampling lacks. Scale: no shuffle to assign splits (scan-side "
+    "expression); downstream writers partition by the label. Reported here "
+    "as per-(split, lang) counts.",
+    tags=("sampling", "split", "pipeline"),
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = h32(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    return (
+        docs.withColumn("split", F.when(bucket < 80, "train").otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    per_term AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS tf_sum
+        FROM tf GROUP BY term
+    )
+    SELECT term, df,
+           ROUND(ROUND((n_docs + 1.0) / (df + 1.0), 6) * tf_sum, 6) AS tfidf
+    FROM per_term, n
+    ORDER BY tfidf DESC, term
+    LIMIT 20
+    """,
+    doc="TF-IDF term weighting over the corpus: per-(doc, term) counts, "
+    "document frequency, inverse-document-frequency weight, top-20 terms by "
+    "corpus score (ties broken by term). The IDF weight is the log-free "
+    "ratio (N+1)/(df+1) rounded to 6 decimals: ln() is not guaranteed "
+    "bit-identical across engines, a ratio is. Scale: two shuffles (doc-term "
+    "counts, then per-term rollup), both on uniform keys; N is a broadcast "
+    "scalar; top-k is TakeOrderedAndProject, no global sort.",
+    tags=("text", "tfidf", "topk"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    per_term = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("tf_sum"),
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idfw = F.round((F.col("n_docs") + 1.0) / (F.col("df") + 1.0), 6)
+    return (
+        per_term.crossJoin(F.broadcast(n))
+        .select("term", "df", F.round(idfw * F.col("tf_sum"), 6).alias("tfidf"))
+        .orderBy(F.desc("tfidf"), F.asc("term"))
+        .limit(20)
+    )
