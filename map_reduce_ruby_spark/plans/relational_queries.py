@@ -492,3 +492,178 @@ def sql_interface_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ["lineitem", "orders", "customer", "nation"])
     return spark.sql(_Q_SQL)
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice * l_discount', 'revenue')},
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure scan-filter-aggregate with NO group keys — the "
+    "predicate-pushdown showcase. All three predicates (shipdate range, "
+    "discount band, quantity cap) reach the parquet reader as PushedFilters; "
+    "the scan prunes to 4 columns; the 'shuffle' is a single-row partial-agg "
+    "exchange. At 100 TB this query is I/O-bound on row-group skipping — "
+    "exactly what min/max statistics + pushdown buy.",
+    tags=("aggregate", "pushdown"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q4_order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: correlated EXISTS decorrelated into a LEFT SEMI "
+    "join with a residual non-equi predicate (l_shipdate > o_orderdate). "
+    "Catalyst plans a shuffled hash semi-join on the equi key; the semi "
+    "short-circuits on first match so the lineitem side never fans out. "
+    "Scale: one shuffle on orderkey (both sides fact-sized); the date filter "
+    "on orders is pushed to the scan, shrinking the probe side first.",
+    tags=("join", "semi", "subquery"),
+)
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    return (
+        filtered.join(
+            li,
+            (filtered.o_orderkey == li.l_orderkey) & (li.l_shipdate > filtered.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "q17_below_avg_quantity",
+    oracle=f"""
+    WITH pa AS (
+        SELECT l_partkey AS pk,
+               ROUND({davg_sql('l_quantity', 'x').replace(' AS x', '')}, 6) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {dsum_sql('l_extendedprice', 'total_price')},
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN pa ON l_partkey = pk
+    WHERE l_quantity < 0.5 * avg_qty
+    """,
+    doc="TPC-H Q17 shape: correlated scalar subquery (per-part average "
+    "quantity) decorrelated into aggregate-then-self-join. Determinism: the "
+    "per-part average is decimal-exact then ROUNDed to 6 decimals BEFORE the "
+    "0.5x threshold, so both engines threshold the same double. Scale: the "
+    "aggregate and the join share the same key (l_partkey), so the agg "
+    "output arrives already partitioned for the join — one shuffle of the "
+    "base table, reused; no broadcast needed (per-part aggregate is "
+    "fact-keyed, it grows with the data).",
+    tags=("join", "subquery", "aggregate"),
+)
+def q17_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.round(davg("l_quantity", "x"), 6).alias("avg_qty")
+    )
+    return (
+        li.join(pa, li.l_partkey == pa.pk)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            dsum("l_extendedprice", "total_price"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                            (l_returnflag, l_linestatus), ())
+"""
+
+
+@register(
+    "grouping_sets_flag_status",
+    oracle=_GROUPING_SETS_SQL,
+    doc="Explicit GROUPING SETS (beyond the cube/rollup entries): four "
+    "simultaneous groupings in one pass — Spark expands them with a single "
+    "Expand node feeding ONE shuffle, not four scans. NULL group cells are "
+    "coalesced to a '<all>' sentinel on both engines so the hash compare is "
+    "null-free. The identical ANSI text runs on Spark and DuckDB.",
+    tags=("aggregate", "grouping-sets", "sql"),
+)
+def grouping_sets_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_ruby_spark.sources import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@register(
+    "monthly_revenue_mom_delta",
+    oracle=f"""
+    WITH m AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               {dsum_sql('o_totalprice', 'revenue')}
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           ROUND(revenue - COALESCE(LAG(revenue) OVER (ORDER BY month), 0.0), 6)
+               AS mom_delta
+    FROM m
+    """,
+    doc="Month-over-month revenue deltas: aggregate to months, then LAG over "
+    "the month order. The unpartitioned window runs AFTER aggregation, over "
+    "one row per month (bounded, ~centuries fit in one partition) — the "
+    "scale-safe place for a global window; the heavy lifting is the "
+    "pre-aggregation, which shuffles only partial sums. Delta rounded to 6 "
+    "decimals; first month coalesced to a 0-baseline.",
+    tags=("window", "lag", "aggregate"),
+)
+def monthly_revenue_mom_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(dsum("o_totalprice", "revenue"))
+    w = W.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(
+            F.col("revenue") - F.coalesce(F.lag("revenue").over(w), F.lit(0.0)), 6
+        ).alias("mom_delta"),
+    )

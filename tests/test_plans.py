@@ -82,3 +82,27 @@ def test_lsh_join_is_bucket_equi_join(spark, sf_dir):
     # cartesian/theta join here would be the O(n^2) trap at scale.
     plan = plan_of(spark, sf_dir, "dedup_minhash_lsh")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q6_forecast_revenue")
+    pushed = plan[plan.index("PushedFilters") :].split("\n")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    scan = plan[plan.index("ReadSchema") :].split("\n")[0]
+    assert "l_orderkey" not in scan and "l_returnflag" not in scan, scan
+
+
+def test_q4_semi_join_shape(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q4_order_priority_exists")
+    assert "LeftSemi" in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_grouping_sets_single_expand_single_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "grouping_sets_flag_status")
+    # One Expand feeding one aggregation pipeline — not four scans unioned.
+    assert plan.count("Expand") >= 1, plan
+    # formatted mode prints each node twice (tree + detail section), so one
+    # physical scan == one "Location:" detail line.
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
