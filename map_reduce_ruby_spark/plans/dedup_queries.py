@@ -147,9 +147,8 @@ def _minhash_sig_sql(hashes_expr: str) -> list[str]:
     ]
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
+# Full candidate-pair SQL, shared by the pair query and the cluster query.
+_LSH_PAIRS_SQL = f"""
     WITH hs AS (
         SELECT doc_id, {_base_hashes_sql(_SHINGLES_SQL)} AS hashes
         FROM documents
@@ -173,7 +172,12 @@ def _minhash_sig_sql(hashes_expr: str) -> list[str]:
       ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
      AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
-    """,
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_LSH_PAIRS_SQL,
     doc="MinHash + LSH near-dup candidates: 12 md5-seeded minhashes, 4 bands "
     "x 3 rows; documents sharing any band bucket become a candidate pair. "
     "The self-join runs on band buckets (shuffle key = (band_idx, band_hash)) "
@@ -407,4 +411,46 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.75)
+    )
+
+
+@register(
+    "dedup_clusters_cc",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+        SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+    )
+    SELECT component AS cluster_id, COUNT(*) AS n_docs, MAX(node) AS max_doc_id
+    FROM comp GROUP BY component
+    """,
+    doc="Near-dup CLUSTERS: MinHash-LSH candidate pairs fed through the "
+    "distributed connected-components operator "
+    "(operators/connected_components.py, min-label propagation with "
+    "localCheckpoint lineage truncation) — the transitive-closure step a "
+    "dedup pipeline needs before electing one keeper per cluster "
+    "(pair output alone under-deletes: A~B, B~C but not A~C). Scale: each "
+    "round is one equi-join + min-agg shuffle; rounds = cluster diameter "
+    "(1-3 for LSH cliques). Oracle: DuckDB recursive-CTE transitive closure "
+    "over the identical pair set.",
+    tags=("dedup", "clustering", "iterative", "custom-operator"),
+)
+def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_ruby_spark.operators import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    return comp.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("node").alias("max_doc_id"),
     )
