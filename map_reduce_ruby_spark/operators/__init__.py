@@ -1,6 +1,7 @@
 from map_reduce_ruby_spark.operators.asof import asof_join
 from map_reduce_ruby_spark.operators.bucketing import write_bucketed
 from map_reduce_ruby_spark.operators.connected_components import connected_components
+from map_reduce_ruby_spark.operators.prefix_sum import exclusive_prefix_sum
 from map_reduce_ruby_spark.operators.range_join import range_join
 from map_reduce_ruby_spark.operators.ivf import build_ivf_index, ivf_search
 from map_reduce_ruby_spark.operators.skew import salted_agg
@@ -16,6 +17,7 @@ from map_reduce_ruby_spark.operators.multimodal import (
 __all__ = [
     "asof_join",
     "connected_components",
+    "exclusive_prefix_sum",
     "range_join",
     "build_ivf_index",
     "ivf_search",

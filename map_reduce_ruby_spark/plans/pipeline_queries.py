@@ -159,3 +159,178 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tfidf"), F.asc("term"))
         .limit(20)
     )
+
+
+# --- corpus budget cut -------------------------------------------------------
+# Keep documents, in deterministic hash order, until a character budget is
+# exhausted — the "cut the corpus at N tokens" step of training-data prep.
+_BUDGET_CHARS = 200_000
+_BUDGET_BUCKETS = 16  # h32 is uniform 32-bit; bucket = top bits keeps order
+
+
+@register(
+    "corpus_budget_cut",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT lang, n_chars,
+               {h32_sql("'budget:' || doc_id::VARCHAR")} AS h, doc_id
+        FROM documents
+    ),
+    cum AS (
+        SELECT lang, n_chars,
+               COALESCE(SUM(n_chars) OVER (
+                   ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM ordered
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM cum WHERE cum_before < {_BUDGET_CHARS}
+    GROUP BY lang
+    """,
+    doc="Token-budget corpus cut: order documents by a deterministic hash "
+    "(an engine-reproducible global shuffle), take documents until the "
+    "cumulative size passes the budget, report the kept set per language. "
+    "The cumulative sum uses operators/prefix_sum.py's two-phase scan — "
+    "per-bucket totals + driver-side offsets + within-bucket windows — NOT "
+    "a single-partition global window, so the scan parallelizes at 100 TB. "
+    "The oracle is the plain (single-threaded) window form of the same sum.",
+    tags=("sampling", "budget", "pipeline", "custom-operator"),
+)
+def corpus_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_ruby_spark.operators import exclusive_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        h32(F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    # h is uniform in [0, 2^32); its top bits are a monotone coarsening.
+    bucket = F.floor(F.col("h") / F.lit((1 << 32) // _BUDGET_BUCKETS))
+    cum = exclusive_prefix_sum(
+        docs, "n_chars", ["h", "doc_id"], bucket, out_col="cum_before"
+    )
+    return (
+        cum.filter(F.col("cum_before") < _BUDGET_CHARS)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+    )
+
+
+@register(
+    "stratified_sample_langs",
+    oracle=f"""
+    SELECT lang,
+           MIN(10 + {h32_sql("'rate:' || lang")} % 90) AS rate_permille,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (
+               WHERE {h32_sql("'samp:' || doc_id::VARCHAR")} % 1000
+                     < 10 + {h32_sql("'rate:' || lang")} % 90
+           ) AS n_kept
+    FROM documents GROUP BY lang
+    """,
+    doc="Stratified deterministic sampling: each language gets its own "
+    "keep-rate (here itself hash-derived so no hardcoded language list), and "
+    "membership is a pure function of doc_id — reproducible across engines, "
+    "runs and partitionings, unlike rand()-based sampling. Scale: the rate "
+    "and the membership test are scan-side expressions; ONE aggregation "
+    "pass produces totals and kept counts together (conditional count), no "
+    "join, no second scan.",
+    tags=("sampling", "stratified", "pipeline"),
+)
+def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rate = h32(F.concat(F.lit("rate:"), F.col("lang"))) % 90 + 10
+    member = (
+        h32(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))) % 1000 < rate
+    )
+    return docs.groupBy("lang").agg(
+        F.min(rate).alias("rate_permille"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(member).alias("n_kept"),
+    )
+
+
+# --- benchmark contamination check ------------------------------------------
+# A pseudo "benchmark set" (5% of docs, hash-selected) stands in for an eval
+# suite; contamination = training docs sharing any word 4-gram with it.
+_CONTAM_N = 4
+_CONTAM_TOKENS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
+_CONTAM_GRAM_SQL = " || ' ' || ".join(f"toks[i+{j}]" for j in range(_CONTAM_N))
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, {_CONTAM_TOKENS_SQL} AS toks,
+               {h32_sql("'bench:' || doc_id::VARCHAR")} % 100 < 5 AS is_bench
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang, is_bench,
+               unnest(list_distinct(list_transform(
+                   range(1, len(toks) - {_CONTAM_N - 2}),
+                   i -> md5({_CONTAM_GRAM_SQL})))) AS g
+        FROM tok WHERE len(toks) >= {_CONTAM_N}
+    ),
+    bg AS (SELECT DISTINCT g FROM grams WHERE is_bench)
+    SELECT lang, COUNT(DISTINCT doc_id) AS n_contaminated
+    FROM grams JOIN bg USING (g)
+    WHERE NOT is_bench
+    GROUP BY lang
+    """,
+    doc="Benchmark-contamination check: flag training documents sharing any "
+    "word 4-gram with a (hash-selected 5%) benchmark set — the decontamination "
+    "step every pretraining pipeline runs against eval suites. Grams are "
+    "md5-keyed (128-bit: no false positives, fixed-width join key). Scale: "
+    "the benchmark side is small by construction, so its distinct gram set "
+    "is BROADCAST — the full corpus is probed map-side with no shuffle of "
+    "the gram explosion; the only wide op is the final per-lang distinct "
+    "count.",
+    tags=("text", "contamination", "pipeline"),
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+    gram = lambda i: F.md5(  # noqa: E731
+        F.concat_ws(
+            " ", *[F.element_at("toks", i + j + 1) for j in range(_CONTAM_N)]
+        )
+    )
+    grams = (
+        docs.select(
+            "doc_id",
+            "lang",
+            toks.alias("toks"),
+            (
+                h32(F.concat(F.lit("bench:"), F.col("doc_id").cast("string"))) % 100 < 5
+            ).alias("is_bench"),
+        )
+        .filter(F.size("toks") >= _CONTAM_N)
+        .select(
+            "doc_id",
+            "lang",
+            "is_bench",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("toks") - _CONTAM_N), gram
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    bench_grams = grams.filter("is_bench").select("g").distinct()
+    return (
+        grams.filter(~F.col("is_bench"))
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .groupBy("lang")
+        .agg(F.countDistinct("doc_id").alias("n_contaminated"))
+    )
