@@ -43,6 +43,14 @@ HEADLINE = [
     "salted_skew_agg",
     "df_reduce_by_key_fastpath",
     "multimodal_decode_stats",
+    "q6_forecast_revenue",
+    "q4_order_priority_exists",
+    "range_join_orders_promos",
+    "grouping_sets_flag_status",
+    "dedup_clusters_cc",
+    "corpus_budget_cut",
+    "contamination_ngram_overlap",
+    "tfidf_top_terms",
 ]
 
 

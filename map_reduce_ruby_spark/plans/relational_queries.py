@@ -667,3 +667,31 @@ def monthly_revenue_mom_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("revenue") - F.coalesce(F.lag("revenue").over(w), F.lit(0.0)), 6
         ).alias("mom_delta"),
     )
+
+
+@register(
+    "percentile_price_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact percentiles (p50/p90/p99) per group: Spark's percentile() and "
+    "DuckDB's quantile_cont share the same linear-interpolation definition, "
+    "so the values hash-match after a 6-decimal round. Exact percentile is a "
+    "sort-based aggregate — fine when group count is small and per-group "
+    "rows fit an executor; at 100 TB with huge groups switch to "
+    "approx_percentile (t-digest, mergeable partials, one shuffle of "
+    "sketches) and accept the documented error bound.",
+    tags=("aggregate", "percentile"),
+)
+def percentile_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.expr(f"percentile(l_extendedprice, {q})"), 6).alias(name)
+            for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+        ]
+    )
