@@ -454,3 +454,55 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.max("node").alias("max_doc_id"),
     )
+
+
+@register(
+    "dedup_cleaned_corpus",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+        SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+    ),
+    drops AS (SELECT node FROM comp WHERE node <> component)
+    SELECT lang,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM drops)
+    GROUP BY lang
+    """,
+    doc="The COMPLETE near-dup removal pipeline, end to end: LSH candidate "
+    "pairs -> connected-components clusters -> elect the min-doc_id keeper "
+    "per cluster -> ANTI-join the losers out of the corpus -> surviving "
+    "per-language stats. The drop set is duplicates-only (a small fraction "
+    "of the corpus by construction), so the anti-join BROADCASTs it — the "
+    "full corpus is filtered map-side with no shuffle at 100 TB.",
+    tags=("dedup", "clustering", "pipeline", "custom-operator"),
+)
+def dedup_cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_ruby_spark.operators import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    drops = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.join(F.broadcast(drops), "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+    )

@@ -74,3 +74,35 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_value")
     )
+
+
+@register(
+    "streaming_dedup_events",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="Streaming exact dedup under at-least-once delivery: the event "
+    "stream UNIONed with itself (every event delivered twice) flows through "
+    "watermarked dropDuplicatesWithinWatermark(event_id) — keyed state holds "
+    "ids only within the watermark delay, so state is bounded by arrival "
+    "skew, not history. The drained append-mode output must equal the batch "
+    "distinct count exactly: duplicate delivery is fully absorbed. This is "
+    "the streaming twin of dedup_exact for a production ingest pipeline.",
+    tags=("streaming", "dedup", "stateful"),
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = streaming_events(spark, sf_dir)
+    twice = ev.unionByName(streaming_events(spark, sf_dir))
+    deduped = twice.withWatermark("event_time", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = f"catalog_stream_dedup_{abs(hash(sf_dir)) % 10**8}"
+    out = run_stream_to_memory(
+        deduped.select("event_id", "event_type"), name, output_mode="append"
+    )
+    return out.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("n_events")
+    )
