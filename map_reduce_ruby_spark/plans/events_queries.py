@@ -133,3 +133,54 @@ def events_dau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day_no", "dau", F.sum("dau").over(w).cast("long").alias("wau_sum")
     )
+
+
+@register(
+    "events_multi_grain_rollup",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               epoch_us(ts) // 3600000000 AS hour_no,
+               epoch_us(ts) // 86400000000 AS day_no,
+               value
+        FROM events
+    )
+    SELECT COALESCE(hour_no, -1) AS hour_no,
+           COALESCE(day_no, -1) AS day_no,
+           event_type,
+           COUNT(*) AS n_events,
+           {cents_sum_sql('value', 'total_value')}
+    FROM base
+    GROUP BY GROUPING SETS ((hour_no, day_no, event_type),
+                            (day_no, event_type), (event_type))
+    """,
+    doc="Hypertable-style multi-grain time rollup: hourly, daily, and "
+    "all-time aggregates per event type in ONE scan — GROUPING SETS expand "
+    "once (a single Expand node) and feed a single shuffle of partial "
+    "aggregates, instead of three passes over the fact table. Missing grain "
+    "columns coalesce to a -1 sentinel. At 100 TB this is the continuous-"
+    "aggregate pattern: the same plan incrementally maintained per window.",
+    tags=("events", "rollup", "grouping-sets"),
+)
+def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_ruby_spark.sources import register_views
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_mg")
+    return spark.sql(f"""
+        WITH base AS (
+            SELECT event_type,
+                   ts_us div 3600000000 AS hour_no,
+                   ts_us div 86400000000 AS day_no,
+                   value
+            FROM events_mg
+        )
+        SELECT COALESCE(hour_no, -1) AS hour_no,
+               COALESCE(day_no, -1) AS day_no,
+               event_type,
+               COUNT(*) AS n_events,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value
+        FROM base
+        GROUP BY GROUPING SETS ((hour_no, day_no, event_type),
+                                (day_no, event_type), (event_type))
+    """)

@@ -235,3 +235,46 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _K)
         .select("query_id", "neighbor_id", "bucket", "cos_sim", "rn")
     )
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label,
+           pos AS dim_idx,
+           CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS centroid
+    FROM (
+        SELECT label,
+               unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+    doc="Per-label embedding centroids in LONG layout: posexplode the vector "
+    "to (label, dim, value) rows, aggregate decimal-exact means per (label, "
+    "dim). The long layout is the scale-safe shape for vector reductions — "
+    "one uniform shuffle on (label, dim) with map-side partials, no "
+    "per-group vector state, and it re-assembles to dense centroids with a "
+    "bounded pivot (n_labels x dim rows). The k-means-style building block "
+    "for the IVF index's centroid refresh (operators/ivf.py).",
+    tags=("similarity", "embedding", "aggregate"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .select(
+            "label",
+            (F.col("pos0") + 1).alias("dim_idx"),
+            F.col("val").cast("double").alias("val"),
+        )
+        .groupBy("label", "dim_idx")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid")
+        )
+    )
