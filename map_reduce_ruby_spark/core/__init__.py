@@ -20,6 +20,7 @@ from map_reduce_ruby_spark.core.keys import (
 )
 from map_reduce_ruby_spark.core.partitioner import HashPartitioner, Md5Partitioner
 from map_reduce_ruby_spark.core.job import Job
+from map_reduce_ruby_spark.core.compat import InvalidChunkLimit, Mapper, Reducer
 from map_reduce_ruby_spark.core.df_adapter import pairs_df, reduce_by_key
 
 __all__ = [
@@ -32,4 +33,7 @@ __all__ = [
     "HashPartitioner",
     "Md5Partitioner",
     "Job",
+    "Mapper",
+    "Reducer",
+    "InvalidChunkLimit",
 ]

@@ -1,0 +1,160 @@
+"""Reference-API façade (core/compat.py): ports of the reference's worker
+flow specs (spec/map_reduce/mapper_spec.rb, reducer_spec.rb) against the
+two-class Mapper/Reducer surface."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from map_reduce_ruby_spark.core import HashPartitioner, InvalidChunkLimit, Mapper, Reducer
+
+
+def _word_count():
+    # Defined per-call (not module top-level) so cloudpickle serializes the
+    # class by VALUE — executors cannot import the tests package.
+    class WordCount:
+        def map(self, text):
+            for w in text.split():
+                yield w, 1
+
+        def reduce(self, key, a, b):
+            return a + b
+
+    return WordCount()
+
+
+def _no_reduce():
+    class NoReduce:
+        def map(self, text):
+            for w in text.split():
+                yield w, 1
+
+    return NoReduce()
+
+
+def test_end_to_end_worker_flow(spark, tmp_path):
+    """The full README worker loop: map -> shuffle -> (files) -> add_chunk ->
+    reduce, reference README.md:55-91."""
+    mapper = Mapper(_word_count(), spark, partitioner=HashPartitioner(4))
+    mapper.map("the quick brown fox")
+    mapper.map("the lazy dog")
+    mapper.map("the quick dog")
+
+    partitions = mapper.shuffle(out_dir=str(tmp_path / "shuffle"))
+    assert partitions, "expected non-empty partitions"
+    assert set(partitions) <= set(range(4))
+
+    # "download" every partition chunk into one reducer (single worker)
+    reducer = Reducer(_word_count(), spark)
+    for pid, path in sorted(partitions.items()):
+        dest = reducer.add_chunk()
+        shutil.copyfile(path, dest)
+
+    result = dict(reducer.reduce())
+    assert result == {
+        "the": 3, "quick": 2, "dog": 2, "brown": 1, "fox": 1, "lazy": 1,
+    }
+
+
+def test_shuffle_block_form_cleans_files(spark, tmp_path):
+    mapper = Mapper(_word_count(), spark)
+    mapper.map("a b a")
+    seen: dict[int, str] = {}
+    ret = mapper.shuffle(block=lambda parts: seen.update(parts),
+                         out_dir=str(tmp_path / "s2"))
+    assert ret is None and seen
+    for path in seen.values():  # yield-then-cleanup, mapper.rb:88-93
+        assert not os.path.exists(path)
+
+
+def test_chunk_files_are_reference_format(spark, tmp_path):
+    """json([key, value]) per line, key-sorted (mapper.rb:115,131-135)."""
+    mapper = Mapper(_word_count(), spark, partitioner=lambda k: 0)
+    mapper.map("b a c a")
+    parts = mapper.shuffle(out_dir=str(tmp_path / "fmt"))
+    [path] = parts.values()
+    lines = [json.loads(l) for l in open(path)]
+    assert lines == [["a", 2], ["b", 1], ["c", 1]]
+
+
+def test_partition_assignment_matches_partitioner(spark, tmp_path):
+    part = HashPartitioner(4)
+    mapper = Mapper(_no_reduce(), spark, partitioner=part)
+    mapper.map("alpha beta gamma delta epsilon")
+    parts = mapper.shuffle(out_dir=str(tmp_path / "pa"))
+    for pid, path in parts.items():
+        for line in open(path):
+            key, _ = json.loads(line)
+            assert part(key) == pid
+
+
+def test_no_reduce_mapper_preserves_duplicates(spark, tmp_path):
+    """O16 passthrough (spec/map_reduce/mapper_spec.rb:89-125)."""
+    mapper = Mapper(_no_reduce(), spark, partitioner=lambda k: 0)
+    mapper.map("x y x")
+    [path] = mapper.shuffle(out_dir=str(tmp_path / "nr")).values()
+    lines = [json.loads(l) for l in open(path)]
+    assert lines == [["x", 1], ["x", 1], ["y", 1]]
+
+
+def test_reducer_distinct_keys_need_no_reduce(spark):
+    """spec/map_reduce/reducer_spec.rb:37-62."""
+    reducer = Reducer(_no_reduce(), spark)
+    with open(reducer.add_chunk(), "w") as f:
+        f.write('["a",1]\n["b",2]\n')
+    with open(reducer.add_chunk(), "w") as f:
+        f.write('["c",3]\n')
+    assert dict(reducer.reduce()) == {"a": 1, "b": 2, "c": 3}
+
+
+def test_reducer_duplicate_keys_without_reduce_raise_lazily(spark):
+    reducer = Reducer(_no_reduce(), spark)
+    with open(reducer.add_chunk(), "w") as f:
+        f.write('["a",1]\n')
+    with open(reducer.add_chunk(), "w") as f:
+        f.write('["a",2]\n')
+    with pytest.raises(AttributeError, match="reduce"):
+        list(reducer.reduce())
+
+
+def test_reducer_output_key_sorted(spark):
+    """Merge-only output globally sorted (reducer_spec.rb:64-97)."""
+    reducer = Reducer(_word_count(), spark)
+    with open(reducer.add_chunk(), "w") as f:
+        f.write('["c",1]\n["a",1]\n')
+    with open(reducer.add_chunk(), "w") as f:
+        f.write('["b",1]\n["a",1]\n')
+    keys = [k for k, _ in reducer.reduce()]
+    assert keys == ["a", "b", "c"]
+
+
+def test_reducer_cleans_chunks_even_on_error(spark):
+    reducer = Reducer(_no_reduce(), spark)
+    p1 = reducer.add_chunk()
+    p2 = reducer.add_chunk()
+    with open(p1, "w") as f:
+        f.write('["k",1]\n')
+    with open(p2, "w") as f:
+        f.write('["k",2]\n')
+    with pytest.raises(AttributeError):
+        list(reducer.reduce())
+    assert not os.path.exists(p1) and not os.path.exists(p2)
+
+
+def test_chunk_limit_guards(spark):
+    mapper = Mapper(_word_count(), spark)
+    mapper.map("a")
+    with pytest.raises(InvalidChunkLimit):
+        mapper.shuffle(chunk_limit=1)
+    reducer = Reducer(_word_count(), spark)
+    with pytest.raises(InvalidChunkLimit):
+        next(reducer.reduce(chunk_limit=1))
+
+
+def test_empty_reducer_yields_nothing(spark):
+    """reducer_spec.rb:140-142."""
+    assert list(Reducer(_word_count(), spark).reduce()) == []
