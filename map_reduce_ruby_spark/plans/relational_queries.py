@@ -695,3 +695,39 @@ def percentile_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
         ]
     )
+
+
+@register(
+    "unpivot_pricing_measures",
+    oracle=f"""
+    WITH wide AS (
+        SELECT l_returnflag, l_linestatus,
+               {dsum_sql('l_quantity', 'sum_qty')},
+               {dsum_sql('l_extendedprice', 'sum_base_price')}
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus, 'sum_qty' AS measure, sum_qty AS value
+    FROM wide
+    UNION ALL
+    SELECT l_returnflag, l_linestatus, 'sum_base_price', sum_base_price
+    FROM wide
+    """,
+    doc="Unpivot (wide -> long): the aggregated pricing measures melted into "
+    "(group, measure, value) rows via DataFrame.unpivot — Spark plans a "
+    "single Expand over the aggregate (one pass), the relational inverse of "
+    "the pivot_qty_by_status entry. The oracle is the portable UNION ALL "
+    "formulation of the same reshape.",
+    tags=("unpivot", "reshape", "aggregate"),
+)
+def unpivot_pricing_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag", "l_linestatus"],
+        values=["sum_qty", "sum_base_price"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )

@@ -345,3 +345,43 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("hs").alias("fingerprint"),
         F.size("hs").cast("long").alias("n_windows"),
     )
+
+
+@register(
+    "text_redaction_stats",
+    oracle=r"""
+    WITH hits AS (
+        SELECT lang,
+               len(regexp_extract_all(text, '\b(key|hash|value)\b')) AS n_hits,
+               regexp_replace(text, '\b(key|hash|value)\b', '<redacted>', 'g')
+                   AS scrubbed
+        FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(n_hits) AS BIGINT) AS total_redactions,
+           CAST(COUNT(*) FILTER (WHERE n_hits > 0) AS BIGINT) AS n_docs_affected,
+           CAST(SUM(length(scrubbed)) AS BIGINT) AS scrubbed_chars
+    FROM hits GROUP BY lang
+    """,
+    doc="Lexicon redaction (the PII-scrub pattern: same plumbing as "
+    "email/phone/SSN patterns, with a deterministic denylist so the oracle "
+    "can verify counts): word-boundary regexp_replace + occurrence counts "
+    "per doc, rolled up per language. Both engines run the identical regex "
+    "(\\b alternation — Java and RE2 agree). Scale: pure scan-side "
+    "projection, one aggregation; the regex is the per-byte cost, which is "
+    "exactly where a real pipeline spends it.",
+    tags=("text", "redaction", "pipeline"),
+)
+def text_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pat = r"\b(key|hash|value)\b"
+    hits = docs.select(
+        "lang",
+        F.size(F.expr(f"regexp_extract_all(text, '\\\\b(key|hash|value)\\\\b', 0)")).alias("n_hits"),
+        F.length(F.regexp_replace("text", pat, "<redacted>")).alias("scrubbed_len"),
+    )
+    return hits.groupBy("lang").agg(
+        F.sum("n_hits").cast("long").alias("total_redactions"),
+        F.count_if(F.col("n_hits") > 0).cast("long").alias("n_docs_affected"),
+        F.sum("scrubbed_len").cast("long").alias("scrubbed_chars"),
+    )
