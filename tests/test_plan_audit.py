@@ -1,0 +1,44 @@
+"""Catalog-wide physical-plan audit: no query may plan a quadratic join.
+
+A CartesianProduct or BroadcastNestedLoopJoin anywhere in the catalog is a
+100 TB outage hiding behind a passing correctness check — this test fails the
+build instead. Runs plan compilation only (no execution) at sf0.001.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from map_reduce_ruby_spark.plans import all_entries
+
+FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+# Entries whose fn EXECUTES work while building (stream drains, index
+# builds): plan text is still audited for the returned frame, but they are
+# listed here so a future slow entry is a conscious decision.
+EXECUTING_ENTRIES = {
+    "streaming_tumbling_window",
+    "streaming_stateful_totals",
+    "streaming_dedup_events",
+    "knn_ivf",
+    "dedup_clusters_cc",
+    "dedup_cleaned_corpus",
+    "corpus_budget_cut",
+}
+
+# The brute-force KNN baseline is DELIBERATELY all-pairs (it is the recall
+# oracle for the ANN variants); its blocked cross join is the documented
+# exception. tfidf's single-row count crossJoin is a broadcast of one row.
+ALLOWED_QUADRATIC = {"knn_bruteforce", "dedup_embedding_cosine", "tfidf_top_terms"}
+
+
+def test_no_quadratic_joins_in_catalog(spark, sf_dir):
+    offenders = {}
+    for name, entry in sorted(all_entries().items()):
+        if name in ALLOWED_QUADRATIC or name in EXECUTING_ENTRIES:
+            continue
+        plan = entry.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        hits = [k for k in FORBIDDEN if k in plan]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders
