@@ -52,3 +52,38 @@ def salted_agg(
     return stage1.groupBy(*keys).agg(
         *[combine.alias(name) for name, (_, combine) in partials.items()]
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the SKEWED side, replicate the SMALL side.
+
+    Each skewed row gets one deterministic salt in [0, salt_buckets); every
+    small-side row is exploded into all salt_buckets copies; the join runs on
+    (key..., salt), spreading one hot key over ``salt_buckets`` reducers.
+    Result rows are identical to ``skewed.join(small, on, how)``.
+
+    Use when AQE skew-split cannot help: sort-merge join with a key so hot a
+    single key exceeds one task even after AQE splits (AQE splits by
+    partition, salting splits WITHIN the key), or when AQE is off. Cost:
+    small side shuffles salt_buckets x its size — keep the small side the
+    dimension. Only inner/left joins are meaningful (the salted side keeps
+    exactly one salt per row; 'right'/'full' would duplicate small-side
+    misses across salts).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    overlap = (set(skewed.columns) & set(small.columns)) - set(on)
+    if overlap:
+        raise ValueError(f"column name collision outside join keys: {sorted(overlap)}")
+    salt = F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets))
+    left = skewed.withColumn("__salt", salt)
+    right = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return left.join(right, [*on, "__salt"], how).drop("__salt")

@@ -242,3 +242,39 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("qid"), F.col("e").alias("qe")
     )
     return ivf_search(assignments, centroids, queries, top_k=5, nprobe=2)
+
+
+@register(
+    "salted_join_nation_revenue",
+    oracle="""
+    SELECT s_nationkey,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+    doc="Skew-safe salted join (operators/skew.py salted_join): the fact "
+    "side carries a deterministic salt, the small side is replicated "
+    "salt_buckets times, and the join key becomes (key, salt) — one hot key "
+    "spreads over 8 reducers instead of one straggler task. AQE skew-split "
+    "divides oversized PARTITIONS; salting divides WITHIN a single key, the "
+    "case AQE cannot fix. The result is provably identical to the plain "
+    "join — the oracle IS the plain join.",
+    tags=("skew", "join", "custom-operator"),
+)
+def salted_join_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_ruby_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(
+        li, supp.withColumnRenamed("s_suppkey", "l_suppkey"), ["l_suppkey"], 8
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(rev.cast("decimal(18,6)")).cast("double").alias("revenue"),
+    )

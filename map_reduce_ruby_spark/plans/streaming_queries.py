@@ -106,3 +106,44 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("event_type").agg(
         F.countDistinct("event_id").alias("n_events")
     )
+
+
+@register(
+    "streaming_enrich_join",
+    oracle=f"""
+    WITH dim AS (
+        SELECT DISTINCT user_id, user_id % 10 AS cohort FROM events
+    )
+    SELECT cohort,
+           COUNT(*) AS n_events,
+           {cents_sum_sql('value', 'total_value')}
+    FROM events JOIN dim USING (user_id)
+    GROUP BY cohort
+    """,
+    doc="Stream-static enrichment join: the unbounded event stream joined "
+    "per micro-batch against a STATIC dimension (user -> cohort), then a "
+    "streaming aggregate per cohort — the lookup-enrichment shape of every "
+    "production ingest pipeline. The static side is broadcast into each "
+    "micro-batch; no stream-side state is needed for the join itself. "
+    "Drained with availableNow and checked against the batch join oracle.",
+    tags=("streaming", "join"),
+)
+def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from map_reduce_ruby_spark.sources import load_table
+
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("cohort", F.col("user_id") % 10)
+    )
+    ev = streaming_events(spark, sf_dir)
+    enriched = ev.join(F.broadcast(dim), "user_id")
+    agg = enriched.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("total_value"),
+    )
+    name = f"catalog_stream_enrich_{abs(hash(sf_dir)) % 10**8}"
+    return run_stream_to_memory(agg, name, output_mode="complete")

@@ -68,3 +68,46 @@ def test_plan_is_equi_join_not_nested_loop(spark, sides):
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
     assert "Join" in plan
+
+
+# --- salted_join (operators/skew.py) ----------------------------------------
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from map_reduce_ruby_spark.operators.skew import salted_join
+
+    # 90% of fact rows share one hot key — the salted path must still return
+    # exactly the plain join's multiset.
+    fact = spark.createDataFrame(
+        [(i, 0 if i % 10 else i % 7, i * 1.5) for i in range(1000)],
+        ["rid", "k", "v"],
+    )
+    dim = spark.createDataFrame([(k, f"dim{k}") for k in range(7)], ["k", "label"])
+    plain = fact.join(dim, ["k"]).select("rid", "k", "label")
+    salted = salted_join(fact, dim, ["k"], salt_buckets=8).select("rid", "k", "label")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_left_join_keeps_misses_once(spark):
+    from map_reduce_ruby_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(1, 10), (2, 99)], ["rid", "k"])
+    dim = spark.createDataFrame([(10, "hit")], ["k", "label"])
+    got = sorted(map(tuple, salted_join(fact, dim, ["k"], 4, "left")
+                 .select("rid", "k", "label").collect()))
+    assert got == [(1, 10, "hit"), (2, 99, None)]
+
+
+def test_salted_join_rejects_unsupported(spark):
+    import pytest as _pytest
+
+    from map_reduce_ruby_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1, 1)], ["k", "v"])
+    dim = spark.createDataFrame([(1, 2)], ["k", "w"])
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, dim, ["k"], 4, "full")
+    with _pytest.raises(ValueError, match="collision"):
+        salted_join(df, df, ["k"], 4)
