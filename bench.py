@@ -51,6 +51,7 @@ HEADLINE = [
     "corpus_budget_cut",
     "contamination_ngram_overlap",
     "tfidf_top_terms",
+    "corpus_materialize",
 ]
 
 

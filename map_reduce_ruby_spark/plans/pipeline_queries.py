@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_ruby_spark.functions import dsum, dsum_sql, h32, h32_sql
+from map_reduce_ruby_spark.plans.dedup_queries import _LSH_PAIRS_SQL
 from map_reduce_ruby_spark.operators import range_join
 from map_reduce_ruby_spark.plans.catalog import register
 from map_reduce_ruby_spark.sources import load_table
@@ -333,4 +334,140 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(bench_grams), "g", "left_semi")
         .groupBy("lang")
         .agg(F.countDistinct("doc_id").alias("n_contaminated"))
+    )
+
+
+# --- flagship: full corpus materialization ----------------------------------
+# Every pipeline stage composed into the final keep/drop verdict per document:
+#   keep = quality gate AND near-dup cluster keeper AND not benchmark-
+#          contaminated. This is the query a training run actually consumes.
+
+
+@register(
+    "corpus_materialize",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a),
+    dup_losers AS (SELECT node AS doc_id FROM comp WHERE node <> component),
+    tok AS (
+        SELECT doc_id, lang, n_chars, {_CONTAM_TOKENS_SQL} AS toks,
+               {h32_sql("'bench:' || doc_id::VARCHAR")} % 100 < 5 AS is_bench
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, is_bench,
+               unnest(list_distinct(list_transform(
+                   range(1, len(toks) - {_CONTAM_N - 2}),
+                   i -> md5({_CONTAM_GRAM_SQL})))) AS g
+        FROM tok WHERE len(toks) >= {_CONTAM_N}
+    ),
+    bg AS (SELECT DISTINCT g FROM grams WHERE is_bench),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM grams JOIN bg USING (g) WHERE NOT is_bench
+    ),
+    verdicts AS (
+        SELECT t.doc_id, t.lang, t.n_chars,
+               CASE WHEN len(t.toks) >= 20
+                     AND t.doc_id NOT IN (SELECT doc_id FROM dup_losers)
+                     AND t.doc_id NOT IN (SELECT doc_id FROM contaminated)
+                     AND NOT t.is_bench
+                    THEN 1 ELSE 0 END AS keep
+        FROM tok t
+    )
+    SELECT lang,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS kept_chars
+    FROM verdicts GROUP BY lang
+    """,
+    doc="FLAGSHIP corpus materialization: the full training-data pipeline "
+    "composed into one keep/drop verdict per document — minimum length "
+    "(quality gate), near-dup cluster keeper (MinHash-LSH pairs -> connected "
+    "components, losers dropped), benchmark decontamination (word-4-gram "
+    "overlap, benchmark docs themselves excluded) — reported per language. "
+    "Scale: the verdict joins are all BROADCAST (drop/contaminated sets are "
+    "small by construction); the heavy stages (LSH bucketing, 4-gram "
+    "explode) each shuffle on uniform hash keys; the component loop is "
+    "O(cluster diameter). This is the query whose output a training run "
+    "consumes, so it is the one the whole catalog exists to serve.",
+    tags=("pipeline", "dedup", "contamination", "flagship"),
+)
+def corpus_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_ruby_spark.operators import connected_components
+    from map_reduce_ruby_spark.plans.dedup_queries import dedup_minhash_lsh
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        toks.alias("toks"),
+        (h32(F.concat(F.lit("bench:"), F.col("doc_id").cast("string"))) % 100 < 5).alias(
+            "is_bench"
+        ),
+    )
+
+    # dup losers (non-keeper cluster members)
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+
+    # contaminated docs (any 4-gram shared with the benchmark subset)
+    gram = lambda i: F.md5(  # noqa: E731
+        F.concat_ws(" ", *[F.element_at("toks", i + j + 1) for j in range(_CONTAM_N)])
+    )
+    grams = base.filter(F.size("toks") >= _CONTAM_N).select(
+        "doc_id",
+        "is_bench",
+        F.explode(
+            F.array_distinct(
+                F.transform(F.sequence(F.lit(0), F.size("toks") - _CONTAM_N), gram)
+            )
+        ).alias("g"),
+    )
+    bench_grams = grams.filter("is_bench").select("g").distinct()
+    contaminated = (
+        grams.filter(~F.col("is_bench"))
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+    verdict = (
+        base.join(F.broadcast(losers.withColumn("__dup", F.lit(1))), "doc_id", "left")
+        .join(F.broadcast(contaminated.withColumn("__contam", F.lit(1))), "doc_id", "left")
+        .select(
+            "lang",
+            "n_chars",
+            F.when(
+                (F.size("toks") >= 20)
+                & F.col("__dup").isNull()
+                & F.col("__contam").isNull()
+                & ~F.col("is_bench"),
+                1,
+            )
+            .otherwise(0)
+            .alias("keep"),
+        )
+    )
+    return verdict.groupBy("lang").agg(
+        F.sum("keep").cast("long").alias("n_kept"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("keep") == 1, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("kept_chars"),
     )

@@ -158,3 +158,31 @@ def test_chunk_limit_guards(spark):
 def test_empty_reducer_yields_nothing(spark):
     """reducer_spec.rb:140-142."""
     assert list(Reducer(_word_count(), spark).reduce()) == []
+
+
+def test_map_is_the_source_connector(spark, tmp_path):
+    """The reference's map receives arbitrary inputs (a URL in its README) —
+    i.e. the user's map IS the source connector (reference README.md:35-41).
+    Here: inputs are file paths; map opens and tokenizes the file."""
+    f1, f2 = str(tmp_path / "a.txt"), str(tmp_path / "b.txt")
+    open(f1, "w").write("spark shuffle spark")
+    open(f2, "w").write("merge shuffle")
+
+    def _impl():
+        class FileWordCount:
+            def map(self, path):
+                for w in open(path).read().split():
+                    yield w, 1
+
+            def reduce(self, key, a, b):
+                return a + b
+
+        return FileWordCount()
+
+    mapper = Mapper(_impl(), spark, partitioner=lambda k: 0)
+    mapper.map(f1)
+    mapper.map(f2)
+    [path] = mapper.shuffle(out_dir=str(tmp_path / "out")).values()
+    assert [json.loads(l) for l in open(path)] == [
+        ["merge", 1], ["shuffle", 2], ["spark", 2],
+    ]
