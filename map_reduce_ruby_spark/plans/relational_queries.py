@@ -731,3 +731,96 @@ def unpivot_pricing_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+@register(
+    "q7_nation_trade_volume",
+    oracle=f"""
+    SELECT cn.n_name AS cust_nation,
+           sn.n_name AS supp_nation,
+           CAST(strftime(l_shipdate, '%Y') AS BIGINT) AS ship_year,
+           {dsum_sql(_REVENUE_SQL, 'volume')}
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN supplier ON l_suppkey  = s_suppkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name < sn.n_name
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: bilateral trade volume between (customer nation, "
+    "supplier nation) pairs per ship year — the same dimension table "
+    "(nation) joined TWICE under different roles. Both nation joins and the "
+    "customer/supplier joins broadcast; the only fact-sized shuffle is "
+    "lineitem->orders. The n_name inequality halves the pair space without "
+    "a distinct.",
+    tags=("join", "star", "multi-role"),
+)
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cust_nation") < F.col("supp_nation"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.date_format("l_shipdate", "yyyy").cast("long").alias("ship_year"),
+        )
+        .agg(dsum(_revenue(), "volume"))
+    )
+
+
+@register(
+    "ntile_customer_spend_deciles",
+    oracle=f"""
+    WITH spend AS (
+        SELECT o_custkey, {dsum_sql('o_totalprice', 'total_spend')}
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT decile,
+           COUNT(*) AS n_customers,
+           {dsum_sql('total_spend', 'decile_spend')}
+    FROM (
+        SELECT o_custkey, total_spend,
+               NTILE(10) OVER (ORDER BY total_spend DESC, o_custkey) AS decile
+        FROM spend
+    )
+    GROUP BY decile
+    """,
+    doc="Customer spend deciles: aggregate per customer, NTILE(10) over the "
+    "spend ranking (deterministic tie-break on custkey), then per-decile "
+    "rollup. The unpartitioned NTILE runs over the AGGREGATED series (one "
+    "row per customer), the standard compromise for rank-into-quantiles; at "
+    "100 TB with billions of customers the two-phase variant computes "
+    "approximate spend quantile boundaries (approx_percentile partials) and "
+    "buckets by range instead — documented here, exact NTILE kept for the "
+    "oracle.",
+    tags=("window", "ntile", "aggregate"),
+)
+def ntile_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(dsum("o_totalprice", "total_spend"))
+    w = W.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("total_spend", "decile_spend"),
+        )
+    )

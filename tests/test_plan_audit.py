@@ -24,6 +24,7 @@ EXECUTING_ENTRIES = {
     "dedup_clusters_cc",
     "dedup_cleaned_corpus",
     "corpus_budget_cut",
+    "corpus_materialize",
 }
 
 # The brute-force KNN baseline is DELIBERATELY all-pairs (it is the recall
