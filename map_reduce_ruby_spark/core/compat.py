@@ -67,10 +67,12 @@ class Mapper:
         self._partitioner = partitioner or HashPartitioner(32)
         self._inputs: list[Any] = []
 
-    def map(self, *args: Any) -> None:
-        """Buffer one input per call (reference mapper.rb:43 — the user's
-        ``map`` runs lazily at shuffle time, inside Spark tasks)."""
-        self._inputs.extend(args)
+    def map(self, *args: Any, **kwargs: Any) -> None:
+        """Buffer one input per call; ALL args of one call reach ONE
+        ``implementation.map(*args, **kwargs)`` invocation (reference
+        mapper.rb:43 forwards the full argument list). The user's ``map``
+        runs lazily at shuffle time, inside Spark tasks."""
+        self._inputs.append((args, kwargs))
 
     def shuffle(
         self,
@@ -90,7 +92,7 @@ class Mapper:
         reduce_fn = getattr(self._impl, "reduce", None)
         n_parts = getattr(self._partitioner, "num_partitions", 32)
         job = Job(
-            map_fn=lambda x: impl_map(x),
+            map_fn=lambda ak: impl_map(*ak[0], **ak[1]),
             reduce_fn=reduce_fn,
             partitioner=self._partitioner,
             num_partitions=n_parts,

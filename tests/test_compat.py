@@ -186,3 +186,27 @@ def test_map_is_the_source_connector(spark, tmp_path):
     assert [json.loads(l) for l in open(path)] == [
         ["merge", 1], ["shuffle", 2], ["spark", 2],
     ]
+
+
+def test_map_forwards_full_arg_list(spark, tmp_path):
+    """mapper.map(a, b, kw=c) reaches ONE implementation.map(a, b, kw=c)
+    call (reference mapper.rb:43 forwards *args/**kwargs)."""
+
+    def _impl():
+        class PairImpl:
+            def map(self, prefix, text, weight=1):
+                for w in text.split():
+                    yield f"{prefix}:{w}", weight
+
+            def reduce(self, key, a, b):
+                return a + b
+
+        return PairImpl()
+
+    mapper = Mapper(_impl(), spark, partitioner=lambda k: 0)
+    mapper.map("en", "a b a", weight=2)
+    mapper.map("de", "a")
+    [path] = mapper.shuffle(out_dir=str(tmp_path / "args")).values()
+    assert [json.loads(l) for l in open(path)] == [
+        ["de:a", 1], ["en:a", 4], ["en:b", 2],
+    ]

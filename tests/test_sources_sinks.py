@@ -59,3 +59,34 @@ def test_chunk_file_helpers_roundtrip(tmp_path, spark):
     assert list(read_chunk(path)) == pairs
     rdd_pairs = sorted(chunks_rdd(spark, [path]).collect())
     assert rdd_pairs == sorted([(["a", 1], {"v": 1}), (["b", 2], {"v": 2})])
+
+
+def test_training_shard_publish(spark, sf_dir, tmp_path):
+    """The 'publish to training' sink: deterministic hash order, range-
+    partitioned into shards, each shard internally sorted — so a trainer
+    streams shards independently with a globally reproducible order."""
+    from map_reduce_ruby_spark.functions import h32
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        h32(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    out = str(tmp_path / "shards")
+    docs.repartitionByRange(4, "h").sortWithinPartitions("h", "doc_id").write.parquet(out)
+
+    files = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    assert len(files) == 4
+    ranges, total = [], 0
+    for path in files:
+        pdf = spark.read.parquet(path).toPandas()
+        if len(pdf):
+            hs = pdf["h"].tolist()
+            assert hs == sorted(hs), "shard not internally sorted"
+            ranges.append((min(hs), max(hs)))
+            total += len(pdf)
+    assert total == docs.count()
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):  # disjoint ranges
+        assert hi1 <= lo2
