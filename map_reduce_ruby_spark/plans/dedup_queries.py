@@ -295,7 +295,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH sh_all AS (
-        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+        SELECT doc_id,
+               unnest(list_transform({_SHINGLES_SQL}, s -> {h32_sql('s')}))
+                   AS shingle
         FROM documents WHERE len({_TOKENS_SQL}) >= 3
     ),
     sh AS (
@@ -331,9 +333,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
-    sh_all = (
-        docs.filter(F.size(toks) >= 3)
-        .select("doc_id", F.explode(_shingles(toks)).alias("shingle"))
+    # Shingles are joined/grouped many times below — carry the portable
+    # 32-bit hash (8-byte long) through the shuffles instead of the ~25-byte
+    # string; the oracle hashes identically, so any (rare) collision merges
+    # the same two shingles in both engines.
+    sh_all = docs.filter(F.size(toks) >= 3).select(
+        "doc_id",
+        F.explode(F.transform(_shingles(toks), lambda s: h32(s))).alias("shingle"),
     )
     # Doc-frequency cap via a window on the same shuffle key the self-join
     # uses, so the exchange is reused, not repeated.
@@ -341,6 +347,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh_all.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
         .filter(F.col("df") <= _SHINGLE_DF_CAP)
         .drop("df")
+        # Materialize once (tokenize+shingle+hash+window is the expensive
+        # scan): sizes and BOTH self-join sides reuse it instead of
+        # recomputing the explode three times.
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")

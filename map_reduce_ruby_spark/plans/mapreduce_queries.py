@@ -77,18 +77,19 @@ def mr_composite_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
     )
 
-    def map_fn(row):
-        yield (
-            [row.l_returnflag, row.l_linestatus],
-            (int(row.l_quantity), int(round(row.l_extendedprice * 100)), 1),
-        )
+    def map_fn(t):
+        yield ([t[0], t[1]], (int(t[2]), int(round(t[3] * 100)), 1))
 
     job = Job(
         map_fn=map_fn,
         reduce_fn=lambda key, a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2]),
         num_partitions=8,
     )
-    rows = job.run(spark, li, sort_output=False).map(
+    # Feed plain tuples, not Row objects: the user's map IS the connector, so
+    # hand it the cheapest representation (Row pickling costs ~40% extra on
+    # this 600k-row Python-RDD path; the JVM fast path for the same shape is
+    # df_reduce_by_key_fastpath).
+    rows = job.run(spark, li.rdd.map(tuple), sort_output=False).map(
         lambda kv: (kv[0][0], kv[0][1], kv[1][0], kv[1][1] / 100.0, kv[1][2])
     )
     schema = T.StructType(

@@ -25,6 +25,7 @@ EXECUTING_ENTRIES = {
     "dedup_cleaned_corpus",
     "corpus_budget_cut",
     "corpus_materialize",
+    "dedup_ngram_jaccard",  # localCheckpoints its shingle set at build time
 }
 
 # The brute-force KNN baseline is DELIBERATELY all-pairs (it is the recall
