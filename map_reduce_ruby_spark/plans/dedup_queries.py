@@ -234,38 +234,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_simhash",
-    oracle=f"""
-    WITH tok AS (
-        SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS w
-        FROM documents
-    ),
-    bits AS (
-        SELECT doc_id, w, {h32_sql('w')} AS h FROM tok
-    ),
-    sig AS (
+# Per-doc SimHash signature, width-parameterized — 16-bit for the hamming-0
+# family query, 32-bit for the banded hamming<=2 pair query (wider signature
+# => selective 8-bit bands; h32 supplies up to 32 portable bits).
+
+
+def _simhash_sig_sql(width: int) -> str:
+    return f"""
+    SELECT doc_id,
+           CAST({' + '.join(f'b{bit}' for bit in range(width))} AS BIGINT) AS simhash
+    FROM (
         SELECT doc_id,
                {', '.join(
                    f"CASE WHEN SUM(CASE WHEN (h >> {bit}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
                    f"THEN {1 << bit} ELSE 0 END AS b{bit}"
-                   for bit in range(16)
+                   for bit in range(width)
                )}
-        FROM bits GROUP BY doc_id
+        FROM (
+            SELECT doc_id, {h32_sql('w')} AS h
+            FROM (SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS w
+                  FROM documents)
+        )
+        GROUP BY doc_id
     )
-    SELECT CAST({' + '.join(f'b{bit}' for bit in range(16))} AS BIGINT) AS simhash,
-           MIN(doc_id) AS keep_doc_id,
-           COUNT(*) AS n_docs
-    FROM sig GROUP BY 1
-    """,
-    doc="SimHash (16-bit here for oracle compactness; width is a parameter): "
-    "per distinct token, md5-derived h32; signature bit b = sign of the sum "
-    "of (+-1) over tokens' bit b. Documents grouped by identical signature "
-    "(hamming-0 near-dup families). Scale: signature computed in one "
-    "explode+groupBy pass; banded signature prefixes extend to hamming<=k.",
-    tags=("dedup", "simhash"),
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _simhash_sig_df(spark: SparkSession, sf_dir: str, width: int = 16) -> DataFrame:
+    """(doc_id, simhash): Spark twin of ``_simhash_sig_sql(width)``."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("w"))
     bits = tok.select("doc_id", h32(F.col("w")).alias("h"))
@@ -280,12 +276,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .otherwise(0)
             .alias(f"b{bit}")
-            for bit in range(16)
+            for bit in range(width)
         ]
     )
-    simhash = sum(F.col(f"b{bit}") for bit in range(16))  # type: ignore[arg-type]
+    simhash = sum(F.col(f"b{bit}") for bit in range(width))  # type: ignore[arg-type]
+    return sig.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    SELECT simhash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_docs
+    FROM ({_simhash_sig_sql(16)}) GROUP BY 1
+    """,
+    doc="SimHash (16-bit here for oracle compactness; width is a parameter): "
+    "per distinct token, md5-derived h32; signature bit b = sign of the sum "
+    "of (+-1) over tokens' bit b. Documents grouped by identical signature "
+    "(hamming-0 near-dup families). Scale: signature computed in one "
+    "explode+groupBy pass; dedup_simhash_hamming extends to hamming<=k via "
+    "banding.",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        sig.select("doc_id", simhash.cast("long").alias("simhash"))
+        _simhash_sig_df(spark, sf_dir, width=16)
         .groupBy("simhash")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
     )
@@ -515,4 +531,80 @@ def dedup_cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs_kept"),
             F.sum("n_chars").cast("long").alias("kept_chars"),
         )
+    )
+
+
+_HAMMING_MAX = 2
+_SH_WIDTH = 32  # signature bits for the hamming query
+_SH_BANDS = 4   # 4 bands x 8 bits: any pair with hamming <= 3 shares a band
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH sig AS ({_simhash_sig_sql(_SH_WIDTH)}),
+    bands AS (
+        {' UNION ALL '.join(
+            f"SELECT doc_id, simhash, {b} AS band_idx, "
+            f"(simhash >> {8 * b}) & 255 AS band_val FROM sig"
+            for b in range(_SH_BANDS)
+        )}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sig_a, b.simhash AS sig_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= {_HAMMING_MAX}
+    """,
+    doc="SimHash near-dup pairs within hamming distance 2 (not just the "
+    "hamming-0 families of dedup_simhash): a 32-bit signature splits into 4 "
+    "bands of 8 bits; by pigeonhole any pair differing in <= 3 bits shares "
+    "at least one intact band, so the banded equi-self-join generates a "
+    "COMPLETE candidate set for hamming <= 2; exact bit_count(XOR) filters "
+    "false candidates. Same LSH-banding scale shape as MinHash: shuffle on "
+    "(band_idx, band_val) buckets, never all-pairs.",
+    tags=("dedup", "simhash", "lsh"),
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _simhash_sig_df(spark, sf_dir, width=_SH_WIDTH)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright("simhash", 8 * b).bitwiseAND(255).alias("band_val"),
+                    )
+                    for b in range(_SH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.filter(hamming <= _HAMMING_MAX).select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
     )
