@@ -184,3 +184,50 @@ def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((hour_no, day_no, event_type),
                                 (day_no, event_type), (event_type))
     """)
+
+
+@register(
+    "events_session_window_batch",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts_us,
+               CASE WHEN ts_us - lag(ts_us) OVER w > 600000000
+                    OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        FROM (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts_us,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
+           CAST(MAX(ts_us) AS BIGINT) AS last_event_us,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="Batch session_window(): Spark's native session operator (10-minute "
+    "gap) validated against a first-principles sessionizer — the oracle "
+    "rebuilds sessions from lag() gap flags + a running sum, and every "
+    "(user, session start, last event, count) row must agree. "
+    "session_window merges per-event intervals inside the aggregate (one "
+    "shuffle on user_id), the same operator Structured Streaming uses in "
+    "streaming/windows.py — so batch and stream share sessionization "
+    "semantics by construction.",
+    tags=("events", "window", "session", "streaming-twin"),
+)
+def events_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.timestamp_micros(F.col("ts_us")).alias("event_time"), "ts_us"
+    )
+    return (
+        ev.groupBy(F.session_window("event_time", "10 minutes").alias("sess"), "user_id")
+        .agg(
+            F.min("ts_us").cast("long").alias("session_start_us"),
+            F.max("ts_us").cast("long").alias("last_event_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("sess")
+    )

@@ -824,3 +824,36 @@ def ntile_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("total_spend", "decile_spend"),
         )
     )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT COUNT(*) AS n_lines,
+           {dsum_sql(_REVENUE_SQL, 'revenue')}
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity < 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity < 30)
+       OR (p_retailprice > 1500 AND l_quantity >= 40)
+    """,
+    doc="TPC-H Q19 shape: a disjunction of conjunctive predicates spanning "
+    "BOTH join sides. Catalyst cannot push the full OR below the join, but "
+    "it derives and pushes the per-side residuals it CAN (e.g. the quantity "
+    "bound union on lineitem), broadcasts part, and evaluates the residual "
+    "disjunction post-join in codegen. The plan to check: no cross join, "
+    "part broadcast, single fact scan.",
+    tags=("join", "predicate", "pushdown"),
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (F.col("l_quantity") < 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & (F.col("l_quantity") < 30))
+        | ((F.col("p_retailprice") > 1500) & (F.col("l_quantity") >= 40))
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum(_revenue(), "revenue"),
+    )
