@@ -44,6 +44,9 @@ HEADLINE = [
     "df_reduce_by_key_fastpath",
     "multimodal_decode_stats",
     "q6_forecast_revenue",
+    "q8_market_share",
+    "q10_returned_items",
+    "q18_large_volume_customers",
     "q4_order_priority_exists",
     "range_join_orders_promos",
     "grouping_sets_flag_status",

@@ -54,6 +54,7 @@ def all_entries() -> dict[str, CatalogEntry]:
         similarity_queries,
         streaming_queries,
         text_queries,
+        tpch_more_queries,
     )
 
     return dict(sorted(_REGISTRY.items()))

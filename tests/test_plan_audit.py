@@ -30,8 +30,15 @@ EXECUTING_ENTRIES = {
 
 # The brute-force KNN baseline is DELIBERATELY all-pairs (it is the recall
 # oracle for the ANN variants); its blocked cross join is the documented
-# exception. tfidf's single-row count crossJoin is a broadcast of one row.
-ALLOWED_QUADRATIC = {"knn_bruteforce", "dedup_embedding_cosine", "tfidf_top_terms"}
+# exception. tfidf's and q22's single-row scalar crossJoins broadcast exactly
+# one row (O(n), not quadratic — Catalyst folds literal equi-keys away, so a
+# 1-row BNLJ is the only way to express an uncorrelated scalar subquery).
+ALLOWED_QUADRATIC = {
+    "knn_bruteforce",
+    "dedup_embedding_cosine",
+    "tfidf_top_terms",
+    "q22_dormant_rich_customers",
+}
 
 
 def test_no_quadratic_joins_in_catalog(spark, sf_dir):
