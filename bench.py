@@ -36,6 +36,8 @@ HEADLINE = [
     "knn_lsh",
     "knn_ivf",
     "text_quality_score",
+    "text_repetition_filter",
+    "sequence_pack_shards",
     "text_regex_tokens",
     "events_tumbling_window",
     "events_sessionize",

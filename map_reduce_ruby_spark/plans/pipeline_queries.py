@@ -471,3 +471,66 @@ def corpus_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_chars"),
     )
+
+
+_SHARD_TOKENS = 4096  # tokens per training shard (~7 shards at sf0.01)
+
+
+@register(
+    "sequence_pack_shards",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    w -> w <> '')) AS BIGINT) AS n_tokens,
+               {h32_sql("'pack:' || doc_id::VARCHAR")} AS h
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM toks
+    )
+    SELECT CAST(FLOOR(cum_before / {_SHARD_TOKENS}) AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+    FROM cum
+    GROUP BY shard_id
+    """,
+    doc="Sequence packing: assign documents, in deterministic hash order, to "
+    "fixed-token-budget training shards (shard = exclusive-prefix-token-count "
+    "div budget — the greedy packer every LLM data pipeline runs before "
+    "tokenized-example writing). The global running count is "
+    "operators/prefix_sum.py's two-phase scan (per-bucket totals + driver "
+    "offsets + within-bucket windows), NOT a single-partition window, so "
+    "packing parallelizes at 100 TB; the oracle is the single-threaded "
+    "window form. A follow-on partitionBy(shard_id) write gives one file "
+    "per shard.",
+    tags=("pipeline", "packing", "custom-operator"),
+)
+def sequence_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_ruby_spark.operators import exclusive_prefix_sum
+    from map_reduce_ruby_spark.plans.text_queries import _tokens_spark
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(_tokens_spark(F.col("text"))).cast("long").alias("n_tokens"),
+        h32(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    bucket = F.floor(F.col("h") / F.lit((1 << 32) // _BUDGET_BUCKETS))
+    cum = exclusive_prefix_sum(
+        docs, "n_tokens", ["h", "doc_id"], bucket, out_col="cum_before"
+    )
+    return (
+        cum.withColumn(
+            "shard_id", F.floor(F.col("cum_before") / _SHARD_TOKENS).cast("long")
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("shard_tokens"),
+        )
+    )

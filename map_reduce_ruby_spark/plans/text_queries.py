@@ -385,3 +385,87 @@ def text_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("n_hits") > 0).cast("long").alias("n_docs_affected"),
         F.sum("scrubbed_len").cast("long").alias("scrubbed_chars"),
     )
+
+
+@register(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+    base AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+               ROUND(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+                   AS dup_word_frac,
+               t
+        FROM toks WHERE len(t) > 1
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS gram
+        FROM base
+    ),
+    counts AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram),
+    per AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+               ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_gram_frac
+        FROM counts GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens, b.dup_word_frac, p.n_grams, p.top_gram_frac,
+           CASE WHEN p.top_gram_frac <= 0.05 AND b.dup_word_frac <= 0.55
+                THEN 1 ELSE 0 END AS repetition_ok
+    FROM base b JOIN per p ON b.doc_id = p.doc_id
+    """,
+    doc="Gopher/C4-style within-document repetition filter: duplicate-word "
+    "fraction (1 - type/token ratio) and most-frequent-2-gram fraction, "
+    "thresholded into a keep flag. 2-grams come from zip_with over adjacent "
+    "token slices (JVM-side, no Python); the per-gram count and per-doc "
+    "re-aggregation both shuffle on doc_id(+gram), so the filter scales "
+    "per-document with no global state. Thresholds (0.05 / 0.55) straddle "
+    "the fixture medians so both verdicts occur.",
+    tags=("text", "quality", "pipeline"),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select("doc_id", _tokens_spark(F.col("text")).alias("t"))
+        .filter(F.size("t") > 1)
+        .select(
+            "doc_id",
+            "t",
+            F.size("t").cast("long").alias("n_tokens"),
+            F.round(
+                1.0 - F.size(F.array_distinct("t")).cast("double") / F.size("t"), 6
+            ).alias("dup_word_frac"),
+        )
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("gram"),
+    )
+    per = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_gram_frac"),
+        )
+    )
+    return base.drop("t").join(per, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_word_frac",
+        "n_grams",
+        "top_gram_frac",
+        F.when(
+            (F.col("top_gram_frac") <= 0.05) & (F.col("dup_word_frac") <= 0.55), 1
+        )
+        .otherwise(0)
+        .alias("repetition_ok"),
+    )

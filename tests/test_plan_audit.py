@@ -25,6 +25,8 @@ EXECUTING_ENTRIES = {
     "dedup_cleaned_corpus",
     "corpus_budget_cut",
     "corpus_materialize",
+    "sequence_pack_shards",  # prefix_sum collects bucket totals at build time
+
     "dedup_ngram_jaccard",  # localCheckpoints its shingle set at build time
 }
 
