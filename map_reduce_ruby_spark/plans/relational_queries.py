@@ -857,3 +857,41 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         dsum(_revenue(), "revenue"),
     )
+
+
+@register(
+    "window_range_frame_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+               PARTITION BY o_custkey ORDER BY epoch(o_orderdate) // 86400
+               RANGE BETWEEN 60 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_60d,
+           CAST(COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY epoch(o_orderdate) // 86400
+               RANGE BETWEEN 60 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_orders_60d
+    FROM orders
+    """,
+    doc="RANGE-framed window (value-based, not row-based): per customer, the "
+    "rolling 60-day spend and order count at each order — frames defined by "
+    "day distance, so same-day orders share a frame regardless of row order "
+    "(which is what makes the result deterministic without a tie-break). "
+    "Epoch-day arithmetic keeps the frame bound identical on both engines. "
+    "Scale: one shuffle on o_custkey; frames never cross customers.",
+    tags=("window", "range-frame"),
+)
+def window_range_frame_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    day = (F.unix_timestamp("o_orderdate") / F.lit(86400)).cast("long")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-60, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double").alias("spend_60d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_orders_60d"),
+    )

@@ -147,3 +147,64 @@ def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"catalog_stream_enrich_{abs(hash(sf_dir)) % 10**8}"
     return run_stream_to_memory(agg, name, output_mode="complete")
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle=f"""
+    SELECT v.user_id,
+           COUNT(*) AS n_attributed,
+           {cents_sum_sql('p.value', 'attributed_value')}
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND epoch_us(p.ts) >= epoch_us(v.ts)
+     AND epoch_us(p.ts) <  epoch_us(v.ts) + 14400000000
+    GROUP BY v.user_id
+    """,
+    doc="Stream-stream interval join (purchase attribution): the view stream "
+    "joined to the purchase stream on user_id with purchase_time in "
+    "[view_time, view_time + 4h). Both sides carry watermarks and the join "
+    "condition bounds event-time distance, so each side's state store holds "
+    "only rows inside watermark + interval — bounded state on an unbounded "
+    "stream. Drained with availableNow; the appended pairs are aggregated "
+    "per user and must equal the batch self-join oracle exactly.",
+    tags=("streaming", "join", "stateful"),
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from map_reduce_ruby_spark.streaming import streaming_events as src
+
+    views = (
+        src(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("event_time", "1 hour")
+        .select(F.col("user_id").alias("v_user"), F.col("event_time").alias("v_time"))
+    )
+    purchases = (
+        src(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("event_time", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_time").alias("p_time"),
+            "value",
+        )
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_time") >= F.col("v_time"))
+        & (F.col("p_time") < F.col("v_time") + F.expr("INTERVAL 4 HOURS")),
+    )
+    name = f"catalog_stream_ssjoin_{abs(hash(sf_dir)) % 10**8}"
+    out = run_stream_to_memory(
+        joined.select("v_user", "value"), name, output_mode="append"
+    )
+    return out.groupBy(F.col("v_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+            "attributed_value"
+        ),
+    )

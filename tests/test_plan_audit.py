@@ -20,6 +20,7 @@ EXECUTING_ENTRIES = {
     "streaming_tumbling_window",
     "streaming_stateful_totals",
     "streaming_dedup_events",
+    "streaming_stream_stream_join",
     "knn_ivf",
     "dedup_clusters_cc",
     "dedup_cleaned_corpus",
