@@ -62,8 +62,10 @@ def _dists_expr(e: Column, centroids: list[list[float]]) -> Column:
     unrolled chain: k x dim unrolled terms (16x64 here) blow up codegen
     compilation time across the many small k-means jobs; the compact HOF
     expression compiles instantly and its interpreted evaluation is cheap at
-    k*dim ops per row."""
-    C = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    k*dim ops per row. The centroid matrix is a SINGLE nested-array literal
+    (one Catalyst node), not an array(array(lit..)) tree of k*dim nodes —
+    the tree version dominated analysis time across the per-iteration jobs."""
+    C = F.lit([[float(x) for x in c] for c in centroids])
     return F.transform(
         C,
         lambda c: F.aggregate(
@@ -102,18 +104,24 @@ def build_ivf_index(
 
     for _ in range(iterations):
         assigned = assign_cells(vectors, centroids)
+        # Per-cell componentwise sums via posexplode -> (cell, pos) aggregate:
+        # two expressions regardless of dim (a dim-wide agg column list made
+        # every iteration's plan analysis the dominant cost). The shuffle
+        # carries k*dim partial rows — tiny at any corpus size.
         stats = (
-            assigned.groupBy("cell")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.element_at("e", i + 1)).alias(f"s{i}") for i in range(dim)],
-            )
+            assigned.select("cell", F.posexplode("e").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        by_cell = {int(r.cell): r for r in stats}
+        sums: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for r in stats:
+            sums.setdefault(int(r.cell), [0.0] * dim)[int(r.pos)] = r.s
+            counts[int(r.cell)] = int(r.n)
         centroids = [
-            [by_cell[c][f"s{i}"] / by_cell[c].n for i in range(dim)]
-            if c in by_cell
+            [sums[c][i] / counts[c] for i in range(dim)]
+            if c in counts
             else centroids[c]  # empty cell keeps its previous centroid
             for c in range(len(centroids))
         ]
