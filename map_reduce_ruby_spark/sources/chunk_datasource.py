@@ -1,0 +1,116 @@
+"""The reference chunk format as a first-class Spark data source.
+
+``spark.read.format("mr_chunks").load(path)`` / ``df.write.format("mr_chunks")``
+over the reference's only persistent representation — one
+``JSON.generate([key, value])`` per line, keys sorted within a file
+(reference lib/map_reduce/mapper.rb:115,131-135, parsed back at
+lib/map_reduce/mergeable.rb:67) — via the PySpark 4 Python DataSource API.
+A reference user's existing chunk files (the ones their workers upload to S3
+between phases) load straight into a DataFrame, and DataFrame results write
+back out as files the reference's Reducer#add_chunk flow can ingest.
+
+Schema is ``key_json string, value_json string``: the chunk model is
+schemaless (JSON-typed keys/values, FIXTURES.md §A), so each side is carried
+as its canonical compact JSON text — lossless for every legal reference
+value, and `F.from_json` peels it into typed columns when the user declares
+a schema. Read parallelism is one Spark partition per chunk file (chunk files
+are independently sorted runs — the same unit the reference merges); writes
+produce one sorted-run file per task partition.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+CHUNK_SCHEMA = "key_json string, value_json string"
+
+
+def _canon(obj) -> str:
+    # Matches the reference's JSON.generate byte layout (jsonlines.py).
+    return json.dumps(obj, separators=(",", ":"), ensure_ascii=False)
+
+
+def _resolve_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        names = (os.path.join(path, n) for n in os.listdir(path))
+        return sorted(p for p in names if os.path.isfile(p) and not os.path.basename(p).startswith(("_", ".")))
+    if any(ch in path for ch in "*?["):
+        return sorted(p for p in _glob.glob(path) if os.path.isfile(p))
+    return [path]
+
+
+class _ChunkFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _ChunkReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("mr_chunks source requires a path")
+
+    def partitions(self):
+        return [_ChunkFilePartition(p) for p in _resolve_files(self.path)]
+
+    def read(self, partition: _ChunkFilePartition) -> Iterator[tuple]:
+        with open(partition.path, encoding="utf-8") as f:
+            for line in f:
+                if line.strip():
+                    k, v = json.loads(line)
+                    yield (_canon(k), _canon(v))
+
+
+class _ChunkCommit(WriterCommitMessage):
+    pass
+
+
+class _ChunkWriter(DataSourceWriter):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("mr_chunks sink requires a path")
+
+    def write(self, iterator) -> _ChunkCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"chunk-{pid:05d}.jsonl")
+        with open(out, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(f"[{row.key_json},{row.value_json}]\n")
+        return _ChunkCommit()
+
+
+class ChunkDataSource(DataSource):
+    """format("mr_chunks"): reference chunk files <-> DataFrame."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "mr_chunks"
+
+    def schema(self) -> str:
+        return CHUNK_SCHEMA
+
+    def reader(self, schema) -> _ChunkReader:
+        return _ChunkReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> _ChunkWriter:
+        return _ChunkWriter(self.options)
+
+
+def register_chunk_source(spark) -> None:
+    """Idempotently register the mr_chunks format on this session."""
+    spark.dataSource.register(ChunkDataSource)

@@ -90,3 +90,63 @@ def test_training_shard_publish(spark, sf_dir, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):  # disjoint ranges
         assert hi1 <= lo2
+
+
+def test_chunk_datasource_read(spark, tmp_path):
+    """mr_chunks format reads reference-layout chunk files, one Spark
+    partition per file (chunk files are independent sorted runs)."""
+    from map_reduce_ruby_spark.sources import register_chunk_source
+
+    d = tmp_path / "chunks"
+    d.mkdir()
+    write_chunk(str(d / "c0.jsonl"), [("apple", 1), ("pear", {"n": 2})])
+    write_chunk(str(d / "c1.jsonl"), [(["k", 3], [1, 2]), ("zed", None)])
+    register_chunk_source(spark)
+    df = spark.read.format("mr_chunks").load(str(d))
+    assert df.columns == ["key_json", "value_json"]
+    rows = {(r.key_json, r.value_json) for r in df.collect()}
+    assert rows == {
+        ('"apple"', "1"),
+        ('"pear"', '{"n":2}'),
+        ('["k",3]', "[1,2]"),
+        ('"zed"', "null"),
+    }
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_chunk_datasource_typed_extraction(spark, tmp_path):
+    """from_json peels the schemaless payload into typed columns."""
+    from map_reduce_ruby_spark.sources import register_chunk_source
+
+    p = tmp_path / "typed.jsonl"
+    write_chunk(str(p), [("a", 10), ("b", 32)])
+    register_chunk_source(spark)
+    df = spark.read.format("mr_chunks").load(str(p))
+    # from_json only takes struct/array/map schemas; bare JSON scalars peel
+    # via get_json_object's root path (strings) or an array-wrap (numbers).
+    typed = df.select(
+        F.get_json_object("key_json", "$").alias("k"),
+        F.from_json(
+            F.concat(F.lit("["), F.col("value_json"), F.lit("]")), "array<long>"
+        )[0].alias("v"),
+    )
+    assert {(r.k, r.v) for r in typed.collect()} == {("a", 10), ("b", 32)}
+
+
+def test_chunk_datasource_write_roundtrip(spark, tmp_path):
+    """DataFrame -> mr_chunks files -> reference-style read_chunk: the bytes
+    on disk are the reference's exact JSON.generate layout."""
+    from map_reduce_ruby_spark.sources import register_chunk_source
+
+    register_chunk_source(spark)
+    src = spark.createDataFrame(
+        [("\"k1\"", "5"), ("[\"k2\",7]", "{\"x\":1}")], "key_json string, value_json string"
+    ).coalesce(1)
+    out = str(tmp_path / "out_chunks")
+    src.write.format("mr_chunks").mode("append").save(out)
+    files = sorted(os.listdir(out))
+    assert files and all(f.startswith("chunk-") for f in files)
+    pairs = []
+    for f in files:
+        pairs.extend(read_chunk(os.path.join(out, f)))
+    assert sorted(map(repr, pairs)) == sorted(map(repr, [("k1", 5), (["k2", 7], {"x": 1})]))
