@@ -231,3 +231,30 @@ def events_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("sess")
     )
+
+
+@register(
+    "events_variant_props",
+    oracle="""
+    SELECT event_type,
+           CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT)
+               AS k_bucket,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type, k_bucket
+    """,
+    doc="Semi-structured JSON via the VARIANT type (Spark 4): parse_json once "
+    "into a binary variant, then typed variant_get extraction — the "
+    "open-table-format-native path for schema-on-read columns, faster than "
+    "re-parsing JSON text per extraction when many fields are pulled. "
+    "Stays fully JVM-side; the oracle is plain json_extract.",
+    tags=("events", "json", "variant"),
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        ev.withColumn("k", F.variant_get(v, "$.k", "long"))
+        .groupBy("event_type", (F.col("k") % 10).cast("long").alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

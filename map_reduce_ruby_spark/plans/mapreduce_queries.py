@@ -261,3 +261,45 @@ def df_reduce_by_key_fastpath(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["l_returnflag", "l_linestatus"],
         values={"qty": "sum", "first_order": "min", "last_order": "max", "n": "sum"},
     )
+
+
+@register(
+    "mr_udtf_wordcount",
+    oracle="""
+    SELECT word, COUNT(*) AS cnt
+    FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS word
+        FROM documents
+    )
+    GROUP BY word
+    """,
+    doc="The reference's user map contract (one input -> 0..n yielded pairs, "
+    "SURVEY O1) surfaced as a SQL-registered Python UDTF (Spark 4, "
+    "Arrow-batched): LATERAL tokenize(text) in plain SQL, then a JVM-side "
+    "aggregate. Same combiner semantics as mr_wordcount (partial counts "
+    "before the shuffle), with the generator running in Python exactly like "
+    "a reference Mapper#map block. The RDD Job path (mr_wordcount) remains "
+    "the recommended hot path; this pins the SQL-facing UDTF registration "
+    "surface.",
+    tags=("mapreduce", "udtf"),
+)
+def mr_udtf_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string", useArrow=True)
+    class Tokenize:
+        def eval(self, text: str):
+            # reference README.md:35-41 — map yields one pair per word
+            if text:
+                for w in text.split():
+                    yield (w,)
+
+    spark.udtf.register("tokenize", Tokenize)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT t.word, COUNT(*) AS cnt
+        FROM docs_udtf, LATERAL tokenize(text) t
+        GROUP BY t.word
+        """
+    )
