@@ -28,3 +28,41 @@ def test_approx_dau_within_bound(spark, sf_dir):
     assert set(approx) == set(exact)
     for day, est in approx.items():
         assert abs(est - exact[day]) <= max(1, 0.05 * exact[day]), (day, est, exact[day])
+
+
+def test_hll_sketch_merge_across_partitions(spark, sf_dir):
+    """hll_sketch_agg partial sketches union to the same estimate as one
+    global sketch, and land within HLL error of the exact count — the
+    mergeability that lets 1000 executors sketch independently and combine
+    driver-side without a second scan (the sketch IS the reference's
+    associative reduce contract, applied to distinct-counting)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = ev.select(F.countDistinct("user_id")).collect()[0][0]
+
+    direct = ev.select(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).collect()[0].est
+
+    merged = (
+        ev.withColumn("part", F.col("event_id") % 7)
+        .groupBy("part")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .select(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    assert merged == direct  # merge order must not change the estimate
+    assert abs(merged - exact) <= max(2, 0.05 * exact)
+
+
+def test_approx_percentile_brackets_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    approx, exact = li.select(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("a"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("e"),
+    ).collect()[0]
+    assert abs(approx - exact) <= 0.02 * exact
