@@ -69,7 +69,10 @@ def connected_components(
                 .groupBy(F.col("a").alias("node"))
                 .agg(F.min("component").alias("nbr_component"))
             )
-            new_labels = (
+            # Carry the previous label through the round so convergence is a
+            # scan of the checkpointed result — not an extra shuffle join of
+            # new labels against old every round.
+            new_full = (
                 labels.join(nbr_min, "node", "left")
                 .select(
                     "node",
@@ -77,17 +80,14 @@ def connected_components(
                         F.col("component"),
                         F.coalesce("nbr_component", "component"),
                     ).alias("component"),
+                    F.col("component").alias("__old"),
                 )
                 .localCheckpoint(eager=True)
             )
             changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
+                new_full.filter(F.col("component") != F.col("__old")).limit(1).count()
             )
-            labels = new_labels
+            labels = new_full.drop("__old")
             if changed == 0:
                 return labels
         raise RuntimeError(
