@@ -1,4 +1,5 @@
 from map_reduce_ruby_spark.operators.asof import asof_join
+from map_reduce_ruby_spark.operators.zorder import interleave_bits, zorder_by
 from map_reduce_ruby_spark.operators.bucketing import write_bucketed
 from map_reduce_ruby_spark.operators.connected_components import connected_components
 from map_reduce_ruby_spark.operators.prefix_sum import exclusive_prefix_sum
@@ -22,6 +23,8 @@ __all__ = [
     "build_ivf_index",
     "ivf_search",
     "write_bucketed",
+    "interleave_bits",
+    "zorder_by",
     "salted_agg",
     "attach_fake_media",
     "decode_media",
