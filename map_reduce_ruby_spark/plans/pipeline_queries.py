@@ -534,3 +534,61 @@ def sequence_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("shard_tokens"),
         )
     )
+
+
+@register(
+    "corpus_upsert_latest",
+    oracle=f"""
+    WITH updates AS (
+        SELECT doc_id, lang,
+               n_chars + 7 AS n_chars, 2 AS version
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    unioned AS (
+        SELECT doc_id, lang, n_chars, 1 AS version FROM documents
+        UNION ALL
+        SELECT doc_id, lang, n_chars, version FROM updates
+    ),
+    latest AS (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY version DESC) AS rn
+        FROM unioned
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_updated
+    FROM latest WHERE rn = 1
+    GROUP BY lang
+    """,
+    doc="Idempotent corpus upsert (MERGE emulation without a table format): "
+    "a re-crawl batch (higher version) unions with the base corpus and "
+    "latest-wins per doc_id via a ranked window — the standard "
+    "full-snapshot merge when Delta/Iceberg MERGE INTO isn't available. "
+    "Scale: one shuffle on doc_id (the window); at 100 TB the base side "
+    "would be partitioned by doc_id bucket so only touched buckets rewrite "
+    "(the write side of operators/bucketing.py). Re-running the same batch "
+    "yields the same result — at-least-once ingestion is absorbed.",
+    tags=("pipeline", "upsert", "window"),
+)
+def corpus_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    base = docs.withColumn("version", F.lit(1))
+    updates = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("n_chars", F.col("n_chars") + 7)
+        .withColumn("version", F.lit(2))
+    )
+    unioned = base.unionByName(updates)
+    w = W.partitionBy("doc_id").orderBy(F.desc("version"))
+    latest = unioned.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return latest.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.when(F.col("doc_id") % 5 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_updated"),
+    )
