@@ -35,6 +35,7 @@ HEADLINE = [
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",
+    "knn_pandas_udf",
     "text_quality_score",
     "text_repetition_filter",
     "sequence_pack_shards",

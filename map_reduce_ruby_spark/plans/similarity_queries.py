@@ -278,3 +278,74 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid")
         )
     )
+
+
+_KNN_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_sum(list_transform(range(1, {_DIM + 1}),
+                     i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm), 4) AS cos_sim
+        FROM v q JOIN v c ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {_K}
+    """
+
+
+@register(
+    "knn_pandas_udf",
+    oracle=_KNN_ORACLE,
+    doc="The same exact cosine top-5 as knn_bruteforce, executed as an "
+    "Arrow-batched mapInPandas stage: the (tiny) query set is collected to a "
+    "numpy matrix once and closed over; each corpus Arrow batch scores ALL "
+    "queries with one float64 matmul (BLAS), then JVM windows rank per "
+    "query. This is the vectorized-Python scale path for similarity math "
+    "too irregular for codegen'd expressions — per-batch matrix ops, never "
+    "per-row Python. Must hash-match the pure-JVM twin's oracle exactly.",
+    tags=("similarity", "knn", "pandas-udf"),
+)
+def knn_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", _as_double(F.col("embedding")).alias("e"))
+    qrows = v.filter(F.col("vec_id") < _N_QUERIES).orderBy("vec_id").collect()
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = np.array([r.e for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            C = np.array(pdf["e"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            sims = (C / np.linalg.norm(C, axis=1, keepdims=True)) @ Qn.T
+            n_c, n_q = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, n_c),
+                    "neighbor_id": np.tile(ids, n_q),
+                    "cos_sim": np.round(sims.T.ravel(), 4),
+                }
+            )
+
+    scored = v.mapInPandas(
+        score, "query_id long, neighbor_id long, cos_sim double"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _K)
+    )

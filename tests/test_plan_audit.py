@@ -27,6 +27,7 @@ EXECUTING_ENTRIES = {
     "corpus_budget_cut",
     "corpus_materialize",
     "sequence_pack_shards",  # prefix_sum collects bucket totals at build time
+    "knn_pandas_udf",  # collects the 10-row query matrix at build time
 
     "dedup_ngram_jaccard",  # localCheckpoints its shingle set at build time
 }
