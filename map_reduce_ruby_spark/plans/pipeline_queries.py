@@ -592,3 +592,75 @@ def corpus_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_updated"),
     )
+
+
+@register(
+    "corpus_scd2_history",
+    oracle="""
+    WITH versions AS (
+        SELECT doc_id, lang, n_chars, 1 AS version FROM documents
+        UNION ALL
+        SELECT doc_id, lang, n_chars + 7, 2 FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id, lang, n_chars + 11, 3 FROM documents WHERE doc_id % 10 = 0
+    ),
+    hist AS (
+        SELECT doc_id, lang, n_chars, version AS valid_from,
+               COALESCE(lead(version) OVER (PARTITION BY doc_id
+                                            ORDER BY version), 999999)
+                   AS valid_to,
+               CASE WHEN lead(version) OVER (PARTITION BY doc_id
+                                             ORDER BY version) IS NULL
+                    THEN 1 ELSE 0 END AS is_current
+        FROM versions
+    )
+    SELECT lang,
+           COUNT(*) AS n_versions,
+           CAST(SUM(is_current) AS BIGINT) AS n_current,
+           CAST(SUM(CASE WHEN is_current = 1 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS current_chars
+    FROM hist
+    GROUP BY lang
+    """,
+    doc="SCD2 history (CDC pattern without a table format): every ingest "
+    "batch is a version; lead(version) over each doc's history closes the "
+    "prior record's validity interval and the NULL-lead row is current — "
+    "full history retained, current slice selectable by flag. One shuffle "
+    "on doc_id (the window); at 100 TB the history table partitions by "
+    "ingest date so old intervals are never rewritten.",
+    tags=("pipeline", "scd2", "window"),
+)
+def corpus_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    versions = (
+        docs.withColumn("version", F.lit(1))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 5 == 0)
+            .withColumn("n_chars", F.col("n_chars") + 7)
+            .withColumn("version", F.lit(2))
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0)
+            .withColumn("n_chars", F.col("n_chars") + 11)
+            .withColumn("version", F.lit(3))
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy("version")
+    nxt = F.lead("version").over(w)
+    hist = versions.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.col("version").alias("valid_from"),
+        F.coalesce(nxt, F.lit(999999)).alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+    return hist.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum("is_current").cast("long").alias("n_current"),
+        F.sum(F.when(F.col("is_current") == 1, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("current_chars"),
+    )
