@@ -106,3 +106,33 @@ def test_grouping_sets_single_expand_single_scan(spark, sf_dir):
     # formatted mode prints each node twice (tree + detail section), so one
     # physical scan == one "Location:" detail line.
     assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_q8_dims_broadcast_single_fact_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q8_market_share")
+    # 6 dimension joins (part, supplier, customer, n1, region, n2) broadcast;
+    # lineitem<->orders is the only join allowed to shuffle.
+    assert plan.count("BroadcastHashJoin") >= 6, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_q10_pushdown_and_topk(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q10_returned_items")
+    assert "EqualTo(l_returnflag,R)" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q18_semi_join_reuses_orderkey_exchange(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q18_large_volume_customers")
+    assert "LeftSemi" in plan, plan
+    # HAVING-aggregate and semi-join both hash on l_orderkey.
+    assert plan.count("hashpartitioning(l_orderkey") >= 1, plan
+
+
+def test_range_frame_window_partitioned_by_customer(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "window_range_frame_spend")
+    assert "specifiedwindowframe(RangeFrame, -60, currentrow$())" in plan, plan
+    # exactly one shuffle: the window's customer partitioning (formatted
+    # explain prints each node once in the tree and once in the detail list)
+    assert plan.count("+- Exchange") == 1, plan
+    assert "hashpartitioning(o_custkey" in plan, plan
