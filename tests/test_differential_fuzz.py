@@ -1,0 +1,97 @@
+"""Seeded differential fuzzing of the SQL surface: randomly generated
+filter/aggregate/group-by queries over lineitem, executed by Spark SQL (our
+``sql_interface`` surface — same session config, loaders, and determinism
+rules as the catalog) AND by DuckDB, compared for exact equality.
+
+This extends the fixed 90+-query catalog with a generated corpus: every
+seed pins dozens of operator combinations (predicate shapes, group-key
+subsets, aggregate mixes) that no hand-written list would cover. The
+generator emits a single ANSI dialect both engines parse; all float
+aggregation runs through the DECIMAL(18,6) rule so results are
+order-independent (the same rule the catalog uses — functions/exact.py).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from tools.check_correctness import compare, oracle_connection
+
+NUMERIC = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+STRINGS = [("l_returnflag", ["A", "N", "R"]), ("l_linestatus", ["O", "F"])]
+GROUPS = ["l_returnflag", "l_linestatus", "l_suppkey % 7", "l_partkey % 5"]
+
+N_QUERIES = 30
+
+
+def _gen_query(rng: random.Random) -> str:
+    preds = []
+    for _ in range(rng.randint(1, 3)):
+        if rng.random() < 0.5:
+            col = rng.choice(NUMERIC)
+            op = rng.choice(["<", "<=", ">", ">=", "<>"])
+            lit = round(rng.uniform(0, 50 if col == "l_quantity" else 1), 3)
+            preds.append(f"{col} {op} {lit}")
+        else:
+            col, vals = rng.choice(STRINGS)
+            if rng.random() < 0.5:
+                preds.append(f"{col} = '{rng.choice(vals)}'")
+            else:
+                sub = rng.sample(vals, rng.randint(1, len(vals)))
+                preds.append(f"{col} IN ({', '.join(repr(v) for v in sub)})")
+    where = " AND ".join(preds) if rng.random() < 0.7 else " OR ".join(preds)
+
+    keys = rng.sample(GROUPS, rng.randint(0, 2))
+    key_aliases = [f"g{i}" for i in range(len(keys))]
+    select_keys = [f"{k} AS {a}" for k, a in zip(keys, key_aliases)]
+
+    aggs = ["COUNT(*) AS cnt"]
+    for i in range(rng.randint(1, 3)):
+        col = rng.choice(NUMERIC)
+        kind = rng.choice(["sum", "min", "max", "cntd"])
+        if kind == "sum":
+            aggs.append(
+                f"CAST(COALESCE(SUM(CAST({col} AS DECIMAL(18,6))), 0) AS DOUBLE) AS a{i}"
+            )
+        elif kind == "cntd":
+            aggs.append(f"COUNT(DISTINCT CAST({col} * 1000 AS BIGINT)) AS a{i}")
+        else:
+            # COALESCE: a global aggregate over an empty filter result yields
+            # one NULL row; the catalog's no-NULL-output rule applies here too
+            # (NaN != NaN under the driver's exact compare).
+            aggs.append(f"COALESCE({kind.upper()}({col}), -1) AS a{i}")
+
+    sql = f"SELECT {', '.join(select_keys + aggs)} FROM lineitem WHERE {where}"
+    if keys:
+        sql += f" GROUP BY {', '.join(keys)}"
+    return sql
+
+
+@pytest.fixture(scope="module")
+def oracle(sf_dir):
+    con = oracle_connection(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def views(spark, sf_dir):
+    from map_reduce_ruby_spark.sources import load_table
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+
+
+@pytest.mark.parametrize("seed", [7, 42, 1234])
+def test_differential_sql_corpus(spark, oracle, views, seed):
+    rng = random.Random(seed)
+    failures = []
+    for i in range(N_QUERIES):
+        sql = _gen_query(rng)
+        spark_pdf = spark.sql(sql).toPandas()
+        oracle_pdf = oracle.sql(sql).df()
+        problems = compare(f"fuzz{i}", spark_pdf, oracle_pdf)
+        if problems:
+            failures.append((sql, problems))
+    assert not failures, failures[:3]
