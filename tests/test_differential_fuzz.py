@@ -63,7 +63,13 @@ def _gen_query(rng: random.Random) -> str:
             # (NaN != NaN under the driver's exact compare).
             aggs.append(f"COALESCE({kind.upper()}({col}), -1) AS a{i}")
 
-    sql = f"SELECT {', '.join(select_keys + aggs)} FROM lineitem WHERE {where}"
+    # every third query joins the fact to orders (equi-join + dim predicate)
+    if rng.random() < 0.33:
+        frm = "lineitem JOIN orders ON l_orderkey = o_orderkey"
+        where += f" AND o_orderstatus = '{rng.choice(['O', 'F', 'P'])}'"
+    else:
+        frm = "lineitem"
+    sql = f"SELECT {', '.join(select_keys + aggs)} FROM {frm} WHERE {where}"
     if keys:
         sql += f" GROUP BY {', '.join(keys)}"
     return sql
@@ -81,6 +87,7 @@ def views(spark, sf_dir):
     from map_reduce_ruby_spark.sources import load_table
 
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
 
 
 @pytest.mark.parametrize("seed", [7, 42, 1234])
