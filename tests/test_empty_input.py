@@ -1,0 +1,44 @@
+"""Empty-input robustness: every relational/text query family must plan and
+execute over zero-row tables (schema preserved) without crashing — the
+behavior a scheduled 100 TB pipeline needs on an empty ingest day."""
+
+from __future__ import annotations
+
+import pytest
+
+from map_reduce_ruby_spark.plans import all_entries
+from map_reduce_ruby_spark.sources import TABLES, load_table
+
+REPRESENTATIVE = [
+    "q1_pricing_summary",          # scan-filter-agg
+    "q3_shipping_priority",        # join + topk
+    "q8_market_share",             # deep star join + ratio agg
+    "q13_customer_distribution",   # outer join + double agg
+    "window_topk_orders_per_customer",
+    "window_range_frame_spend",
+    "rollup_returnflag_linestatus",
+    "dedup_exact",
+    "text_token_stats",
+    "text_repetition_filter",
+    "corpus_upsert_latest",
+    "events_json_props",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLES:
+        load_table(spark, sf_dir, t).limit(0).coalesce(1).write.parquet(
+            str(d / f"{t}.parquet")
+        )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_query_survives_empty_tables(spark, empty_sf_dir, name):
+    df = all_entries()[name].fn(spark, empty_sf_dir)
+    rows = df.collect()
+    # empty input -> zero GROUPED rows (no NULL-aggregate phantom rows leak
+    # out of any catalog query; global-agg queries coalesce to one row max)
+    assert len(rows) <= 1, rows
