@@ -349,3 +349,59 @@ def knn_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= _K)
     )
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    sig AS (
+        SELECT vec_id, e,
+               sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
+               CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+        FROM v
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_sum(list_transform(range(1, {_DIM + 1}),
+                 i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 4) AS cos_sim
+    FROM sig a JOIN sig b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ROUND(list_sum(list_transform(range(1, {_DIM + 1}),
+              i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 4) >= 0.35
+    """,
+    doc="Embedding near-dup at scale: candidate pairs come from the "
+    "random-hyperplane LSH bucket (the knn_lsh signature — one shuffle on "
+    "the bucket id), then exact cosine >= 0.35 within candidates (the synthetic embeddings are near-orthogonal across labels, so the threshold sits at the fixture's own near-dup knee). This is "
+    "the scale path for dedup_embedding_cosine's blocked brute force: at "
+    "billions of vectors the bucket join's fan-in is corpus/2^planes per "
+    "bucket, and recall is tuned by adding plane sets (hash tables), not by "
+    "widening the join. Same rounding rule (4dp before thresholding) so "
+    "both engines threshold identically.",
+    tags=("dedup", "embedding", "lsh"),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", _as_double(F.col("embedding")).alias("e"))
+    sig = v.withColumn("nrm", _norm(F.col("e"))).withColumn(
+        "bucket", _bucket_spark(F.col("e"))
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cos = F.round(
+        _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm")), 4
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.35)
+    )
