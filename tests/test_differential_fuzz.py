@@ -26,6 +26,39 @@ GROUPS = ["l_returnflag", "l_linestatus", "l_suppkey % 7", "l_partkey % 5"]
 N_QUERIES = 30
 
 
+# (l_orderkey, l_linenumber) is NOT unique in the fixture; this 7-column
+# tuple is (verified at every SF), making window orders total.
+_UNIQ = (
+    "l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+    "l_extendedprice, l_quantity, l_discount"
+)
+
+
+def _gen_window_query(rng: random.Random) -> str:
+    """Window-function arm: every ORDER BY ends with a unique column tuple,
+    so ranks are total-ordered and both engines must emit identical rows."""
+    part = rng.choice(["l_returnflag", "l_linestatus", "l_suppkey % 7"])
+    val = rng.choice(NUMERIC)
+    arm = rng.choice(["row_number", "rank", "cumsum", "lag"])
+    if arm in ("row_number", "rank"):
+        expr = f"CAST({arm}() OVER w_rk AS BIGINT)"
+    elif arm == "lag":
+        expr = "CAST(lag(l_orderkey, 1, -1) OVER w_rk AS BIGINT)"
+    else:
+        # stays DOUBLE: double->BIGINT casts truncate in Spark but round in
+        # DuckDB, so never cast the cumulative sum
+        expr = f"CAST(SUM(CAST({val} AS DECIMAL(18,6))) OVER w_cum AS DOUBLE)"
+    lim = rng.randint(50, 200)
+    return (
+        f"SELECT {_UNIQ}, {expr} AS wv "
+        f"FROM lineitem "
+        f"WINDOW w_rk AS (PARTITION BY {part} ORDER BY {val}, {_UNIQ}), "
+        f"w_cum AS (PARTITION BY {part} ORDER BY {_UNIQ} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        f"ORDER BY {_UNIQ} LIMIT {lim}"
+    )
+
+
 def _gen_query(rng: random.Random) -> str:
     preds = []
     for _ in range(rng.randint(1, 3)):
@@ -95,7 +128,7 @@ def test_differential_sql_corpus(spark, oracle, views, seed):
     rng = random.Random(seed)
     failures = []
     for i in range(N_QUERIES):
-        sql = _gen_query(rng)
+        sql = _gen_window_query(rng) if i % 5 == 4 else _gen_query(rng)
         spark_pdf = spark.sql(sql).toPandas()
         oracle_pdf = oracle.sql(sql).df()
         problems = compare(f"fuzz{i}", spark_pdf, oracle_pdf)
