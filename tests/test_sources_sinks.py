@@ -150,3 +150,14 @@ def test_chunk_datasource_write_roundtrip(spark, tmp_path):
     for f in files:
         pairs.extend(read_chunk(os.path.join(out, f)))
     assert sorted(map(repr, pairs)) == sorted(map(repr, [("k1", 5), (["k2", 7], {"x": 1})]))
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_orc")
+    nation.write.orc(out)
+    back = spark.read.orc(out)
+    assert sorted(r.n_name for r in back.collect()) == sorted(
+        r.n_name for r in nation.collect()
+    )
+    assert back.schema == nation.schema
