@@ -25,6 +25,7 @@ HEADLINE = [
     "q5_nation_revenue",
     "star_join_full",
     "window_topk_orders_per_customer",
+    "window_range_frame_spend",
     "global_topk_orders",
     "distinct_agg_priority",
     "mr_wordcount",
@@ -40,6 +41,7 @@ HEADLINE = [
     "text_repetition_filter",
     "sequence_pack_shards",
     "text_regex_tokens",
+    "events_variant_props",
     "events_tumbling_window",
     "events_sessionize",
     "asof_last_purchase",
@@ -55,6 +57,7 @@ HEADLINE = [
     "grouping_sets_flag_status",
     "dedup_clusters_cc",
     "corpus_budget_cut",
+    "corpus_upsert_latest",
     "contamination_ngram_overlap",
     "tfidf_top_terms",
     "corpus_materialize",
