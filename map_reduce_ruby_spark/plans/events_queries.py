@@ -179,7 +179,8 @@ def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                COALESCE(day_no, -1) AS day_no,
                event_type,
                COUNT(*) AS n_events,
-               SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS DOUBLE)
+                   AS total_value
         FROM base
         GROUP BY GROUPING SETS ((hour_no, day_no, event_type),
                                 (day_no, event_type), (event_type))
