@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
 from typing import Any, Callable, Iterator
 
 from pyspark.sql import SparkSession
@@ -66,13 +67,22 @@ class Mapper:
         self._spark = spark
         self._partitioner = partitioner or HashPartitioner(32)
         self._inputs: list[Any] = []
+        # O19 thread-safe ingestion: the reference's Mapper is a monitor
+        # (reference lib/map_reduce/mapper.rb:7 MonitorMixin, :45 synchronize)
+        # so workers may feed one mapper from many threads. CPython's GIL
+        # makes a bare list.append atomic, but that is an implementation
+        # detail — an explicit lock pins the contract.
+        self._ingest_lock = threading.Lock()
 
     def map(self, *args: Any, **kwargs: Any) -> None:
         """Buffer one input per call; ALL args of one call reach ONE
         ``implementation.map(*args, **kwargs)`` invocation (reference
         mapper.rb:43 forwards the full argument list). The user's ``map``
-        runs lazily at shuffle time, inside Spark tasks."""
-        self._inputs.append((args, kwargs))
+        runs lazily at shuffle time, inside Spark tasks. Safe to call
+        concurrently from multiple threads (reference mapper.rb:45
+        ``synchronize``)."""
+        with self._ingest_lock:
+            self._inputs.append((args, kwargs))
 
     def shuffle(
         self,

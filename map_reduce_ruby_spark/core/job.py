@@ -190,18 +190,59 @@ class Job:
 
     # --------------------------------------------------- chunk-file interop
 
-    def shuffle_to_files(self, spark: SparkSession, inputs: Any, out_dir: str) -> dict[int, str]:
+    def shuffle_to_files(
+        self,
+        spark: SparkSession,
+        inputs: Any,
+        out_dir: str,
+        shared_storage: bool = False,
+    ) -> dict[int, str]:
         """Materialize the shuffle as the reference's partition->file map
         (reference lib/map_reduce/mapper.rb:76-96 ``Mapper#shuffle``): one
         JSON-lines file per non-empty partition, each line
         ``json([key, value])``, keys sorted within the file
         (reference lib/map_reduce/mapper.rb:115,131-135 chunk format).
 
-        On a real cluster this handoff dissolves into Spark's own shuffle; the
-        file form exists for interop with reference-format consumers.
+        Two modes:
+
+        - ``shared_storage=False`` (default, the compat-façade fast path):
+          each task writes ``partition-<pid>.jsonl`` where it runs. Correct
+          on a single node; on a real cluster the files land on
+          executor-local disks where driver-returned paths are meaningless.
+        - ``shared_storage=True`` (the cluster path): the sorted shuffle
+          output is written through the ``mr_chunks`` DataSource writer
+          (sources/chunk_datasource.py) — one reference-format sorted run
+          per partition, written by the executors directly into ``out_dir``
+          on shared storage (S3/NFS/DBFS mount). No row ever crosses the
+          driver; only the path map comes back.
         """
         os.makedirs(out_dir, exist_ok=True)
         result = self.run(spark, inputs, sort_output=True)
+
+        if shared_storage:
+            from map_reduce_ruby_spark.sources.chunk_datasource import (
+                CHUNK_SCHEMA,
+                register_chunk_source,
+            )
+
+            register_chunk_source(spark)
+            canon = lambda o: json.dumps(  # noqa: E731 — reference byte layout
+                o, separators=(",", ":"), ensure_ascii=False
+            )
+            # RDD -> (key_json, value_json) rows is a narrow map: partition
+            # ids and in-partition sort order carry through to the writer,
+            # which emits chunk-<pid>.jsonl per task (TaskContext.partitionId).
+            rows = result.map(lambda kv: (canon(kv[0]), canon(kv[1])))
+            spark.createDataFrame(rows, CHUNK_SCHEMA).write.format("mr_chunks").mode(
+                "append"
+            ).save(out_dir)
+            paths: dict[int, str] = {}
+            for name in os.listdir(out_dir):
+                if name.startswith("chunk-") and name.endswith(".jsonl"):
+                    path = os.path.join(out_dir, name)
+                    if os.path.getsize(path) > 0:
+                        paths[int(name[len("chunk-"):-len(".jsonl")])] = path
+            return paths
 
         def write_partition(pid: int, it: Iterator[tuple[Any, Any]]) -> Iterator[tuple[int, str]]:
             path = os.path.join(out_dir, f"partition-{pid}.jsonl")

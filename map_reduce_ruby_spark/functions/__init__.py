@@ -5,6 +5,7 @@ from map_reduce_ruby_spark.functions.exact import (
     davg_sql,
     cents_sum,
     cents_sum_sql,
+    cents_sum_sql_double,
 )
 from map_reduce_ruby_spark.functions.hashes import h32, h32_sql
 
@@ -15,6 +16,7 @@ __all__ = [
     "davg_sql",
     "cents_sum",
     "cents_sum_sql",
+    "cents_sum_sql_double",
     "h32",
     "h32_sql",
 ]

@@ -54,3 +54,16 @@ def cents_sum(col: Column | str, alias: str) -> Column:
 
 def cents_sum_sql(expr: str, alias: str) -> str:
     return f"SUM(CAST(ROUND(({expr}) * 100) AS BIGINT)) / 100.0 AS {alias}"
+
+
+def cents_sum_sql_double(expr: str, alias: str) -> str:
+    """``cents_sum_sql`` with an explicit DOUBLE cast on the final division.
+
+    Use this twin for ENGINE-side Spark SQL text: Spark types
+    ``BIGINT / 100.0`` as DECIMAL (and hashes with decimal scale, e.g.
+    ``123.450000``), while DuckDB's identical text compares as DOUBLE —
+    numerically equal values then fail representation hashing. The DataFrame
+    helper ``cents_sum`` already emits double; this keeps raw-SQL plans on
+    the same representation instead of each call site hand-casting.
+    """
+    return f"CAST(SUM(CAST(ROUND(({expr}) * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS {alias}"

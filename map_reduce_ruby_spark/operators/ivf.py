@@ -108,19 +108,32 @@ def build_ivf_index(
         # two expressions regardless of dim (a dim-wide agg column list made
         # every iteration's plan analysis the dominant cost). The shuffle
         # carries k*dim partial rows — tiny at any corpus size.
+        #
+        # The sum runs in SCALED INT64 (round(val * 1e9)), not double: double
+        # addition is order-dependent across shuffle partials, which would
+        # make the centroids run-dependent and unmatchable by an independent
+        # reimplementation (the DuckDB oracle in plans/operator_queries.py
+        # rebuilds this exact k-means). Integer addition is associative, so
+        # the centroid is bit-identical however Spark pairs the partials.
+        # Range check: |val| <= ~1 here, so one element is <= ~1e9 and int64
+        # holds ~9e18 — room for ~1e9 rows per cell per dimension; beyond
+        # that widen to sum(decimal(38,0)) partials.
         stats = (
             assigned.select("cell", F.posexplode("e").alias("pos", "val"))
             .groupBy("cell", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum(F.round(F.col("val") * 1_000_000_000).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
-        sums: dict[int, list[float]] = {}
+        sums: dict[int, list[int]] = {}
         counts: dict[int, int] = {}
         for r in stats:
-            sums.setdefault(int(r.cell), [0.0] * dim)[int(r.pos)] = r.s
+            sums.setdefault(int(r.cell), [0] * dim)[int(r.pos)] = int(r.s)
             counts[int(r.cell)] = int(r.n)
         centroids = [
-            [sums[c][i] / counts[c] for i in range(dim)]
+            [(sums[c][i] / 1e9) / counts[c] for i in range(dim)]
             if c in counts
             else centroids[c]  # empty cell keeps its previous centroid
             for c in range(len(centroids))

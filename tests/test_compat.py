@@ -210,3 +210,35 @@ def test_map_forwards_full_arg_list(spark, tmp_path):
     assert [json.loads(l) for l in open(path)] == [
         ["de:a", 1], ["en:a", 4], ["en:b", 2],
     ]
+
+
+def test_threaded_ingest_is_lossless(spark, tmp_path):
+    """O19: many threads feeding ONE mapper concurrently (the reference's
+    MonitorMixin contract, mapper.rb:7,45) must lose no input and produce
+    the same counts as serial ingest."""
+    import threading
+
+    class CountImpl:
+        def map(self, word):
+            yield word, 1
+
+        def reduce(self, key, a, b):
+            return a + b
+
+    mapper = Mapper(CountImpl(), spark, partitioner=lambda k: 0)
+    n_threads, per_thread = 8, 250
+
+    def feed(t):
+        for i in range(per_thread):
+            mapper.map(f"w{i % 10}")
+
+    threads = [threading.Thread(target=feed, args=(t,)) for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    [path] = mapper.shuffle(out_dir=str(tmp_path / "threaded")).values()
+    counts = dict(json.loads(l) for l in open(path))
+    assert sum(counts.values()) == n_threads * per_thread
+    assert counts == {f"w{i}": n_threads * per_thread // 10 for i in range(10)}

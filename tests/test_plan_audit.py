@@ -28,6 +28,7 @@ EXECUTING_ENTRIES = {
     "corpus_materialize",
     "sequence_pack_shards",  # prefix_sum collects bucket totals at build time
     "knn_pandas_udf",  # collects the 10-row query matrix at build time
+    "ntile_customer_spend_deciles_ranged",  # collects 9 quantile boundaries at build time
 
     "dedup_ngram_jaccard",  # localCheckpoints its shingle set at build time
 }

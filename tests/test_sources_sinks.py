@@ -161,3 +161,41 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
         r.n_name for r in nation.collect()
     )
     assert back.schema == nation.schema
+
+
+def test_shuffle_to_files_shared_storage_roundtrip(spark, tmp_path):
+    """Job.shuffle_to_files(shared_storage=True): the cluster-safe handoff —
+    executors write reference-format sorted runs through the mr_chunks
+    DataSource writer straight into shared storage (no driver hop), and the
+    resulting files must (a) be byte-compatible reference chunks, (b) be
+    key-sorted within each file, (c) reduce back to the same totals."""
+    from map_reduce_ruby_spark.core.job import Job
+
+    def map_fn(text):
+        for w in text.split():
+            yield w, 1
+
+    def reduce_fn(key, a, b):
+        return a + b
+
+    inputs = ["spark merge shuffle", "merge spark", "zed alpha merge"]
+    job = Job(map_fn=map_fn, reduce_fn=reduce_fn, num_partitions=4)
+    out = str(tmp_path / "shared_chunks")
+    pmap = job.shuffle_to_files(spark, inputs, out, shared_storage=True)
+
+    assert pmap and all(os.path.basename(p).startswith("chunk-") for p in pmap.values())
+    merged = {}
+    for pid, path in pmap.items():
+        pairs = list(read_chunk(path))
+        keys = [k for k, _ in pairs]
+        assert keys == sorted(keys), f"chunk {pid} not key-sorted"
+        for k, v in pairs:
+            assert k not in merged, "key split across partitions"
+            merged[k] = v
+    assert merged == {"spark": 2, "merge": 3, "shuffle": 1, "zed": 1, "alpha": 1}
+
+    # and the reference Reducer flow ingests the same files
+    total = sum(
+        v for _, v in Job.reduce_files(spark, sorted(pmap.values()), reduce_fn).collect()
+    )
+    assert total == sum(merged.values())
