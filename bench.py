@@ -53,6 +53,10 @@ HEADLINE = [
     "q10_returned_items",
     "q18_large_volume_customers",
     "q4_order_priority_exists",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q21_waiting_orders",
+    "ntile_customer_spend_deciles_ranged",
     "range_join_orders_promos",
     "grouping_sets_flag_status",
     "dedup_clusters_cc",

@@ -62,10 +62,19 @@ def _dists_expr(e: Column, centroids: list[list[float]]) -> Column:
     unrolled chain: k x dim unrolled terms (16x64 here) blow up codegen
     compilation time across the many small k-means jobs; the compact HOF
     expression compiles instantly and its interpreted evaluation is cheap at
-    k*dim ops per row. The centroid matrix is a SINGLE nested-array literal
-    (one Catalyst node), not an array(array(lit..)) tree of k*dim nodes —
-    the tree version dominated analysis time across the per-iteration jobs."""
-    C = F.lit([[float(x) for x in c] for c in centroids])
+    k*dim ops per row. The centroid matrix literal is built as SQL TEXT and
+    parsed engine-side: F.lit on a k*dim nested Python list marshals every
+    element through py4j (~1s per call for 16x64 — measured), while parsing
+    the equivalent array(array(...)) literal text costs milliseconds.
+    repr(float) round-trips exactly, so the parsed doubles are bit-identical
+    to the Python values."""
+    C = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")" for c in centroids
+        )
+        + ")"
+    )
     return F.transform(
         C,
         lambda c: F.aggregate(
@@ -92,7 +101,13 @@ def build_ivf_index(
     vectors: DataFrame, k: int = 16, iterations: int = 2
 ) -> tuple[DataFrame, list[list[float]]]:
     """vectors: (id: long, e: array<double>). Returns (assignments(id, e, cell),
-    centroids as a k x dim Python list). Deterministic end-to-end."""
+    centroids as a k x dim Python list). Deterministic end-to-end.
+
+    The corpus is cached for the build: the count, seed collect, and each
+    Lloyd iteration are separate jobs that would otherwise re-scan and
+    re-decode the parquet every time — the standard iterative-Spark setup
+    (MLlib KMeans does the same)."""
+    vectors = vectors.cache()
     n = vectors.count()
     stride = max(1, n // k)
     init_ids = [i * stride for i in range(k)]
@@ -166,15 +181,26 @@ def ivf_search(
         1,
         nprobe,
     )
-    qcells = queries.select("qid", "qe", F.explode(probe_cells).alias("cell"))
     dim = len(centroids[0])
-    cands = qcells.join(assignments, "cell").filter(F.col("id") != F.col("qid"))
+    # Norms are computed ONCE per vector scan-side (before the candidate
+    # join), not per candidate pair — a query probing c candidates would
+    # otherwise recompute its 64-term norm c times. Same arithmetic on the
+    # same values, so results are bit-identical.
+    qcells = queries.withColumn("qnrm", _norm(F.col("qe"), dim)).select(
+        "qid", "qe", "qnrm", F.explode(probe_cells).alias("cell")
+    )
+    corpus = assignments.withColumn("cnrm", _norm(F.col("e"), dim))
+    # queries x nprobe rows are tiny at any scale — broadcast them so the
+    # candidate equi-join is a map-side hash probe over the corpus scan, not
+    # a corpus shuffle (the ONLY potential corpus shuffle in the operator).
+    cands = corpus.join(F.broadcast(qcells), "cell").filter(
+        F.col("id") != F.col("qid")
+    )
     scored = cands.select(
         F.col("qid").alias("query_id"),
         F.col("id").alias("neighbor_id"),
         F.round(
-            _dot(F.col("qe"), F.col("e"), dim)
-            / (_norm(F.col("qe"), dim) * _norm(F.col("e"), dim)),
+            _dot(F.col("qe"), F.col("e"), dim) / (F.col("qnrm") * F.col("cnrm")),
             4,
         ).alias("cos_sim"),
     )

@@ -59,6 +59,83 @@ def _gen_window_query(rng: random.Random) -> str:
     )
 
 
+def _gen_setops_query(rng: random.Random) -> str:
+    """Set-operation arm: two normalized projections over lineitem combined
+    with UNION / UNION ALL / INTERSECT / EXCEPT — both engines implement
+    set semantics (DISTINCT) for the non-ALL forms, so results must agree
+    row-for-row after the compare()'s sort."""
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    cols_a = rng.choice(
+        [
+            ("l_returnflag", "l_suppkey % 5"),
+            ("l_linestatus", "l_partkey % 7"),
+            ("l_returnflag", "CAST(l_quantity AS BIGINT) % 9"),
+        ]
+    )
+    cols_b = rng.choice(
+        [
+            ("l_returnflag", "l_suppkey % 5"),
+            ("l_linestatus", "l_partkey % 7"),
+            ("l_linestatus", "CAST(l_quantity AS BIGINT) % 9"),
+        ]
+    )
+    qa = round(rng.uniform(5, 45), 1)
+    qb = round(rng.uniform(5, 45), 1)
+    return (
+        f"SELECT {cols_a[0]} AS c0, CAST({cols_a[1]} AS BIGINT) AS c1 "
+        f"FROM lineitem WHERE l_quantity < {qa} "
+        f"{op} "
+        f"SELECT {cols_b[0]}, CAST({cols_b[1]} AS BIGINT) "
+        f"FROM lineitem WHERE l_quantity >= {qb}"
+    )
+
+
+def _gen_grouping_sets_query(rng: random.Random) -> str:
+    """Grouping-sets / rollup / cube arm: multi-grain aggregation with
+    COALESCE sentinels for the collapsed grains (the NULL-vs-value rule the
+    catalog's rollup queries pin)."""
+    k1, k2 = "l_returnflag", "l_linestatus"
+    form = rng.choice(
+        [
+            f"GROUPING SETS (({k1}, {k2}), ({k1}), ())",
+            f"ROLLUP ({k1}, {k2})",
+            f"CUBE ({k1}, {k2})",
+        ]
+    )
+    val = rng.choice(NUMERIC)
+    return (
+        f"SELECT COALESCE({k1}, '<all>') AS g0, COALESCE({k2}, '<all>') AS g1, "
+        f"COUNT(*) AS cnt, "
+        f"CAST(COALESCE(SUM(CAST({val} AS DECIMAL(18,6))), 0) AS DOUBLE) AS s0 "
+        f"FROM lineitem WHERE l_quantity < {round(rng.uniform(10, 45), 1)} "
+        f"GROUP BY {form}"
+    )
+
+
+def _gen_asof_query(rng: random.Random) -> str:
+    """As-of-flavored inequality-join arm: per order, aggregate only its own
+    lines shipped at-or-before orderdate + k days (equi-key join + range
+    predicate + argmax — the asof_join operator's relational skeleton in
+    one ANSI dialect both engines parse)."""
+    days = rng.randint(10, 120)
+    status = rng.choice(["O", "F", "P"])
+    agg = rng.choice(
+        [
+            "COALESCE(MAX(l_shipdate), TIMESTAMP '1900-01-01') AS last_ship",
+            "CAST(COUNT(l_orderkey) AS BIGINT) AS n_before",
+            "COALESCE(MAX(l_quantity), -1) AS max_q",
+        ]
+    )
+    return (
+        f"SELECT o_orderkey, {agg} "
+        f"FROM orders LEFT JOIN lineitem "
+        f"  ON l_orderkey = o_orderkey "
+        f" AND l_shipdate <= o_orderdate + INTERVAL {days} DAY "
+        f"WHERE o_orderstatus = '{status}' "
+        f"GROUP BY o_orderkey"
+    )
+
+
 def _gen_query(rng: random.Random) -> str:
     preds = []
     for _ in range(rng.randint(1, 3)):
@@ -128,7 +205,16 @@ def test_differential_sql_corpus(spark, oracle, views, seed):
     rng = random.Random(seed)
     failures = []
     for i in range(N_QUERIES):
-        sql = _gen_window_query(rng) if i % 5 == 4 else _gen_query(rng)
+        if i % 5 == 4:
+            sql = _gen_window_query(rng)
+        elif i % 7 == 1:
+            sql = _gen_setops_query(rng)
+        elif i % 7 == 3:
+            sql = _gen_grouping_sets_query(rng)
+        elif i % 7 == 5:
+            sql = _gen_asof_query(rng)
+        else:
+            sql = _gen_query(rng)
         spark_pdf = spark.sql(sql).toPandas()
         oracle_pdf = oracle.sql(sql).df()
         problems = compare(f"fuzz{i}", spark_pdf, oracle_pdf)
