@@ -57,6 +57,7 @@ HEADLINE = [
     "q9_product_type_profit",
     "q21_waiting_orders",
     "ntile_customer_spend_deciles_ranged",
+    "zorder_tile_stats",
     "range_join_orders_promos",
     "grouping_sets_flag_status",
     "dedup_clusters_cc",

@@ -412,3 +412,61 @@ def salted_join_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(rev.cast("decimal(18,6)")).cast("double").alias("revenue"),
     )
+
+
+# --- z-order layout: oracle-checked Morton arithmetic -----------------------
+
+_Z_BITS = 8
+
+
+def _interleave_sql(a: str, b: str, bits: int = _Z_BITS) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@register(
+    "zorder_tile_stats",
+    oracle=f"""
+    WITH coded AS (
+        SELECT CAST({_interleave_sql('(user_id % 256)', '((epoch_us(ts) // 86400000000) % 256)')}
+                    AS BIGINT) AS z
+        FROM events
+    )
+    SELECT CAST(z >> 10 AS BIGINT) AS tile,
+           COUNT(*) AS n_rows,
+           CAST(MIN(z) AS BIGINT) AS z_min,
+           CAST(MAX(z) AS BIGINT) AS z_max
+    FROM coded GROUP BY 1
+    """,
+    doc="Z-order (Morton) layout arithmetic, value-checked: interleave the "
+    "bits of (user_id, event day) into a Morton code (operators/zorder.py "
+    "interleave_bits — a pure shift/mask codegen chain, the clustering key "
+    "behind Delta/Iceberg ZORDER BY), then per 1024-code tile emit row "
+    "count and the z range. The oracle recomputes the interleave bit-for-"
+    "bit in SQL, so the layout key the writer sorts by is itself oracle-"
+    "gated; tests/test_zorder.py separately proves the file-pruning effect "
+    "of writing in z order. At 100 TB the tile histogram is exactly the "
+    "file-skipping metadata a box query consults.",
+    tags=("layout", "zorder", "custom-operator"),
+)
+def zorder_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_ruby_spark.operators.zorder import interleave_bits
+
+    ev = load_table(spark, sf_dir, "events")
+    z = interleave_bits(
+        F.col("user_id") % 256,
+        F.expr("ts_us div 86400000000") % 256,
+        bits=_Z_BITS,
+    )
+    return (
+        ev.select(z.alias("z"))
+        .groupBy(F.shiftright("z", 10).cast("long").alias("tile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("z").cast("long").alias("z_min"),
+            F.max("z").cast("long").alias("z_max"),
+        )
+    )
