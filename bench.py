@@ -61,6 +61,8 @@ HEADLINE = [
     "range_join_orders_promos",
     "grouping_sets_flag_status",
     "dedup_clusters_cc",
+    "dedup_incremental_minhash",
+    "corpus_mixing_allocation",
     "corpus_budget_cut",
     "corpus_upsert_latest",
     "contamination_ngram_overlap",

@@ -28,6 +28,14 @@ Fidelity details:
   (spec/map_reduce/reducer_spec.rb:37-62).
 - Partition files are the reference's JSON-lines chunk format
   (``json([key, value])`` per line, key-sorted), byte-compatible both ways.
+
+SCALE LIMIT (deliberate): ``Mapper.map`` buffers inputs on the driver —
+faithful to the reference worker, which also accumulates inputs process-
+locally before shuffling, and right for the façade's porting purpose. It is
+NOT the 100 TB path: a pipeline feeding millions of inputs should hand
+``Job.run`` an RDD/DataFrame directly (the map function then runs inside
+Spark tasks against a distributed source), or write reference-format chunks
+to shared storage via ``Job.shuffle_to_files(shared_storage=True)``.
 """
 
 from __future__ import annotations

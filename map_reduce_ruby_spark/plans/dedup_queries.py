@@ -608,3 +608,96 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(hamming <= _HAMMING_MAX).select(
         "doc_a", "doc_b", hamming.cast("long").alias("hamming")
     )
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH hs AS (
+        SELECT doc_id, {{base}} AS hashes
+        FROM documents
+        WHERE len({_TOKENS_SQL}) >= 3
+    ),
+    sig AS (
+        SELECT doc_id, {{sig_cols}}
+        FROM hs
+    ),
+    bands AS (
+        {{bands_union}}
+    ),
+    corpus AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+    batch  AS (SELECT * FROM bands WHERE doc_id % 5 = 0)
+    SELECT n.doc_id AS doc_id,
+           MIN(c.doc_id) AS dup_of,
+           COUNT(DISTINCT n.band_idx) AS n_shared_bands
+    FROM batch n JOIN corpus c
+      ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
+    GROUP BY n.doc_id
+    """.format(
+        base=_base_hashes_sql(_SHINGLES_SQL),
+        sig_cols=", ".join(
+            f"{e} AS mh{i}" for i, e in enumerate(_minhash_sig_sql("hashes"))
+        ),
+        bands_union=" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_idx, "
+            f"md5({' || chr(44) || '.join(f'mh{b * _ROWS_PER_BAND + r}::VARCHAR' for r in range(_ROWS_PER_BAND))}) AS band_hash "
+            f"FROM sig"
+            for b in range(_N_BANDS)
+        ),
+    ),
+    doc="INCREMENTAL near-dedup — the shape a production ingest actually "
+    "runs: a new batch (doc_id % 5 = 0 stands in for today's crawl) is "
+    "checked against the EXISTING corpus's minhash band index without ever "
+    "re-pairing corpus x corpus. Each batch doc reports its lowest-id corpus "
+    "near-dup and how many bands collide. Scale: the corpus band index is "
+    "precomputed once and stored (here derived in-query); per ingest the "
+    "join touches only (batch bands) x (matching buckets) — cost tracks the "
+    "BATCH size, not the corpus size, which is what makes daily dedup "
+    "against a trillion-doc corpus affordable. Same band layout as "
+    "dedup_minhash_lsh, so one index serves both full and incremental "
+    "passes.",
+    tags=("dedup", "minhash", "lsh", "incremental"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", _tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    hashed = toked.select(
+        "doc_id", _base_hashes_spark(_shingles(F.col("toks"))).alias("hs")
+    )
+    sig = hashed.select("doc_id", _minhash_sig_spark(F.col("hs")).alias("sig"))
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * _ROWS_PER_BAND + r + 1).cast("string")
+                                    for r in range(_ROWS_PER_BAND)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    corpus = bands.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("c_doc"), "band_idx", "band_hash"
+    )
+    batch = bands.filter(F.col("doc_id") % 5 == 0)
+    return (
+        batch.join(corpus, ["band_idx", "band_hash"])
+        .groupBy("doc_id")
+        .agg(
+            F.min("c_doc").alias("dup_of"),
+            F.countDistinct("band_idx").alias("n_shared_bands"),
+        )
+    )

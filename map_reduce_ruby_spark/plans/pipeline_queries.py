@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from datetime import date
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from map_reduce_ruby_spark.functions import dsum, dsum_sql, h32, h32_sql
@@ -663,4 +663,66 @@ def corpus_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_current") == 1, F.col("n_chars")).otherwise(0))
         .cast("long")
         .alias("current_chars"),
+    )
+
+
+@register(
+    "corpus_mixing_allocation",
+    oracle="""
+    WITH per_source AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(ROUND(sqrt(CAST(SUM(n_chars) AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS w_fixed
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(w_fixed) AS wsum FROM per_source)
+    SELECT source, n_docs, total_chars,
+           ROUND(CAST(w_fixed AS DOUBLE) / CAST((SELECT wsum FROM tot) AS DOUBLE),
+                 6) AS mix_weight,
+           CAST(ROUND(1000000.0 * CAST(w_fixed AS DOUBLE)
+                      / CAST((SELECT wsum FROM tot) AS DOUBLE))
+                AS BIGINT) AS token_budget
+    FROM per_source
+    """,
+    doc="Temperature-weighted data-mixing allocation (alpha = 0.5): each "
+    "source's sampling weight is size^alpha / sum(size^alpha) — the "
+    "standard down-weighting of giant web sources vs small curated ones "
+    "when composing a training mix — and a 1M-token budget is split "
+    "proportionally. Determinism across engines: sqrt(size) is rounded to "
+    "fixed-point micro-units BEFORE the normalization sum, so the total is "
+    "an exact integer (float addition order never matters) and every share "
+    "is one double division. Scale: one aggregate over the corpus, then "
+    "arithmetic over |sources| rows; the weights table is what the sampler "
+    "joins (broadcast) against the shard stream.",
+    tags=("pipeline", "mixing", "aggregate"),
+)
+def corpus_mixing_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.sqrt(F.sum("n_chars").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("w_fixed"),
+    )
+    # |sources| is tiny at any corpus scale: whole-frame window over the
+    # aggregated series (the q15 pattern), not a driver collect.
+    wsum = F.sum("w_fixed").over(W.partitionBy(F.lit(1)))
+    return (
+        per_source.withColumn("wsum", wsum)
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            F.round(F.col("w_fixed").cast("double") / F.col("wsum").cast("double"), 6).alias(
+                "mix_weight"
+            ),
+            F.round(
+                1_000_000.0 * F.col("w_fixed").cast("double") / F.col("wsum").cast("double")
+            )
+            .cast("long")
+            .alias("token_budget"),
+        )
     )

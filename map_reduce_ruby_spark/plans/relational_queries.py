@@ -955,3 +955,40 @@ def window_range_frame_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double").alias("spend_60d"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_orders_60d"),
     )
+
+
+@register(
+    "approx_median_price_bounds",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+           TRUE AS approx_within_bounds
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="approx_percentile (t-digest-style quantile sketch) gated the same "
+    "way as the HLL query: per return flag, emit the EXACT interpolated "
+    "median (Spark percentile == DuckDB quantile_cont, both (n-1)q linear "
+    "interpolation) plus a boolean asserting the sketch's estimate sits "
+    "within 2% of it. The sketch is the 100 TB path — fixed-size mergeable "
+    "state per group instead of a full sort — and a drifting estimate "
+    "flips the flag and fails the hash gate. The exact twin doubles as the "
+    "per-group accuracy oracle.",
+    tags=("aggregate", "approx", "sketch", "percentile"),
+)
+def approx_median_price_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_p50",
+            (
+                F.abs(F.col("approx_p50") - F.col("exact_p50"))
+                <= 0.02 * F.abs(F.col("exact_p50"))
+            ).alias("approx_within_bounds"),
+        )
+    )

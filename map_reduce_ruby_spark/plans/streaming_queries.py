@@ -208,3 +208,52 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "attributed_value"
         ),
     )
+
+
+@register(
+    "streaming_session_windows",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts_us,
+               CASE WHEN ts_us - lag(ts_us) OVER w > 600000000
+                    OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        FROM (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts_us,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(ts_us) // 1000000 AS BIGINT) AS session_start_s,
+           CAST(MAX(ts_us) // 1000000 + 600 AS BIGINT) AS session_end_s,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="Session windows computed BY THE STREAMING ENGINE (session_window "
+    "over the watermarked file stream, 10-minute gap, availableNow drain): "
+    "every emitted (user, session) row must equal the batch-SQL "
+    "sessionization rebuilt from lag() gap flags — session_end is last "
+    "event + gap, exactly session_window's close rule. This pins the "
+    "replay-consistency of stateful session merging itself (merging "
+    "per-event intervals in the state store), not just the window "
+    "arithmetic its batch twin (events_session_window_batch) checks.",
+    tags=("streaming", "window", "session", "stateful"),
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_ruby_spark.streaming import streaming_sessionize
+
+    name = f"catalog_stream_sessions_{abs(hash(sf_dir)) % 10**8}"
+    out = run_stream_to_memory(
+        streaming_sessionize(streaming_events(spark, sf_dir)),
+        name,
+        output_mode="complete",
+    )
+    return out.select(
+        "user_id",
+        out.session_start_s.cast("long").alias("session_start_s"),
+        out.session_end_s.cast("long").alias("session_end_s"),
+        "n_events",
+    )

@@ -21,6 +21,7 @@ EXECUTING_ENTRIES = {
     "streaming_stateful_totals",
     "streaming_dedup_events",
     "streaming_stream_stream_join",
+    "streaming_session_windows",
     "knn_ivf",
     "dedup_clusters_cc",
     "dedup_cleaned_corpus",

@@ -136,3 +136,37 @@ def test_range_frame_window_partitioned_by_customer(spark, sf_dir):
     # explain prints each node once in the tree and once in the detail list)
     assert plan.count("+- Exchange") == 1, plan
     assert "hashpartitioning(o_custkey" in plan, plan
+
+
+def test_q21_single_orderkey_shuffle_dims_broadcast(spark, sf_dir):
+    """Q21's lo-join, per-order aggregate, and join-back all key on
+    l_orderkey; the supplier/nation sides broadcast; top-100 never global-
+    sorts. A second orderkey repartition would double the dominant shuffle."""
+    from map_reduce_ruby_spark.plans import all_entries
+
+    plan = (
+        all_entries()["q21_waiting_orders"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_dedup_joins_on_band_buckets(spark, sf_dir):
+    """The incremental pass must join batch bands to corpus bands on the
+    (band_idx, band_hash) bucket key — never a cross pairing."""
+    from map_reduce_ruby_spark.plans import all_entries
+
+    plan = (
+        all_entries()["dedup_incremental_minhash"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "band_hash" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
