@@ -33,26 +33,27 @@ from pyspark.sql import functions as F
 # evaluates higher-order-function lambdas interpreted per element (no
 # codegen); unrolling keeps the scan inside whole-stage codegen. Left-
 # associated addition preserves sequential fold order for reproducibility.
+# Chains are built as SQL text and parsed engine-side — a dim-length Column
+# chain costs one py4j round-trip per operator node (seconds of driver time
+# per plan build); parsing the text costs milliseconds. Helpers take column
+# NAMES, not Columns (see plans/similarity_queries.py for the same pattern).
 
 
-def _chain_sum(terms: list[Column]) -> Column:
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
-
-
-def _dot(a: Column, b: Column, dim: int) -> Column:
-    return _chain_sum(
-        [F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)]
+def _dot(a: str, b: str, dim: int) -> Column:
+    return F.expr(
+        " + ".join(
+            f"(element_at({a}, {i}) * element_at({b}, {i}))" for i in range(1, dim + 1)
+        )
     )
 
 
-def _norm(col: Column, dim: int) -> Column:
-    return F.sqrt(
-        _chain_sum(
-            [F.element_at(col, i + 1) * F.element_at(col, i + 1) for i in range(dim)]
+def _norm(c: str, dim: int) -> Column:
+    return F.expr(
+        "sqrt("
+        + " + ".join(
+            f"(element_at({c}, {i}) * element_at({c}, {i}))" for i in range(1, dim + 1)
         )
+        + ")"
     )
 
 
@@ -186,10 +187,10 @@ def ivf_search(
     # join), not per candidate pair — a query probing c candidates would
     # otherwise recompute its 64-term norm c times. Same arithmetic on the
     # same values, so results are bit-identical.
-    qcells = queries.withColumn("qnrm", _norm(F.col("qe"), dim)).select(
+    qcells = queries.withColumn("qnrm", _norm("qe", dim)).select(
         "qid", "qe", "qnrm", F.explode(probe_cells).alias("cell")
     )
-    corpus = assignments.withColumn("cnrm", _norm(F.col("e"), dim))
+    corpus = assignments.withColumn("cnrm", _norm("e", dim))
     # queries x nprobe rows are tiny at any scale — broadcast them so the
     # candidate equi-join is a map-side hash probe over the corpus scan, not
     # a corpus shuffle (the ONLY potential corpus shuffle in the operator).
@@ -200,7 +201,7 @@ def ivf_search(
         F.col("qid").alias("query_id"),
         F.col("id").alias("neighbor_id"),
         F.round(
-            _dot(F.col("qe"), F.col("e"), dim) / (F.col("qnrm") * F.col("cnrm")),
+            _dot("qe", "e", dim) / (F.col("qnrm") * F.col("cnrm")),
             4,
         ).alias("cos_sim"),
     )

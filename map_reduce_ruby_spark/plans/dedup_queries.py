@@ -147,6 +147,53 @@ def _minhash_sig_sql(hashes_expr: str) -> list[str]:
     ]
 
 
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_idx, band_hash) — the LSH BAND INDEX, cached.
+
+    Stage the pipeline as materialized columns (tokens -> shingles -> base
+    hashes -> signature -> band hashes) so each step is computed once per
+    row, not once per hash-family member. The result is cached because
+    every consumer (the full-pairs self-join, the cluster query, and the
+    incremental batch-vs-corpus pass) reads it on BOTH sides of a join —
+    uncached, Spark recomputes the whole shingle/hash pipeline per side.
+    In production this is the persisted band index the ingest maintains;
+    cache() (memory-and-disk) is its in-session stand-in."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", _tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    hashed = toked.select(
+        "doc_id", _base_hashes_spark(_shingles(F.col("toks"))).alias("hs")
+    )
+    sig = hashed.select("doc_id", _minhash_sig_spark(F.col("hs")).alias("sig"))
+    return (
+        sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.md5(
+                                F.concat_ws(
+                                    ",",
+                                    *[
+                                        F.element_at("sig", b * _ROWS_PER_BAND + r + 1).cast("string")
+                                        for r in range(_ROWS_PER_BAND)
+                                    ],
+                                )
+                            ).alias("band_hash"),
+                        )
+                        for b in range(_N_BANDS)
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select("doc_id", "band.band_idx", "band.band_hash")
+        .cache()
+    )
+
+
 # Full candidate-pair SQL, shared by the pair query and the cluster query.
 _LSH_PAIRS_SQL = f"""
     WITH hs AS (
@@ -186,40 +233,7 @@ _LSH_PAIRS_SQL = f"""
     tags=("dedup", "minhash", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    # Stage the pipeline as materialized columns (tokens -> shingles -> base
-    # hashes -> signature) so each step is computed once per row, not once
-    # per hash-family member.
-    toked = docs.select("doc_id", _tokens(F.col("text")).alias("toks")).filter(
-        F.size("toks") >= 3
-    )
-    hashed = toked.select(
-        "doc_id", _base_hashes_spark(_shingles(F.col("toks"))).alias("hs")
-    )
-    sig = hashed.select("doc_id", _minhash_sig_spark(F.col("hs")).alias("sig"))
-    # bands: (doc_id, band_idx, md5 of comma-joined band slice)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * _ROWS_PER_BAND + r + 1).cast("string")
-                                    for r in range(_ROWS_PER_BAND)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(_N_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_hash")
+    bands = _minhash_bands(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -426,9 +440,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    norms = v.withColumn("nrm", _norm(F.col("e")))
+    norms = v.withColumn("nrm", _norm("e"))
     a, b = norms.alias("a"), norms.alias("b")
-    cos = F.round(_dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm")), 4)
+    cos = F.round(_dot("a.e", "b.e") / (F.col("a.nrm") * F.col("b.nrm")), 4)
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
@@ -659,36 +673,7 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "minhash", "lsh", "incremental"),
 )
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", _tokens(F.col("text")).alias("toks")).filter(
-        F.size("toks") >= 3
-    )
-    hashed = toked.select(
-        "doc_id", _base_hashes_spark(_shingles(F.col("toks"))).alias("hs")
-    )
-    sig = hashed.select("doc_id", _minhash_sig_spark(F.col("hs")).alias("sig"))
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * _ROWS_PER_BAND + r + 1).cast("string")
-                                    for r in range(_ROWS_PER_BAND)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(_N_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_hash")
+    bands = _minhash_bands(spark, sf_dir)
     corpus = bands.filter(F.col("doc_id") % 5 != 0).select(
         F.col("doc_id").alias("c_doc"), "band_idx", "band_hash"
     )

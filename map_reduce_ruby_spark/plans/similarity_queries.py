@@ -38,32 +38,32 @@ def _as_double(col) -> Column:
 # scan the bottleneck at sf0.1 (25s -> ~2s after unrolling). The left-
 # associated addition chain keeps the same sequential order as aggregate's
 # fold and DuckDB's list_sum, so results stay bit-identical.
+#
+# The chains are built as SQL TEXT and parsed engine-side (F.expr), not as
+# Python Column arithmetic: a 64-term Column chain makes ~130 py4j calls
+# (one per operator node, ~3.5s of driver time per query build — measured);
+# parsing the equivalent text costs milliseconds. Helpers therefore take
+# column NAMES (optionally qualified, e.g. "a.e"), not Columns.
 
 
-def _dot(a, b) -> Column:
-    terms = [
-        F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(_DIM)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+def _dot(a: str, b: str) -> Column:
+    return F.expr(
+        " + ".join(
+            f"(element_at({a}, {i}) * element_at({b}, {i}))"
+            for i in range(1, _DIM + 1)
+        )
+    )
 
 
-def _dot_lit(e, w: list[float]) -> Column:
-    terms = [F.element_at(e, i + 1) * F.lit(w[i]) for i in range(_DIM)]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
-
-
-def _norm(col) -> Column:
-    sq = [F.element_at(col, i + 1) * F.element_at(col, i + 1) for i in range(_DIM)]
-    out = sq[0]
-    for t in sq[1:]:
-        out = out + t
-    return F.sqrt(out)
+def _norm(c: str) -> Column:
+    return F.expr(
+        "sqrt("
+        + " + ".join(
+            f"(element_at({c}, {i}) * element_at({c}, {i}))"
+            for i in range(1, _DIM + 1)
+        )
+        + ")"
+    )
 
 
 @register(
@@ -99,7 +99,7 @@ def _norm(col) -> Column:
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", _as_double(F.col("embedding")).alias("e")).withColumn(
-        "nrm", _norm(F.col("e"))
+        "nrm", _norm("e")
     )
     q = v.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qnrm")
@@ -110,7 +110,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(_dot(F.col("qe"), F.col("ce")) / (F.col("qnrm") * F.col("cnrm")), 4).alias("cos_sim"),
+        F.round(_dot("qe", "ce") / (F.col("qnrm") * F.col("cnrm")), 4).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -142,19 +142,41 @@ _PLANES: list[list[float]] = [
 ]
 
 
-def _plane_dot_spark(e_col: Column, p: int) -> Column:
-    """<e, w_p> against the literal hyperplane (unrolled codegen-able chain)."""
-    return _dot_lit(e_col, _PLANES[p])
+def _plane_dot_text(e: str, p: int) -> str:
+    """<e, w_p> against the literal hyperplane as SQL text (element * literal
+    order preserved; repr(float) round-trips exactly)."""
+    return " + ".join(
+        f"(element_at({e}, {i + 1}) * {w!r}D)" for i, w in enumerate(_PLANES[p])
+    )
 
 
-def _bucket_spark(e_col: Column) -> Column:
-    bits = [
-        F.when(_plane_dot_spark(e_col, p) > 0, 1 << p).otherwise(0) for p in range(_N_PLANES)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("long")
+def _bucket_spark(e: str) -> Column:
+    return F.expr(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN ({_plane_dot_text(e, p)}) > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(_N_PLANES)
+        )
+        + " AS BIGINT)"
+    )
+
+
+def _lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, e, nrm, bucket) with the signature computation CACHED: the
+    LSH queries consume the signature on BOTH sides of a self-join, and
+    without materialization Spark recomputes the 64-term norm and 6 plane
+    dot products per side (measured 5x slower at sf0.1). In production this
+    is the signature/band INDEX — materialized to storage once and reused
+    across queries and ingests; cache() (memory-and-disk) is its in-session
+    stand-in."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", _as_double(F.col("embedding")).alias("e"))
+    return v.select(
+        "vec_id",
+        "e",
+        _norm("e").alias("nrm"),
+        _bucket_spark("e").alias("bucket"),
+    ).cache()
 
 
 def _plane_dot_sql(p: int) -> str:
@@ -203,11 +225,7 @@ _BUCKET_SQL = " + ".join(
     tags=("similarity", "lsh", "ann"),
 )
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", _as_double(F.col("embedding")).alias("e"))
-    sig = v.select(
-        "vec_id", "e", _norm(F.col("e")).alias("nrm"), _bucket_spark(F.col("e")).alias("bucket")
-    )
+    sig = _lsh_signatures(spark, sf_dir)
     q = sig.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
@@ -227,7 +245,7 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "neighbor_id",
         "bucket",
-        F.round(_dot(F.col("qe"), F.col("ce")) / (F.col("qnrm") * F.col("cnrm")), 4).alias("cos_sim"),
+        F.round(_dot("qe", "ce") / (F.col("qnrm") * F.col("cnrm")), 4).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -383,14 +401,10 @@ def knn_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "embedding", "lsh"),
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", _as_double(F.col("embedding")).alias("e"))
-    sig = v.withColumn("nrm", _norm(F.col("e"))).withColumn(
-        "bucket", _bucket_spark(F.col("e"))
-    )
+    sig = _lsh_signatures(spark, sf_dir)
     a, b = sig.alias("a"), sig.alias("b")
     cos = F.round(
-        _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm")), 4
+        _dot("a.e", "b.e") / (F.col("a.nrm") * F.col("b.nrm")), 4
     )
     return (
         a.join(
