@@ -1,6 +1,7 @@
 from map_reduce_ruby_spark.operators.asof import asof_join
 from map_reduce_ruby_spark.operators.zorder import interleave_bits, zorder_by
 from map_reduce_ruby_spark.operators.bucketing import write_bucketed
+from map_reduce_ruby_spark.operators.compaction import compact
 from map_reduce_ruby_spark.operators.connected_components import connected_components
 from map_reduce_ruby_spark.operators.prefix_sum import exclusive_prefix_sum
 from map_reduce_ruby_spark.operators.range_join import range_join
@@ -23,6 +24,7 @@ __all__ = [
     "build_ivf_index",
     "ivf_search",
     "write_bucketed",
+    "compact",
     "interleave_bits",
     "zorder_by",
     "salted_agg",

@@ -39,11 +39,20 @@ def _gen_window_query(rng: random.Random) -> str:
     so ranks are total-ordered and both engines must emit identical rows."""
     part = rng.choice(["l_returnflag", "l_linestatus", "l_suppkey % 7"])
     val = rng.choice(NUMERIC)
-    arm = rng.choice(["row_number", "rank", "cumsum", "lag"])
+    arm = rng.choice(["row_number", "rank", "cumsum", "lag", "range_frame"])
     if arm in ("row_number", "rank"):
         expr = f"CAST({arm}() OVER w_rk AS BIGINT)"
     elif arm == "lag":
         expr = "CAST(lag(l_orderkey, 1, -1) OVER w_rk AS BIGINT)"
+    elif arm == "range_frame":
+        # value-based frame over an integer order key: equal keys share a
+        # frame, so the result is deterministic without a tie-break
+        k = rng.randint(1, 10)
+        expr = (
+            f"CAST(SUM(CAST({val} AS DECIMAL(18,6))) OVER "
+            f"(PARTITION BY {part} ORDER BY CAST(l_quantity AS BIGINT) "
+            f"RANGE BETWEEN {k} PRECEDING AND CURRENT ROW) AS DOUBLE)"
+        )
     else:
         # stays DOUBLE: double->BIGINT casts truncate in Spark but round in
         # DuckDB, so never cast the cumulative sum
