@@ -371,6 +371,10 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
+    if v.isEmpty():  # empty corpus: no index to build, schema-stable empty result
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rn long"
+        )
     assignments, centroids = build_ivf_index(v, k=16, iterations=2)
     queries = v.filter(F.col("id") < 10).select(
         F.col("id").alias("qid"), F.col("e").alias("qe")

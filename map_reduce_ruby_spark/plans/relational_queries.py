@@ -873,6 +873,8 @@ def ntile_customer_spend_deciles_ranged(spark: SparkSession, sf_dir: str) -> Dat
     bounds = spend.agg(
         F.expr(f"percentile(total_spend, array({qlist}))").alias("bs")
     ).collect()[0].bs
+    if bounds is None:  # zero customers (empty ingest day): no boundaries,
+        bounds = []  # every (nonexistent) row would be decile 1
     decile = F.lit(1)
     for b in bounds:
         decile = decile + (F.col("total_spend") < F.lit(float(b))).cast("int")

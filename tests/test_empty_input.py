@@ -22,6 +22,12 @@ REPRESENTATIVE = [
     "text_repetition_filter",
     "corpus_upsert_latest",
     "events_json_props",
+    "ntile_customer_spend_deciles_ranged",  # quantile collect -> None guard
+    "knn_ivf",                              # empty corpus -> no index build
+    "corpus_mixing_allocation",
+    "dedup_incremental_minhash",
+    "q21_waiting_orders",
+    "zorder_tile_stats",
 ]
 
 

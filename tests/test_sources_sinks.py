@@ -199,3 +199,24 @@ def test_shuffle_to_files_shared_storage_roundtrip(spark, tmp_path):
         v for _, v in Job.reduce_files(spark, sorted(pmap.values()), reduce_fn).collect()
     )
     assert total == sum(merged.values())
+
+
+def test_binaryfile_source_reads_blobs(spark, sf_dir):
+    """spark.read.format('binaryFile'): the ingest path for raw media blobs
+    (images/audio) from object storage — each file becomes (path, modTime,
+    length, content) with the payload as an opaque binary column, exactly
+    the shape operators/multimodal.py processes. Verified byte-for-byte
+    against the filesystem."""
+    import os
+
+    df = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(sf_dir, "documents.parquet"))
+    )
+    rows = df.select("path", "length", "content").collect()
+    assert rows, "binaryFile source read nothing"
+    for r in rows:
+        local = r.path.replace("file:", "")
+        assert r.length == os.path.getsize(local)
+        with open(local, "rb") as f:
+            assert bytes(r.content) == f.read()
