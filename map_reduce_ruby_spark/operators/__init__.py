@@ -2,7 +2,10 @@ from map_reduce_ruby_spark.operators.asof import asof_join
 from map_reduce_ruby_spark.operators.zorder import interleave_bits, zorder_by
 from map_reduce_ruby_spark.operators.bucketing import write_bucketed
 from map_reduce_ruby_spark.operators.compaction import compact
-from map_reduce_ruby_spark.operators.connected_components import connected_components
+from map_reduce_ruby_spark.operators.connected_components import (
+    connected_components,
+    connected_components_star,
+)
 from map_reduce_ruby_spark.operators.prefix_sum import exclusive_prefix_sum
 from map_reduce_ruby_spark.operators.range_join import range_join
 from map_reduce_ruby_spark.operators.ivf import build_ivf_index, ivf_search
@@ -19,6 +22,7 @@ from map_reduce_ruby_spark.operators.multimodal import (
 __all__ = [
     "asof_join",
     "connected_components",
+    "connected_components_star",
     "exclusive_prefix_sum",
     "range_join",
     "build_ivf_index",

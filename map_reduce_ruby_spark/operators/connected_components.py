@@ -19,7 +19,8 @@ Scale notes (100 TB posture):
   count.
 - For high-diameter graphs (long chains — not the dedup shape) the
   large-star/small-star algorithm (Kiveris et al., "Connected Components in
-  MapReduce and Beyond") converges in O(log n) rounds; this module keeps the
+  MapReduce and Beyond") converges in O(log n) rounds —
+  ``connected_components_star`` below implements it; the default stays the
   simpler propagation because dedup graphs are low-diameter, and caps rounds
   at ``max_rounds`` to bound worst-case cost.
 """
@@ -96,3 +97,87 @@ def connected_components(
         )
     finally:
         sym.unpersist()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — the high-diameter
+    fallback for ``connected_components``: a length-d chain needs d rounds
+    of min-label propagation but only O(log d) star rounds, because each
+    round rewires every node toward its neighborhood minimum.
+
+    Per round (both steps are one groupBy-min + one join, shuffled on node):
+      large-star: for each u, every LARGER neighbor v re-points to
+                  m = min(N(u) ∪ {u})   — keeps the graph connected while
+                  collapsing upward edges onto local minima.
+      small-star: for each u (now only smaller-or-equal neighbors remain
+                  relevant), all of N(u) ∪ {u} re-point to m.
+    Fixpoint: the directed edge set stops changing; every edge is then
+    (member -> component root). Same output contract as
+    ``connected_components``: (node, component=min node id in component).
+    """
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    nodes = (
+        e0.select(F.col("a").alias("node"))
+        .union(e0.select(F.col("b").alias("node")))
+        .distinct()
+        .persist()
+    )
+    # current directed forest: (u, v) meaning "u points at v"; start with
+    # both directions so every node sees its full neighborhood.
+    cur = (
+        e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def star(edges_uv: DataFrame, large: bool) -> DataFrame:
+        sym = edges_uv.union(
+            edges_uv.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct()
+        m = sym.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        joined = sym.join(m, "a")
+        if large:
+            out = joined.filter(F.col("b") > F.col("a")).select(
+                F.col("b").alias("a"), F.col("m").alias("b")
+            )
+        else:
+            out = joined.select(F.col("b").alias("a"), F.col("m").alias("b")).union(
+                m.select(F.col("a"), F.col("m").alias("b"))
+            )
+        return out.filter(F.col("a") != F.col("b")).distinct()
+
+    try:
+        for _ in range(max_rounds):
+            nxt = star(star(cur, large=True), large=False).localCheckpoint(eager=True)
+            changed = (
+                nxt.exceptAll(cur).limit(1).count()
+                + cur.exceptAll(nxt).limit(1).count()
+            )
+            cur = nxt
+            if changed == 0:
+                # cur is a star forest: (member -> root); roots self-label
+                labels = cur.select(
+                    F.col("a").alias("node"), F.col("b").alias("component")
+                )
+                return (
+                    nodes.join(labels, "node", "left")
+                    .select(
+                        "node",
+                        F.coalesce("component", F.col("node")).alias("component"),
+                    )
+                )
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} rounds"
+        )
+    finally:
+        nodes.unpersist()

@@ -73,3 +73,40 @@ def test_nonconvergence_raises(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(df, max_rounds=2)
+
+
+def test_star_algorithm_handles_long_chain(spark):
+    """A 200-node chain has diameter 200 — min-label propagation would need
+    200 rounds; large-star/small-star must converge in O(log n)."""
+    from map_reduce_ruby_spark.operators.connected_components import (
+        connected_components_star,
+    )
+
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    comp = connected_components_star(edges, max_rounds=12)
+    rows = comp.collect()
+    assert len(rows) == n + 1
+    assert {r.component for r in rows} == {0}
+
+
+def test_star_matches_min_label_on_random_graphs(spark):
+    """Both algorithms must produce identical components on arbitrary
+    graphs (several seeds, mixed cliques/chains/isolated pairs)."""
+    import random
+
+    from map_reduce_ruby_spark.operators.connected_components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+        edges = [e for e in edges if e[0] != e[1]]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        a = {r.node: r.component for r in connected_components(df).collect()}
+        b = {r.node: r.component for r in connected_components_star(df).collect()}
+        assert a == b, (seed, {k: (a[k], b.get(k)) for k in a if a[k] != b.get(k)})
