@@ -61,6 +61,7 @@ HEADLINE = [
     "range_join_orders_promos",
     "grouping_sets_flag_status",
     "dedup_clusters_cc",
+    "dedup_clusters_cc_star",
     "dedup_incremental_minhash",
     "corpus_mixing_allocation",
     "corpus_budget_cut",

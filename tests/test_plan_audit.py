@@ -24,6 +24,7 @@ EXECUTING_ENTRIES = {
     "streaming_session_windows",
     "knn_ivf",
     "dedup_clusters_cc",
+    "dedup_clusters_cc_star",
     "dedup_cleaned_corpus",
     "corpus_budget_cut",
     "corpus_materialize",

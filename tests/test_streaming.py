@@ -174,3 +174,57 @@ def test_foreachbatch_idempotent_parquet_sink(spark, sf_dir, tmp_path):
     spark.read.parquet(staging).write.mode("overwrite").parquet(first_dir)
     back2 = spark.read.parquet(os.path.join(out, "batch_id=*"))
     assert back2.count() == ev.count()
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, sf_dir, tmp_path):
+    """Incremental replay: a file-stream query restarted with the SAME
+    checkpoint must process only files that arrived since the last run —
+    the property that makes a daily ingest incremental instead of
+    reprocessing the lake every run."""
+    import os
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    stream_dir = str(tmp_path / "incoming")
+    os.makedirs(stream_dir)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    # day 1: one file lands
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        stream_dir + "/day1"
+    )
+    batch_rows: list[int] = []
+
+    def run_once():
+        def sink(batch_df, batch_id):
+            n = batch_df.count()
+            if n:
+                batch_rows.append(n)
+                batch_df.write.mode("append").parquet(out)
+
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 100)
+            .parquet(stream_dir + "/*")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_day1 = sum(batch_rows)
+    assert n_day1 == ev.filter(F.col("event_id") % 2 == 0).count()
+
+    # day 2: a second file lands; restart from the same checkpoint
+    batch_rows.clear()
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        stream_dir + "/day2"
+    )
+    run_once()
+    n_day2 = sum(batch_rows)
+    assert n_day2 == ev.filter(F.col("event_id") % 2 == 1).count(), (
+        "restart reprocessed old files instead of only day2"
+    )
+    assert spark.read.parquet(out).count() == ev.count()
