@@ -157,13 +157,18 @@ def connected_components_star(
         return out.filter(F.col("a") != F.col("b")).distinct()
 
     try:
+        cur_count = cur.count()
         for _ in range(max_rounds):
             nxt = star(star(cur, large=True), large=False).localCheckpoint(eager=True)
-            changed = (
-                nxt.exceptAll(cur).limit(1).count()
-                + cur.exceptAll(nxt).limit(1).count()
-            )
-            cur = nxt
+            # Cheap fixpoint probe: both sides are distinct edge SETS, so
+            # equal cardinality + empty one-direction difference == equality
+            # (one count on checkpointed blocks, and the exceptAll join runs
+            # only in rounds where the counts already agree).
+            nxt_count = nxt.count()
+            changed = 1
+            if nxt_count == cur_count:
+                changed = nxt.exceptAll(cur).limit(1).count()
+            cur, cur_count = nxt, nxt_count
             if changed == 0:
                 # cur is a star forest: (member -> root); roots self-label
                 labels = cur.select(

@@ -145,6 +145,30 @@ def _gen_asof_query(rng: random.Random) -> str:
     )
 
 
+def _gen_text_query(rng: random.Random) -> str:
+    """Documents-table arm: text functions with identical semantics in both
+    dialects (length/lower/substr/token counts — no engine-specific regex
+    classes), grouped by lang/source."""
+    key = rng.choice(["lang", "source", "lang, source"])
+    minlen = rng.randint(10, 300)
+    # dialect-shared text functions only (length/lower/substr/replace):
+    # token-split and list lambdas have engine-specific names and stay in
+    # the hand-written catalog where each side is authored separately.
+    agg = rng.choice(
+        [
+            "CAST(SUM(length(text)) AS BIGINT) AS a0",
+            "COUNT(DISTINCT substr(lower(text), 1, 3)) AS a0",
+            "CAST(MAX(length(text)) AS BIGINT) AS a0",
+            "CAST(SUM(length(replace(text, ' ', ''))) AS BIGINT) AS a0",
+        ]
+    )
+    return (
+        f"SELECT {key}, COUNT(*) AS cnt, {agg} "
+        f"FROM documents WHERE length(text) >= {minlen} "
+        f"GROUP BY {key}"
+    )
+
+
 def _gen_query(rng: random.Random) -> str:
     preds = []
     for _ in range(rng.randint(1, 3)):
@@ -207,6 +231,7 @@ def views(spark, sf_dir):
 
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
 
 
 @pytest.mark.parametrize("seed", [7, 42, 1234])
@@ -222,6 +247,8 @@ def test_differential_sql_corpus(spark, oracle, views, seed):
             sql = _gen_grouping_sets_query(rng)
         elif i % 7 == 5:
             sql = _gen_asof_query(rng)
+        elif i % 7 == 0 and i > 0:
+            sql = _gen_text_query(rng)
         else:
             sql = _gen_query(rng)
         spark_pdf = spark.sql(sql).toPandas()
