@@ -170,3 +170,42 @@ def test_incremental_dedup_joins_on_band_buckets(spark, sf_dir):
     )
     assert "band_hash" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: joining a hive-partitioned fact against a
+    FILTERED dim must inject a runtime pruning subquery so only matching
+    partition directories are scanned — at 100 TB this is the difference
+    between reading one date/type partition and reading the lake."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_ruby_spark.sources import load_table
+
+    out = str(tmp_path / "part_events")
+    load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    ).write.partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+
+    dim = spark.createDataFrame(
+        [("purchase", 1.0), ("view", 0.1), ("click", 0.2)],
+        "event_type string, weight double",
+    ).filter(F.col("weight") > 0.5)  # selects exactly one partition
+
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+        joined = fact.join(dim, "event_type").groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan
+        rows = {r.event_type: r.n for r in joined.collect()}
+        expected = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_type") == "purchase")
+            .count()
+        )
+        assert rows == {"purchase": expected}
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
