@@ -216,6 +216,31 @@ class Job:
           on shared storage (S3/NFS/DBFS mount). No row ever crosses the
           driver; only the path map comes back.
         """
+        if shared_storage:
+            # The path map below comes from a driver-side directory listing,
+            # so this mode requires a path the driver can list directly
+            # (local disk or a mounted shared filesystem). Remote object-
+            # store URIs would write from executors but return an empty map
+            # here — refuse loudly instead; a deployment targeting s3://
+            # lists via its storage client after the write.
+            if "://" in out_dir or out_dir.startswith(("dbfs:", "hdfs:", "s3:")):
+                raise ValueError(
+                    "shuffle_to_files(shared_storage=True) needs a driver-"
+                    f"listable path (local/NFS mount), got {out_dir!r}; for "
+                    "object stores, write with the mr_chunks sink directly "
+                    "and list via the storage client"
+                )
+            if os.path.isdir(out_dir) and any(
+                n.startswith("chunk-") and n.endswith(".jsonl")
+                for n in os.listdir(out_dir)
+            ):
+                raise ValueError(
+                    f"{out_dir!r} already holds chunk files from a previous "
+                    "shuffle — the append-mode writer would interleave "
+                    "generations and the path map would return stale chunks; "
+                    "write each shuffle to a fresh generation directory"
+                )
+
         os.makedirs(out_dir, exist_ok=True)
         result = self.run(spark, inputs, sort_output=True)
 

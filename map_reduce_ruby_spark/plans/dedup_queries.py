@@ -157,7 +157,9 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental batch-vs-corpus pass) reads it on BOTH sides of a join —
     uncached, Spark recomputes the whole shingle/hash pipeline per side.
     In production this is the persisted band index the ingest maintains;
-    cache() (memory-and-disk) is its in-session stand-in."""
+    cache() (memory-and-disk) is its in-session stand-in. Lifetime is the
+    session (a few small columns per document);
+    ``spark.catalog.clearCache()`` releases it."""
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select("doc_id", _tokens(F.col("text")).alias("toks")).filter(
         F.size("toks") >= 3

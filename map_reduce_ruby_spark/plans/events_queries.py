@@ -190,15 +190,18 @@ def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_window_batch",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts_us,
+        SELECT user_id, ts_us, event_id,
                CASE WHEN ts_us - lag(ts_us) OVER w > 600000000
                     OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
         FROM (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events)
         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
     ),
     sess AS (
+        -- running sum carries the SAME total order as the lag window
+        -- (ts_us, event_id): without the tie-break, same-microsecond events
+        -- could be enumerated either way and split one session into two
         SELECT user_id, ts_us,
-               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     )

@@ -168,7 +168,8 @@ def _lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot products per side (measured 5x slower at sf0.1). In production this
     is the signature/band INDEX — materialized to storage once and reused
     across queries and ingests; cache() (memory-and-disk) is its in-session
-    stand-in."""
+    stand-in. Lifetime is the session (bounded by corpus signature size, a
+    few columns per vector); ``spark.catalog.clearCache()`` releases it."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", _as_double(F.col("embedding")).alias("e"))
     return v.select(

@@ -220,3 +220,24 @@ def test_binaryfile_source_reads_blobs(spark, sf_dir):
         assert r.length == os.path.getsize(local)
         with open(local, "rb") as f:
             assert bytes(r.content) == f.read()
+
+
+def test_shuffle_to_files_shared_storage_guards(spark, tmp_path):
+    """The shared-storage mode must refuse (a) object-store URIs the driver
+    cannot list (it would silently return an empty path map) and (b) a
+    directory holding a previous generation's chunks (the append-mode write
+    would interleave generations and the map would return stale files)."""
+    from map_reduce_ruby_spark.core.job import Job
+
+    def map_fn(text):
+        yield text, 1
+
+    job = Job(map_fn=map_fn, reduce_fn=lambda k, a, b: a + b, num_partitions=2)
+
+    with pytest.raises(ValueError, match="driver-listable"):
+        job.shuffle_to_files(spark, ["a"], "s3://bucket/chunks", shared_storage=True)
+
+    out = str(tmp_path / "gen0")
+    job.shuffle_to_files(spark, ["a b"], out, shared_storage=True)
+    with pytest.raises(ValueError, match="fresh generation"):
+        job.shuffle_to_files(spark, ["c d"], out, shared_storage=True)
