@@ -29,6 +29,15 @@ TABLES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Oracle comparisons require UTC: DuckDB is timezone-naive, and several
+    # catalog queries go through session-TZ-dependent functions
+    # (unix_timestamp, date_format, timestamp_ntz casts). session.get_spark
+    # pins UTC at build, but the driver's own session may not — the conf is
+    # runtime-settable, so pin it at every table load.
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's timestamp type
         # rejects; nanosAsLong makes it arrive as a raw nanos bigint. The conf
