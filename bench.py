@@ -70,6 +70,7 @@ HEADLINE = [
     "corpus_upsert_latest",
     "contamination_ngram_overlap",
     "tfidf_top_terms",
+    "text_redact_documents",
     "corpus_materialize",
 ]
 

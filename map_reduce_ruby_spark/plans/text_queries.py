@@ -490,3 +490,34 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("repetition_ok"),
     )
+
+
+@register(
+    "text_redact_documents",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\b(key|hash|value)\b'))
+                AS BIGINT) AS n_redactions,
+           md5(regexp_replace(text, '\b(key|hash|value)\b', '<redacted>', 'g'))
+               AS scrubbed_md5
+    FROM documents
+    """,
+    doc="The redaction TRANSFORM itself (text_redaction_stats covers the "
+    "rollup): per document, the scrubbed text — emitted as its md5 so the "
+    "gate checks every output byte without hashing megabyte rows — plus the "
+    "per-doc hit count. This is the shape a privacy pass materializes (a "
+    "new corpus generation of scrubbed text); both engines run the "
+    "identical word-boundary regex (Java and RE2 agree on this class). "
+    "Scale: narrow scan-side projection, no shuffle at all.",
+    tags=("text", "redaction", "pipeline"),
+)
+def text_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pat = r"\b(key|hash|value)\b"
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(r"regexp_extract_all(text, '\\b(key|hash|value)\\b', 0)"))
+        .cast("long")
+        .alias("n_redactions"),
+        F.md5(F.regexp_replace("text", pat, "<redacted>")).alias("scrubbed_md5"),
+    )

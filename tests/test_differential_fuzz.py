@@ -23,7 +23,7 @@ NUMERIC = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 STRINGS = [("l_returnflag", ["A", "N", "R"]), ("l_linestatus", ["O", "F"])]
 GROUPS = ["l_returnflag", "l_linestatus", "l_suppkey % 7", "l_partkey % 5"]
 
-N_QUERIES = 30
+N_QUERIES = 40
 
 
 # (l_orderkey, l_linenumber) is NOT unique in the fixture; this 7-column
@@ -234,7 +234,7 @@ def views(spark, sf_dir):
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
 
 
-@pytest.mark.parametrize("seed", [7, 42, 1234])
+@pytest.mark.parametrize("seed", [7, 42, 555, 1234])
 def test_differential_sql_corpus(spark, oracle, views, seed):
     rng = random.Random(seed)
     failures = []
