@@ -14,6 +14,11 @@ from pyspark.sql import functions as F
 from map_reduce_ruby_spark.plans.catalog import register
 from map_reduce_ruby_spark.sources import load_table
 
+# The redaction lexicon pattern: ONE Spark-side source of truth shared by
+# text_redaction_stats and text_redact_documents (the oracle SQL keeps its
+# own copy by design — it is the independent implementation).
+_REDACT_PAT = r"\b(key|hash|value)\b"
+
 # A tiny deterministic stopword lexicon per language for the lang-id
 # heuristic. Real language ID would be an n-gram model behind mapInPandas;
 # the heuristic keeps the operator fully SQL-checkable.
@@ -395,11 +400,10 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pat = r"\b(key|hash|value)\b"
     hits = docs.select(
         "lang",
-        F.size(F.expr(f"regexp_extract_all(text, '\\\\b(key|hash|value)\\\\b', 0)")).alias("n_hits"),
-        F.length(F.regexp_replace("text", pat, "<redacted>")).alias("scrubbed_len"),
+        F.size(F.regexp_extract_all("text", F.lit(_REDACT_PAT), 0)).alias("n_hits"),
+        F.length(F.regexp_replace("text", _REDACT_PAT, "<redacted>")).alias("scrubbed_len"),
     )
     return hits.groupBy("lang").agg(
         F.sum("n_hits").cast("long").alias("total_redactions"),
@@ -513,11 +517,10 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pat = r"\b(key|hash|value)\b"
     return docs.select(
         "doc_id",
-        F.size(F.expr(r"regexp_extract_all(text, '\\b(key|hash|value)\\b', 0)"))
+        F.size(F.regexp_extract_all("text", F.lit(_REDACT_PAT), 0))
         .cast("long")
         .alias("n_redactions"),
-        F.md5(F.regexp_replace("text", pat, "<redacted>")).alias("scrubbed_md5"),
+        F.md5(F.regexp_replace("text", _REDACT_PAT, "<redacted>")).alias("scrubbed_md5"),
     )

@@ -32,12 +32,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Oracle comparisons require UTC: DuckDB is timezone-naive, and several
     # catalog queries go through session-TZ-dependent functions
     # (unix_timestamp, date_format, timestamp_ntz casts). session.get_spark
-    # pins UTC at build, but the driver's own session may not — the conf is
-    # runtime-settable, so pin it at every table load.
+    # pins UTC at build, but a caller's session may not — most dangerously,
+    # an unset session inherits the JVM's LOCAL timezone. The conf is
+    # runtime-settable, so pin it here, and say so when that actually
+    # changes something the caller may have set deliberately.
     try:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:
-        pass
+        current = spark.conf.get("spark.sql.session.timeZone", "")
+        if current != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            if current:
+                import warnings
+
+                warnings.warn(
+                    f"load_table pinned spark.sql.session.timeZone to UTC "
+                    f"(was {current!r}): catalog results are defined in UTC",
+                    stacklevel=2,
+                )
+    except Exception as e:  # e.g. a connect session with read-only conf
+        import warnings
+
+        warnings.warn(
+            f"could not pin session timeZone to UTC ({e}); timestamp-derived "
+            "results may not match the UTC-defined oracle",
+            stacklevel=2,
+        )
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's timestamp type
         # rejects; nanosAsLong makes it arrive as a raw nanos bigint. The conf

@@ -24,7 +24,7 @@ def bucketed(spark, sf_dir, tmp_path_factory):
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
 
-def test_bucketed_join_has_no_exchange(spark, bucketed):
+def test_bucketed_join_has_no_exchange(spark, sf_dir, bucketed):
     # At this SF Spark would rather broadcast the small side (also shuffle-
     # free, "Bucketed: false (disabled by query planner)"); disable broadcast
     # to exercise the layout that matters when BOTH sides are fact-sized.
@@ -34,11 +34,19 @@ def test_bucketed_join_has_no_exchange(spark, bucketed):
         joined = spark.table("lineitem_b").join(
             spark.table("orders_b"), F.col("l_orderkey") == F.col("o_orderkey")
         ).select("l_orderkey", "o_custkey", "l_quantity")
-        joined.collect()
+        rows = joined.collect()
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
         assert "SortMergeJoin" in plan, plan
         assert "Bucketed: true" in plan, plan
+        # the bucketed-scan SMJ must also produce the RIGHT rows (the
+        # count-parity test below runs under the broadcast plan, so this is
+        # the only place the aligned-bucket read path is value-checked)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+        assert len(rows) == li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
