@@ -50,6 +50,7 @@ HEADLINE = [
     "salted_skew_agg",
     "df_reduce_by_key_fastpath",
     "multimodal_decode_stats",
+    "multimodal_resize",
     "q6_forecast_revenue",
     "q8_market_share",
     "q10_returned_items",

@@ -14,6 +14,7 @@ from map_reduce_ruby_spark.operators.multimodal import (
     attach_fake_media,
     decode_media,
     extract_features,
+    resize_media,
     sample_frames,
     MEDIA_SCHEMA,
     FEATURE_DIM,
@@ -35,6 +36,7 @@ __all__ = [
     "attach_fake_media",
     "decode_media",
     "extract_features",
+    "resize_media",
     "sample_frames",
     "MEDIA_SCHEMA",
     "FEATURE_DIM",

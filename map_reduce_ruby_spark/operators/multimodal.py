@@ -140,6 +140,47 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     return media.mapInPandas(features, FEATURES_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("payload_resized", T.BinaryType(), False),
+        T.StructField("orig_len", T.LongType(), False),
+        T.StructField("resized_len", T.LongType(), False),
+    ]
+)
+
+
+def resize_media(media: DataFrame, target_len: int = 256) -> DataFrame:
+    """Deterministic 'resize' for the fake codec: uniform stride-k byte
+    sampling down to at most ``target_len`` bytes (stride = ceil(len /
+    target)) — the stand-in for a real image downscale, with the same
+    Arrow-batched mapInPandas plumbing a PIL/ffmpeg resize would use. At
+    scale the point is that payloads shrink SCAN-SIDE before any shuffle
+    or feature pass; a real pipeline chains resize -> extract_features."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs, lens = [], []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                step = max(1, -(-len(arr) // target_len))  # ceil division
+                out = arr[::step].tobytes()
+                outs.append(out)
+                lens.append(len(out))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload_resized": outs,
+                    "orig_len": pdf["payload_len"].astype("int64"),
+                    "resized_len": pd.Series(lens, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(resize, RESIZE_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Aggregate payload stats per media_type — pure column expressions
     (the oracle-checkable face of the multimodal path)."""

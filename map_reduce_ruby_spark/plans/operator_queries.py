@@ -474,3 +474,58 @@ def zorder_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("z").cast("long").alias("z_max"),
         )
     )
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS media_type,
+               hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    resized AS (
+        SELECT doc_id, media_type, n AS orig_len,
+               CAST(CEIL(CAST(n AS DOUBLE)
+                         / GREATEST(1, CAST(CEIL(n / 256.0) AS BIGINT)))
+                    AS BIGINT) AS resized_len,
+               list_aggregate(
+                   list_transform(
+                       range(0, CAST(CEIL(CAST(n AS DOUBLE)
+                               / GREATEST(1, CAST(CEIL(n / 256.0) AS BIGINT)))
+                             AS BIGINT)),
+                       k -> substr(h, 2 * CAST(k * GREATEST(1,
+                                CAST(CEIL(n / 256.0) AS BIGINT)) AS BIGINT) + 1, 2)),
+                   'string_agg', '') AS resized_hex
+        FROM media
+    )
+    SELECT doc_id, media_type, orig_len, resized_len,
+           md5(resized_hex) AS resized_md5
+    FROM resized
+    """,
+    doc="Multimodal RESIZE (operators/multimodal.py resize_media): uniform "
+    "stride-k byte downsampling to <=256 bytes — the fake-codec stand-in "
+    "for an image downscale, same mapInPandas Arrow plumbing a PIL resize "
+    "plugs into. The oracle reconstructs the EXACT sampled byte sequence "
+    "from hex(encode(text)) (hex chars 2i+1..2i+2 are byte i) and must "
+    "agree on every output byte via the resized payload's hex md5 — the "
+    "full binary-out path is value-gated, not just row-counted. Scale: "
+    "payloads shrink scan-side before any shuffle; downstream feature "
+    "passes read 256 bytes instead of megabytes.",
+    tags=("multimodal", "custom-operator"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_ruby_spark.operators import resize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_media(attach_fake_media(docs), target_len=256)
+    return resized.select(
+        "doc_id",
+        "media_type",
+        "orig_len",
+        "resized_len",
+        F.md5(F.hex("payload_resized")).alias("resized_md5"),
+    )

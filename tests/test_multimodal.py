@@ -68,3 +68,19 @@ def test_features_match_numpy(media, spark, sf_dir):
         assert vec.shape == (FEATURE_DIM,)
         np.testing.assert_array_equal(vec, expected)
         assert abs(vec.sum() - 1.0) < 1e-5
+
+
+def test_resize_media_stride_sampling(media):
+    """resize_media: uniform stride-k sampling to <=256 bytes, byte-exact
+    against numpy on the driver."""
+    from map_reduce_ruby_spark.operators import resize_media
+
+    rows = {r.doc_id: r for r in resize_media(media).filter(F.col("doc_id") < 5).collect()}
+    orig = {r.doc_id: bytes(r.payload) for r in media.filter(F.col("doc_id") < 5).collect()}
+    for doc_id, r in rows.items():
+        arr = np.frombuffer(orig[doc_id], dtype=np.uint8)
+        step = max(1, -(-len(arr) // 256))
+        expected = arr[::step].tobytes()
+        assert bytes(r.payload_resized) == expected
+        assert r.orig_len == len(arr)
+        assert r.resized_len == len(expected) <= 256
