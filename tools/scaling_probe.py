@@ -1,0 +1,99 @@
+"""Scaling probe: run representative headline shapes at 1x/4x/16x the sf0.1
+row count (unioned scans of the same parquet — real I/O and compute, same
+plans) and report wall time per scale. The point is the SHAPE of the curve:
+fixed overhead should dominate at 1x and amortize toward linear-in-rows cost
+by 16x, which is the behavior that extrapolates to a 1000-executor cluster.
+
+Usage: python tools/scaling_probe.py   (writes one JSON line to stdout)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from functools import reduce
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _scaled(df: DataFrame, k: int) -> DataFrame:
+    return reduce(DataFrame.union, [df] * k)
+
+
+def main() -> int:
+    from map_reduce_ruby_spark.functions import dsum
+    from map_reduce_ruby_spark.session import get_spark
+    from map_reduce_ruby_spark.sources import load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="scaling_probe")
+    li0 = load_table(spark, sf_dir, "lineitem")
+    orders0 = load_table(spark, sf_dir, "orders")
+    ev0 = load_table(spark, sf_dir, "events")
+
+    def q_agg(li):  # q1 shape: scan-filter-8-aggregate
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n"))
+        )
+
+    def q_join(li):  # q18 shape: self-agg + semi join + re-agg
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty"))
+            .filter(F.col("qty") > 250)
+        )
+        return (
+            li.join(big.select("l_orderkey"), "l_orderkey", "left_semi")
+            .groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def q_window(ev):  # sessionize shape: window over user partitions
+        w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+        gap = F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w) > 600_000_000)
+            | F.lag("ts_us").over(w).isNull(),
+            1,
+        ).otherwise(0)
+        return (
+            ev.select("user_id", "ts_us", "event_id")
+            .withColumn("new_s", gap)
+            .groupBy("user_id")
+            .agg(F.sum("new_s").alias("n_sessions"))
+        )
+
+    results = {}
+    for k in (1, 4, 16):
+        li, ev = _scaled(li0, k), _scaled(ev0, k)
+        for name, frame in (
+            ("agg", q_agg(li)),
+            ("semi_join", q_join(li)),
+            ("window", q_window(ev)),
+        ):
+            frame.count()  # warm
+            t0 = time.perf_counter()
+            frame.count()
+            results[f"{name}_x{k}"] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "scaling_probe",
+        "base_rows": {"lineitem": li0.count(), "events": ev0.count()},
+        "times_s": results,
+        "amortization": {
+            name: round(results[f"{name}_x16"] / max(results[f"{name}_x1"], 1e-9), 2)
+            for name in ("agg", "semi_join", "window")
+        },
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
