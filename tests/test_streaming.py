@@ -228,3 +228,37 @@ def test_checkpoint_restart_processes_only_new_files(spark, sf_dir, tmp_path):
         "restart reprocessed old files instead of only day2"
     )
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_rocksdb_state_store_matches_default(spark, sf_dir):
+    """Streaming aggregation under the RocksDB state store provider — the
+    production backend once keyed state outgrows executor heap (state lives
+    off-heap/on-disk with incremental checkpoints) — must produce exactly
+    the HDFS-backed default provider's results."""
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        got = run_stream_to_memory(
+            streaming_tumbling_counts(streaming_events(spark, sf_dir)),
+            "t_tumbling_rocksdb",
+        )
+        ev = load_table(spark, sf_dir, "events")
+        expected = (
+            ev.withColumn("bucket_start_s", F.expr("ts_us div 300000000") * 300)
+            .groupBy("bucket_start_s", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                    "total_value"
+                ),
+            )
+        )
+        pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(expected))
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
