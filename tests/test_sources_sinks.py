@@ -241,3 +241,28 @@ def test_shuffle_to_files_shared_storage_guards(spark, tmp_path):
     job.shuffle_to_files(spark, ["a b"], out, shared_storage=True)
     with pytest.raises(ValueError, match="fresh generation"):
         job.shuffle_to_files(spark, ["c d"], out, shared_storage=True)
+
+
+def test_schema_evolution_merge_on_read(spark, sf_dir, tmp_path):
+    """Schema evolution: a v2 writer adds a column; mergeSchema=true unifies
+    generations on read (v1 rows null-filled), and column pruning still
+    reaches the scan — the append-only evolution path a long-lived lake
+    table follows (table formats add metadata on top; the parquet mechanics
+    are these)."""
+    out = str(tmp_path / "evolving")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("doc_id", "lang").write.parquet(out + "/gen=1")
+    docs.select(
+        "doc_id", "lang", F.col("n_chars").alias("quality_score")
+    ).write.parquet(out + "/gen=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"doc_id", "lang", "quality_score", "gen"}
+    n = docs.count()
+    assert merged.count() == 2 * n
+    # v1 generation rows surface the new column as NULL
+    assert merged.filter(F.col("gen") == 1).filter(F.col("quality_score").isNull()).count() == n
+    assert merged.filter(F.col("gen") == 2).filter(F.col("quality_score").isNotNull()).count() == n
+    # and the evolved column aggregates correctly across generations
+    expected = docs.agg(F.sum("n_chars")).first()[0]
+    assert merged.agg(F.sum("quality_score")).first()[0] == expected
