@@ -266,3 +266,27 @@ def test_schema_evolution_merge_on_read(spark, sf_dir, tmp_path):
     # and the evolved column aggregates correctly across generations
     expected = docs.agg(F.sum("n_chars")).first()[0]
     assert merged.agg(F.sum("quality_score")).first()[0] == expected
+
+
+def test_corrupt_file_resilience(spark, sf_dir, tmp_path):
+    """A single corrupt file in a million-file table must not kill the
+    nightly job when ignoreCorruptFiles is on — and must fail loudly when
+    it is off (silent-by-default would hide data loss)."""
+    out = str(tmp_path / "with_corruption")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.coalesce(1).write.parquet(out)
+    with open(os.path.join(out, "part-corrupt.parquet"), "wb") as f:
+        f.write(b"PAR1 this is not a parquet file")
+
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    try:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+        with pytest.raises(Exception):
+            spark.read.parquet(out).count()
+
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        back = spark.read.parquet(out)
+        assert back.count() == nation.count()
+        assert {r.n_name for r in back.collect()} == {r.n_name for r in nation.collect()}
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
