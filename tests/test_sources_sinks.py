@@ -290,3 +290,28 @@ def test_corrupt_file_resilience(spark, sf_dir, tmp_path):
         assert {r.n_name for r in back.collect()} == {r.n_name for r in nation.collect()}
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+
+
+def test_max_partition_bytes_controls_scan_parallelism(spark, sf_dir):
+    """spark.sql.files.maxPartitionBytes is the scan-sizing knob from the
+    100 TB posture: smaller split targets must yield more input partitions
+    over the same file, which is how scan parallelism (and per-task memory)
+    is tuned to executor size."""
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        # openCostInBytes floors the split size (its 4 MB default swallows
+        # the small test fixture entirely) — pin it low so the split math
+        # is driven by maxPartitionBytes, as it is on real multi-GB files
+        spark.conf.set("spark.sql.files.openCostInBytes", "1024")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        wide = spark.read.parquet(f"{sf_dir}/lineitem.parquet").rdd.getNumPartitions()
+        # the effective split is min(maxPartitionBytes, max(openCost,
+        # totalBytes/defaultParallelism)): to make maxPartitionBytes the
+        # binding term on a small fixture it must undercut bytes-per-core
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        narrow = spark.read.parquet(f"{sf_dir}/lineitem.parquet").rdd.getNumPartitions()
+        assert narrow > wide, (narrow, wide)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_open)
