@@ -145,6 +145,30 @@ def _gen_asof_query(rng: random.Random) -> str:
     )
 
 
+def _gen_subquery_query(rng: random.Random) -> str:
+    """IN / NOT IN / EXISTS subquery arm: both engines decorrelate these to
+    semi/anti joins — the rewrite path the catalog's q4/q16/q18/q22 shapes
+    rely on, here exercised with generated predicates."""
+    q = round(rng.uniform(30, 48), 1)
+    form = rng.choice(["IN", "NOT IN", "EXISTS", "NOT EXISTS"])
+    if form in ("IN", "NOT IN"):
+        sub = f"SELECT l_orderkey FROM lineitem WHERE l_quantity >= {q}"
+        where = f"o_orderkey {form} ({sub})"
+    else:
+        sub = (
+            "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+            f"AND l_quantity >= {q}"
+        )
+        where = f"{form} ({sub})"
+    status = rng.choice(["O", "F", "P"])
+    return (
+        f"SELECT o_orderstatus, COUNT(*) AS cnt, "
+        f"CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS s0 "
+        f"FROM orders WHERE o_orderstatus = '{status}' AND ({where}) "
+        f"GROUP BY o_orderstatus"
+    )
+
+
 def _gen_text_query(rng: random.Random) -> str:
     """Documents-table arm: text functions with identical semantics in both
     dialects (length/lower/substr/token counts — no engine-specific regex
@@ -249,6 +273,8 @@ def test_differential_sql_corpus(spark, oracle, views, seed):
             sql = _gen_asof_query(rng)
         elif i % 7 == 0 and i > 0:
             sql = _gen_text_query(rng)
+        elif i % 7 == 2 and i % 5 != 4:
+            sql = _gen_subquery_query(rng)
         else:
             sql = _gen_query(rng)
         spark_pdf = spark.sql(sql).toPandas()
