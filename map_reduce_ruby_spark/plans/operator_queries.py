@@ -492,14 +492,17 @@ def zorder_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CEIL(CAST(n AS DOUBLE)
                          / GREATEST(1, CAST(CEIL(n / 256.0) AS BIGINT)))
                     AS BIGINT) AS resized_len,
-               list_aggregate(
+               -- COALESCE: list_aggregate over an EMPTY list (zero-length
+               -- payload) is NULL in DuckDB, while Spark yields md5 of the
+               -- empty string — align on ''
+               COALESCE(list_aggregate(
                    list_transform(
                        range(0, CAST(CEIL(CAST(n AS DOUBLE)
                                / GREATEST(1, CAST(CEIL(n / 256.0) AS BIGINT)))
                              AS BIGINT)),
                        k -> substr(h, 2 * CAST(k * GREATEST(1,
                                 CAST(CEIL(n / 256.0) AS BIGINT)) AS BIGINT) + 1, 2)),
-                   'string_agg', '') AS resized_hex
+                   'string_agg', ''), '') AS resized_hex
         FROM media
     )
     SELECT doc_id, media_type, orig_len, resized_len,

@@ -273,7 +273,7 @@ def test_differential_sql_corpus(spark, oracle, views, seed):
             sql = _gen_asof_query(rng)
         elif i % 7 == 0 and i > 0:
             sql = _gen_text_query(rng)
-        elif i % 7 == 2 and i % 5 != 4:
+        elif i % 7 == 2:
             sql = _gen_subquery_query(rng)
         else:
             sql = _gen_query(rng)

@@ -23,12 +23,11 @@ def _sorted_pdf(df) -> pd.DataFrame:
     return pdf[sorted(pdf.columns)].sort_values(by=sorted(pdf.columns)).reset_index(drop=True)
 
 
-def test_streaming_tumbling_equals_batch(spark, sf_dir):
-    got = run_stream_to_memory(
-        streaming_tumbling_counts(streaming_events(spark, sf_dir)), "t_tumbling"
-    )
-    ev = load_table(spark, sf_dir, "events")
-    expected = (
+def _tumbling_batch_expected(ev):
+    """The batch twin of streaming_tumbling_counts — shared by the default-
+    and RocksDB-state-store equivalence tests so both pin the SAME
+    semantics."""
+    return (
         ev.withColumn("bucket_start_s", F.expr("ts_us div 300000000") * 300)
         .groupBy("bucket_start_s", "event_type")
         .agg(
@@ -36,6 +35,13 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir):
             (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("total_value"),
         )
     )
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    got = run_stream_to_memory(
+        streaming_tumbling_counts(streaming_events(spark, sf_dir)), "t_tumbling"
+    )
+    expected = _tumbling_batch_expected(load_table(spark, sf_dir, "events"))
     pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(expected))
 
 
@@ -248,17 +254,7 @@ def test_rocksdb_state_store_matches_default(spark, sf_dir):
             streaming_tumbling_counts(streaming_events(spark, sf_dir)),
             "t_tumbling_rocksdb",
         )
-        ev = load_table(spark, sf_dir, "events")
-        expected = (
-            ev.withColumn("bucket_start_s", F.expr("ts_us div 300000000") * 300)
-            .groupBy("bucket_start_s", "event_type")
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
-                    "total_value"
-                ),
-            )
-        )
+        expected = _tumbling_batch_expected(load_table(spark, sf_dir, "events"))
         pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(expected))
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

@@ -33,7 +33,6 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="scaling_probe")
     li0 = load_table(spark, sf_dir, "lineitem")
-    orders0 = load_table(spark, sf_dir, "orders")
     ev0 = load_table(spark, sf_dir, "events")
 
     def q_agg(li):  # q1 shape: scan-filter-8-aggregate
