@@ -66,6 +66,9 @@ HEADLINE = [
     "dedup_clusters_cc",
     "dedup_clusters_cc_star",
     "dedup_incremental_minhash",
+    "dedup_span_ngram",
+    "dedup_semantic_ivf",
+    "corpus_global_shuffle",
     "corpus_mixing_allocation",
     "corpus_budget_cut",
     "corpus_upsert_latest",

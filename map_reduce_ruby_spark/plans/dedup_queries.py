@@ -729,3 +729,87 @@ def dedup_clusters_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.max("node").alias("max_doc_id"),
     )
+
+
+# --- exact-substring span dedup ---------------------------------------------
+#
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") remove every substring that occurs more than once in the corpus,
+# found via a suffix array. The distributed re-expression: positional word
+# n-grams (the fixed-width analogue of suffix-array match seeds), a corpus-
+# wide occurrence count per gram, and a gaps-and-islands merge of adjacent
+# duplicated positions back into maximal spans. The reference engine has no
+# such operator (its only dataflow is map/shuffle/reduce,
+# /root/reference/lib/map_reduce/mapper.rb:43-55); this is an extension.
+
+_SPAN_N = 5  # gram width in tokens
+
+
+@register(
+    "dedup_span_ngram",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKENS_SQL} AS tok FROM documents
+    ),
+    g AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' ' ||
+               tok[i+3] || ' ' || tok[i+4] AS gram
+        FROM base, UNNEST(range(1, len(tok) - {_SPAN_N - 2})) AS t(i)
+    ),
+    d AS (
+        SELECT doc_id, pos,
+               COUNT(*) OVER (PARTITION BY {h32_sql('gram')}) AS cnt
+        FROM g
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM d WHERE cnt >= 2
+    )
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           MAX(pos) + {_SPAN_N - 1} AS span_end,
+           COUNT(*) AS n_grams
+    FROM isl GROUP BY doc_id, grp
+    """,
+    doc="Exact-substring span dedup (Lee et al. 2022, suffix-array dedup "
+    "re-expressed distributed): positional word-5-grams, corpus-wide "
+    "occurrence count per gram hash (one shuffle on the uniform 32-bit "
+    "gram hash), then adjacent duplicated positions merged into maximal "
+    "spans per doc with gaps-and-islands (window partitioned by doc_id). "
+    "Output = the (start, end) token spans a trainer would cut. At 100 TB "
+    "each stage stays narrow or shuffles on a uniform key; no join ever "
+    "pairs documents.",
+    tags=("dedup", "span", "extension"),
+)
+def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = _SPAN_N
+    base = docs.select("doc_id", _tokens(F.col("text")).alias("tok"))
+    # 1-based gram start positions; guard short docs (sequence() would step
+    # BACKWARD for size(tok) < n and fabricate positions).
+    idx = F.when(
+        F.size("tok") >= n, F.sequence(F.lit(1), F.size("tok") - (n - 1))
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    gram = F.expr(
+        "concat_ws(' ', " + ", ".join(f"element_at(tok, pos + {j})" for j in range(n)) + ")"
+    )
+    g = base.select("doc_id", F.explode(idx).alias("pos"), "tok").select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), gram.alias("gram")
+    )
+    d = g.withColumn("cnt", F.count(F.lit(1)).over(W.partitionBy(h32(F.col("gram")))))
+    isl = (
+        d.filter(F.col("cnt") >= 2)
+        .withColumn(
+            "grp",
+            F.col("pos") - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+        )
+    )
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (n - 1)).alias("span_end"),
+        F.count(F.lit(1)).alias("n_grams"),
+    ).drop("grp")

@@ -297,8 +297,12 @@ def _ivf_iteration_sql(i: int) -> str:
     cs{i} AS (SELECT list(ce ORDER BY cell) AS cs FROM c{i})"""
 
 
-_IVF_ORACLE = f"""
-    WITH v AS (
+# CTE chain up to the final cell assignment `af` — shared by the knn_ivf
+# oracle and the SemDeDup oracle (similarity_queries.dedup_semantic_ivf),
+# which reuses the identical deterministic k-means so BOTH consumers of the
+# index build are gated on the same independent SQL rebuild.
+IVF_AF_CTES = f"""
+    v AS (
         SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         FROM embeddings
     ),
@@ -317,7 +321,10 @@ _IVF_ORACLE = f"""
                      list_transform((SELECT cs FROM cs2), c ->
                          {_ivf_sqdist_sql('e', 'c')}) AS d
               FROM v)
-    ),
+    )"""
+
+_IVF_ORACLE = f"""
+    WITH {IVF_AF_CTES},
     qd AS (
         SELECT q.id AS qid, q.e AS qe, c.cell,
                {_ivf_sqdist_sql('q.e', 'c.ce')} AS d

@@ -726,3 +726,79 @@ def corpus_mixing_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("token_budget"),
         )
     )
+
+
+# --- training-order shuffle + per-domain quotas ------------------------------
+
+_N_SHUFFLE_SHARDS = 8
+_DOMAIN_QUOTA = 10
+
+
+@register(
+    "corpus_global_shuffle",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               {h32_sql("CAST(doc_id AS VARCHAR)", seed=7)} % {_N_SHUFFLE_SHARDS} AS shard,
+               {h32_sql("CAST(doc_id AS VARCHAR)", seed=11)} AS ord_hash
+        FROM documents
+    )
+    SELECT doc_id, shard, ord_hash,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY ord_hash, doc_id) AS BIGINT) AS ord_in_shard
+    FROM s
+    """,
+    doc="Deterministic training-order shuffle: every doc gets a seeded-hash "
+    "shard (uniform, data-independent) and a seeded order hash; within each "
+    "shard, ord_in_shard is the reproducible pseudorandom read order. This "
+    "is how an epoch order is laid down at 100 TB: NO global row_number "
+    "(which would serialize through one partition — the NTILE trap flagged "
+    "in round 1); the only window is partitioned by shard, so each of the "
+    "N_shards ranks runs parallel and bounded. Re-running with the same "
+    "seeds reproduces the exact order — resumable training.",
+    tags=("pipeline", "sampling", "extension"),
+)
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.col("doc_id").cast("string")
+    s = docs.select(
+        "doc_id",
+        (h32(key, seed=7) % _N_SHUFFLE_SHARDS).alias("shard"),
+        h32(key, seed=11).alias("ord_hash"),
+    )
+    w = W.partitionBy("shard").orderBy("ord_hash", "doc_id")
+    return s.withColumn("ord_in_shard", F.row_number().over(w).cast("long"))
+
+
+@register(
+    "domain_quota_sample",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY {h32_sql("CAST(doc_id AS VARCHAR)", seed=13)},
+                                           doc_id) AS rk
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {_DOMAIN_QUOTA}
+    """,
+    doc="Per-domain quota sampling (the CommonCrawl-style cap: no source may "
+    "dominate the corpus): rank each source's docs by a seeded hash — a "
+    "reproducible uniform sample, not head-of-file bias — and keep the "
+    "first 10. One window partitioned by source; at 100 TB a pathologically "
+    "hot domain makes that partition wide, in which case the rank is "
+    "replaced by the same hash with a threshold chosen from a per-source "
+    "count (join on the count, filter hash < quota/count * 2^32 — no window "
+    "at all); documented here, window form kept while quotas are small.",
+    tags=("pipeline", "sampling", "extension"),
+)
+def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        h32(F.col("doc_id").cast("string"), seed=13), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= _DOMAIN_QUOTA)
+    )

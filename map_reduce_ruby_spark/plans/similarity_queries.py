@@ -420,3 +420,84 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.35)
     )
+
+
+# --- SemDeDup (semantic dedup inside k-means cells) -------------------------
+
+# operator_queries loads before this module in catalog.all_entries(); the
+# import only pulls the shared k-means CTE text, no registration cycle.
+from map_reduce_ruby_spark.plans.operator_queries import IVF_AF_CTES  # noqa: E402
+
+_SEM_TAU = 0.35  # same fixture knee as dedup_embedding_lsh
+
+
+@register(
+    "dedup_semantic_ivf",
+    oracle=f"""
+    WITH {IVF_AF_CTES},
+    sig AS (
+        SELECT id, e, CAST(cell AS BIGINT) AS cell,
+               sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+        FROM af
+    ),
+    p AS (
+        SELECT a.cell AS cell, b.id AS drop_vec_id, a.id AS rep_id,
+               ROUND(list_sum(list_transform(range(1, {_DIM + 1}),
+                     i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 4) AS cos_sim
+        FROM sig a JOIN sig b ON a.cell = b.cell AND a.id < b.id
+    )
+    SELECT cell, drop_vec_id,
+           COUNT(*) AS n_near_dups,
+           MAX(cos_sim) AS max_cos,
+           MIN(rep_id) AS rep_vec_id
+    FROM p WHERE cos_sim >= {_SEM_TAU}
+    GROUP BY cell, drop_vec_id
+    """,
+    doc="SemDeDup (Abbas et al. 2023): k-means-cluster the embedding corpus "
+    "(the knn_ivf index build, operators/ivf.py — deterministic strided "
+    "seeds + 2 Lloyd iterations), then mark near-duplicates by exact cosine "
+    ">= 0.35 WITHIN cells only; each dropped vector reports its duplicate "
+    "count, max similarity, and lowest-id representative. Pairwise cost is "
+    "sum(cell^2), never corpus^2 — the property that makes semantic dedup "
+    "runnable at 100 TB. The oracle rebuilds the identical k-means in SQL "
+    "(shared CTE chain with knn_ivf), so the cluster assignment feeding the "
+    "dedup decision is value-checked, not assumed.",
+    tags=("dedup", "embedding", "semantic", "custom-operator"),
+)
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_ruby_spark.operators import build_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.col("vec_id").alias("id"), _as_double(F.col("embedding")).alias("e")
+    )
+    if v.isEmpty():
+        return spark.createDataFrame(
+            [], "cell long, drop_vec_id long, n_near_dups long, max_cos double, rep_vec_id long"
+        )
+    assignments, _centroids = build_ivf_index(v, k=16, iterations=2)
+    sig = assignments.select(
+        F.col("cell").cast("long").alias("cell"), "id", "e"
+    ).withColumn("nrm", _norm("e"))
+    a, b = sig.alias("a"), sig.alias("b")
+    cos = F.round(_dot("a.e", "b.e") / (F.col("a.nrm") * F.col("b.nrm")), 4)
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.cell").alias("cell"),
+            F.col("b.id").alias("drop_vec_id"),
+            F.col("a.id").alias("rep_id"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _SEM_TAU)
+    )
+    return pairs.groupBy("cell", "drop_vec_id").agg(
+        F.count(F.lit(1)).alias("n_near_dups"),
+        F.max("cos_sim").alias("max_cos"),
+        F.min("rep_id").alias("rep_vec_id"),
+    )
+
+
