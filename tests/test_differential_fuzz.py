@@ -193,6 +193,65 @@ def _gen_text_query(rng: random.Random) -> str:
     )
 
 
+def _gen_outer_join_query(rng: random.Random) -> str:
+    """NULL-semantics arm: LEFT / FULL OUTER joins null-extend rows, so
+    COUNT(col) vs COUNT(*), COALESCE sentinels, and join keys that miss must
+    agree across engines — the rule the catalog's anti-join/asof queries pin,
+    here exercised with generated thresholds."""
+    if rng.random() < 0.5:
+        hi = round(rng.uniform(100, 400) * 1000, 1)
+        return (
+            f"SELECT c_mktsegment, COUNT(*) AS n_rows, "
+            f"COUNT(o_orderkey) AS n_orders, "
+            f"CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 0) AS DOUBLE) AS s0 "
+            f"FROM customer LEFT JOIN orders ON o_custkey = c_custkey "
+            f"AND o_totalprice < {hi} "
+            f"GROUP BY c_mktsegment"
+        )
+    a, b = rng.randint(2, 6), rng.randint(2, 6)
+    return (
+        f"SELECT COALESCE(a.k, -1) AS ka, COALESCE(b.k, -1) AS kb, "
+        f"COALESCE(a.cnt, 0) AS ca, COALESCE(b.cnt, 0) AS cb "
+        f"FROM (SELECT o_custkey % {a} AS k, COUNT(*) AS cnt FROM orders "
+        f"WHERE o_orderstatus = 'O' GROUP BY o_custkey % {a}) a "
+        f"FULL JOIN (SELECT o_custkey % {b} AS k, COUNT(*) AS cnt FROM orders "
+        f"WHERE o_orderstatus = 'F' GROUP BY o_custkey % {b}) b "
+        f"ON a.k = b.k"
+    )
+
+
+def _gen_conditional_agg_query(rng: random.Random) -> str:
+    """Conditional-aggregation arm: CASE buckets as group keys plus the
+    standard FILTER (WHERE ...) aggregate clause — both engines implement
+    the clause natively; empty filter groups must agree (NULL sum vs 0)."""
+    q = round(rng.uniform(10, 40), 1)
+    d = round(rng.uniform(0.0, 0.08), 3)
+    val = rng.choice(NUMERIC)
+    bucket = f"CASE WHEN l_quantity < {q} THEN 'lo' ELSE 'hi' END"
+    return (
+        f"SELECT l_returnflag, {bucket} AS bucket, COUNT(*) AS cnt, "
+        f"COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_open, "
+        f"CAST(COALESCE(SUM(CAST({val} AS DECIMAL(18,6))) "
+        f"FILTER (WHERE l_discount > {d}), 0) AS DOUBLE) AS s0 "
+        f"FROM lineitem GROUP BY l_returnflag, {bucket}"
+    )
+
+
+def _gen_date_query(rng: random.Random) -> str:
+    """Date-part arm: EXTRACT over the orders timestamp (YEAR/MONTH/QUARTER
+    are ANSI and integer-valued in both dialects; date_trunc return types
+    diverge and stay in the hand-written catalog)."""
+    part = rng.choice(["YEAR", "MONTH", "QUARTER"])
+    status = rng.choice(["O", "F", "P"])
+    return (
+        f"SELECT CAST(EXTRACT({part} FROM o_orderdate) AS BIGINT) AS g0, "
+        f"COUNT(*) AS cnt, "
+        f"CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS s0 "
+        f"FROM orders WHERE o_orderstatus <> '{status}' "
+        f"GROUP BY CAST(EXTRACT({part} FROM o_orderdate) AS BIGINT)"
+    )
+
+
 def _gen_query(rng: random.Random) -> str:
     preds = []
     for _ in range(rng.randint(1, 3)):
@@ -256,6 +315,22 @@ def views(spark, sf_dir):
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+
+
+# Round-robin over every arm: with N_QUERIES=40 each arm runs 4x per seed.
+ARMS = [
+    _gen_query,
+    _gen_window_query,
+    _gen_setops_query,
+    _gen_grouping_sets_query,
+    _gen_asof_query,
+    _gen_subquery_query,
+    _gen_text_query,
+    _gen_outer_join_query,
+    _gen_conditional_agg_query,
+    _gen_date_query,
+]
 
 
 @pytest.mark.parametrize("seed", [7, 42, 555, 1234])
@@ -263,20 +338,7 @@ def test_differential_sql_corpus(spark, oracle, views, seed):
     rng = random.Random(seed)
     failures = []
     for i in range(N_QUERIES):
-        if i % 5 == 4:
-            sql = _gen_window_query(rng)
-        elif i % 7 == 1:
-            sql = _gen_setops_query(rng)
-        elif i % 7 == 3:
-            sql = _gen_grouping_sets_query(rng)
-        elif i % 7 == 5:
-            sql = _gen_asof_query(rng)
-        elif i % 7 == 0 and i > 0:
-            sql = _gen_text_query(rng)
-        elif i % 7 == 2:
-            sql = _gen_subquery_query(rng)
-        else:
-            sql = _gen_query(rng)
+        sql = ARMS[i % len(ARMS)](rng)
         spark_pdf = spark.sql(sql).toPandas()
         oracle_pdf = oracle.sql(sql).df()
         problems = compare(f"fuzz{i}", spark_pdf, oracle_pdf)
