@@ -44,6 +44,7 @@ HEADLINE = [
     "sequence_pack_shards",
     "text_regex_tokens",
     "events_variant_props",
+    "cms_user_counts",
     "events_tumbling_window",
     "events_sessionize",
     "asof_last_purchase",

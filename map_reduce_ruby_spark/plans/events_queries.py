@@ -261,3 +261,69 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", (F.col("k") % 10).cast("long").alias("k_bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --- count-min sketch heavy hitters -----------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 64  # buckets per row
+
+
+@register(
+    "cms_user_counts",
+    oracle=f"""
+    WITH counts AS (
+        SELECT user_id, COUNT(*) AS exact_cnt
+        FROM events GROUP BY user_id
+    ),
+    keyed AS (
+        SELECT user_id, exact_cnt, r,
+               {{h}} % {_CMS_W} AS bucket
+        FROM counts, UNNEST(range(0, {_CMS_D})) AS t(r)
+    ),
+    counters AS (
+        SELECT r, bucket, CAST(SUM(exact_cnt) AS BIGINT) AS c
+        FROM keyed GROUP BY r, bucket
+    )
+    SELECT k.user_id, k.exact_cnt AS exact_cnt,
+           MIN(c.c) AS cms_est,
+           MIN(c.c) >= k.exact_cnt AS is_overestimate
+    FROM keyed k JOIN counters c ON k.r = c.r AND k.bucket = c.bucket
+    GROUP BY k.user_id, k.exact_cnt
+    """.format(
+        h="(('0x' || substr(md5(CAST(100 + r AS VARCHAR) || ':' || "
+        "CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT)::BIGINT"
+    ),
+    doc="Count-min sketch (Cormode-Muthukrishnan) per-user event counts: "
+    "4 md5-derived hash rows x 64 buckets. The counter table is FIXED SIZE "
+    "(d x w rows) no matter the corpus — the property that makes the sketch "
+    "the 100 TB answer for approximate frequencies: partial counters merge "
+    "by addition (one tiny shuffle), and the estimate is the min over rows, "
+    "always >= the true count. The query emits exact vs estimate side by "
+    "side plus the never-underestimates invariant as a checked column, so "
+    "the oracle gates the sketch's defining guarantee, not just its values.",
+    tags=("events", "sketch", "approx", "extension"),
+)
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    uid = F.col("user_id").cast("string")
+    buckets = F.array(
+        *[
+            (
+                F.conv(F.substring(F.md5(F.concat(F.lit(f"{100 + r}:"), uid)), 1, 8), 16, 10)
+                .cast("long") % _CMS_W
+            )
+            for r in range(_CMS_D)
+        ]
+    )
+    keyed = counts.select(
+        "user_id", "exact_cnt", F.posexplode(buckets).alias("r", "bucket")
+    ).select("user_id", "exact_cnt", F.col("r").cast("long").alias("r"), "bucket")
+    counters = keyed.groupBy("r", "bucket").agg(F.sum("exact_cnt").alias("c"))
+    return (
+        keyed.join(F.broadcast(counters), ["r", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+        .withColumn("is_overestimate", F.col("cms_est") >= F.col("exact_cnt"))
+    )

@@ -802,3 +802,51 @@ def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source", F.row_number().over(w).cast("long").alias("rk"))
         .filter(F.col("rk") <= _DOMAIN_QUOTA)
     )
+
+
+# --- weighted sampling (Efraimidis-Spirakis A-ES) ----------------------------
+
+_WS_TOPK = 30
+
+
+@register(
+    "weighted_sample_docs",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               ROUND(ln(({h32_sql("CAST(doc_id AS VARCHAR)", seed=17)} + 1)
+                        / 4294967296.0) / n_chars, 10) AS akey
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, n_chars, akey,
+               row_number() OVER (ORDER BY akey DESC, doc_id) AS rk
+        FROM keyed
+    )
+    SELECT doc_id, source, n_chars, akey, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_WS_TOPK}
+    """,
+    doc="Weighted sampling without replacement (Efraimidis-Spirakis A-ES): "
+    "each doc draws a deterministic md5-derived uniform u and competes with "
+    "key ln(u)/w (the log form of u^(1/w); w = n_chars, so longer docs are "
+    "proportionally likelier); the global top-30 keys ARE the weighted "
+    "sample. One pass, no per-group state: at 100 TB this is "
+    "TakeOrderedAndProject (per-partition heaps + driver merge of 30-row "
+    "tops), never a global sort. Keys rounded to 10dp before ranking with a "
+    "doc_id tie-break so both engines rank identically.",
+    tags=("pipeline", "sampling", "extension"),
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = (h32(F.col("doc_id").cast("string"), seed=17) + 1) / F.lit(4294967296.0)
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars"), 10).alias("akey"),
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject (asserted for the topk
+    # family in tests/test_plans.py) — the scale-safe global top-k.
+    top = keyed.orderBy(F.desc("akey"), F.asc("doc_id")).limit(_WS_TOPK)
+    w = W.orderBy(F.desc("akey"), F.asc("doc_id"))
+    return top.withColumn("rk", F.row_number().over(w).cast("long"))

@@ -98,6 +98,13 @@ def _norm(c: str) -> Column:
 )
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # NB: the vectors deliberately stay in ARRAY form here. Flattening to 64
+    # primitive columns (the dedup_semantic_ivf trick) under this query's
+    # rank-window + filter makes Catalyst constraint propagation walk the
+    # 128-alias expression web until the driver heap dies; semdedup escapes
+    # that because its flattened side sits behind a cache() barrier and has
+    # no window above the join. The array form's pair scoring is ~2x slower
+    # per pair but this query scores only |queries| x corpus pairs.
     v = emb.select("vec_id", _as_double(F.col("embedding")).alias("e")).withColumn(
         "nrm", _norm("e")
     )
@@ -465,22 +472,30 @@ _SEM_TAU = 0.35  # same fixture knee as dedup_embedding_lsh
     tags=("dedup", "embedding", "semantic", "custom-operator"),
 )
 def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from map_reduce_ruby_spark.operators import build_ivf_index
+    from map_reduce_ruby_spark.plans.operator_queries import ivf_index_for
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(
-        F.col("vec_id").alias("id"), _as_double(F.col("embedding")).alias("e")
-    )
-    if v.isEmpty():
+    index = ivf_index_for(spark, sf_dir)
+    if index is None:
         return spark.createDataFrame(
             [], "cell long, drop_vec_id long, n_near_dups long, max_cos double, rep_vec_id long"
         )
-    assignments, _centroids = build_ivf_index(v, k=16, iterations=2)
+    assignments, _centroids = index
+    # Flatten the vector to 64 primitive double columns before the self-join:
+    # with the array form, Catalyst pushes the cosine threshold into the join
+    # condition, and the element_at chain inside that condition blows past
+    # the JIT method budget — the stage runs interpreted (measured 6.2s for
+    # the pair stage at sf0.1; 0.8s flattened). Fixed-width primitive rows
+    # also make the exchanged rows smaller. cache(): the index side of a
+    # self-join is read by both sides.
     sig = assignments.select(
-        F.col("cell").cast("long").alias("cell"), "id", "e"
-    ).withColumn("nrm", _norm("e"))
+        F.col("cell").cast("long").alias("cell"),
+        "id",
+        _norm("e").alias("nrm"),
+        *[F.expr(f"element_at(e, {i})").alias(f"x{i}") for i in range(1, _DIM + 1)],
+    ).cache()
     a, b = sig.alias("a"), sig.alias("b")
-    cos = F.round(_dot("a.e", "b.e") / (F.col("a.nrm") * F.col("b.nrm")), 4)
+    dot = F.expr(" + ".join(f"(a.x{i} * b.x{i})" for i in range(1, _DIM + 1)))
+    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4)
     pairs = (
         a.join(
             b,
