@@ -39,6 +39,7 @@ HEADLINE = [
     "knn_lsh",
     "knn_ivf",
     "knn_pandas_udf",
+    "knn_sq8",
     "text_quality_score",
     "text_repetition_filter",
     "sequence_pack_shards",

@@ -516,3 +516,136 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --- scalar-quantized (int8) ANN --------------------------------------------
+#
+# The memory-side of the FAISS IVF story: per-dimension uniform 8-bit
+# quantization cuts vector storage 8x (64 doubles -> 64 bytes), at the cost
+# of scoring against RECONSTRUCTED vectors. Queries stay exact; the corpus is
+# quantized. Output is exact-query x reconstructed-corpus cosine top-k — the
+# standard SQ8 retrieval layout.
+
+_SQ_LEVELS = 255
+
+
+@register(
+    "knn_sq8",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    b AS (
+        SELECT pos, MIN(val) AS mn,
+               CASE WHEN MAX(val) = MIN(val) THEN 1.0
+                    ELSE (MAX(val) - MIN(val)) / {_SQ_LEVELS} END AS sc
+        FROM (SELECT unnest(e) AS val, generate_subscripts(e, 1) AS pos FROM v)
+        GROUP BY pos
+    ),
+    bl AS (
+        SELECT list(mn ORDER BY pos) AS mns, list(sc ORDER BY pos) AS scs
+        FROM b
+    ),
+    r AS (
+        SELECT vec_id,
+               list_transform(range(1, {_DIM + 1}),
+                   i -> mns[i] + ROUND((e[i] - mns[i]) / scs[i]) * scs[i]) AS re
+        FROM v, bl
+    ),
+    rn AS (
+        SELECT vec_id, re,
+               sqrt(list_sum(list_transform(re, x -> x * x))) AS rnrm
+        FROM r
+    ),
+    q AS (
+        SELECT vec_id AS query_id, e AS qe,
+               sqrt(list_sum(list_transform(e, x -> x * x))) AS qnrm
+        FROM v WHERE vec_id < {_N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROUND(list_sum(list_transform(range(1, {_DIM + 1}),
+                     i -> q.qe[i] * c.re[i])) / (q.qnrm * c.rnrm), 4) AS cos_sq
+        FROM q JOIN rn c ON c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sq, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sq DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {_K}
+    """,
+    doc="Scalar-quantized (SQ8) ANN: per-dimension uniform 8-bit codes "
+    "(bounds from one corpus-wide min/max aggregate — a 64x2-value driver "
+    "artifact, same bounded-collect rule as the IVF centroids), scored as "
+    "exact query x reconstructed corpus cosine. The 8x memory cut is what "
+    "lets a 100 TB embedding corpus fit hot storage; quantization error "
+    "shows up as rank differences vs knn_bruteforce, which "
+    "tests/test_ivf.py-style recall checks bound. Flat columns + cache "
+    "barrier keep the scoring join JIT-compiled (see dedup_semantic_ivf).",
+    tags=("similarity", "ann", "quantization", "custom-operator"),
+)
+def knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    if emb.isEmpty():
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sq double, rn long"
+        )
+    v = emb.select(
+        "vec_id",
+        *[
+            F.expr(f"CAST(element_at(embedding, {i}) AS DOUBLE)").alias(f"x{i}")
+            for i in range(1, _DIM + 1)
+        ],
+    )
+    # Per-dimension bounds: one aggregate row (128 doubles) — bounded driver
+    # artifact, the quantizer's training step.
+    row = v.agg(
+        *[F.min(f"x{i}").alias(f"mn{i}") for i in range(1, _DIM + 1)],
+        *[F.max(f"x{i}").alias(f"mx{i}") for i in range(1, _DIM + 1)],
+    ).collect()[0]
+    mn = [row[f"mn{i}"] for i in range(1, _DIM + 1)]
+    sc = [
+        1.0 if row[f"mx{i}"] == row[f"mn{i}"] else (row[f"mx{i}"] - row[f"mn{i}"]) / _SQ_LEVELS
+        for i in range(1, _DIM + 1)
+    ]
+    # Reconstructed corpus, flattened + cached (the barrier that keeps the
+    # scoring join compiled and constraint propagation away — see
+    # dedup_semantic_ivf / knn_bruteforce notes).
+    recon = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[
+            # literal D suffix: bare decimals parse as DECIMAL in Spark SQL;
+            # repr(float) round-trips the collected double exactly (see the
+            # _PLANES note above).
+            F.expr(
+                f"{mn[i-1]!r}D + round((x{i} - {mn[i-1]!r}D) / {sc[i-1]!r}D) * {sc[i-1]!r}D"
+            ).alias(f"r{i}")
+            for i in range(1, _DIM + 1)
+        ],
+    )
+    recon = recon.withColumn(
+        "rnrm",
+        F.expr("sqrt(" + " + ".join(f"(r{i} * r{i})" for i in range(1, _DIM + 1)) + ")"),
+    ).cache()
+    q = v.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"x{i}").alias(f"qx{i}") for i in range(1, _DIM + 1)],
+    ).withColumn(
+        "qnrm",
+        F.expr("sqrt(" + " + ".join(f"(qx{i} * qx{i})" for i in range(1, _DIM + 1)) + ")"),
+    ).cache()
+    dot = F.expr(" + ".join(f"(qx{i} * r{i})" for i in range(1, _DIM + 1)))
+    scored = recon.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(dot / (F.col("qnrm") * F.col("rnrm")), 4).alias("cos_sq"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sq"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _K)
+        .select("query_id", "neighbor_id", "cos_sq", "rn")
+    )

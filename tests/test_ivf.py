@@ -52,3 +52,22 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     # clustered embeddings this lands high, but any regression below 0.4 means
     # the cell assignment or probing broke.
     assert mean_recall >= 0.4, (mean_recall, recalls)
+
+
+def test_sq8_recall_vs_bruteforce(spark, sf_dir):
+    """SQ8 quantization error may reorder close neighbors but must keep the
+    top-5 sets nearly intact: 8-bit/dim reconstruction error is ~0.2% of the
+    per-dim range, far below the fixture's neighbor gaps."""
+    exact = all_entries()["knn_bruteforce"].fn(spark, sf_dir).collect()
+    approx = all_entries()["knn_sq8"].fn(spark, sf_dir).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls

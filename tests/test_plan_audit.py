@@ -45,6 +45,10 @@ ALLOWED_QUADRATIC = {
     "dedup_embedding_cosine",
     "tfidf_top_terms",
     "q22_dormant_rich_customers",
+    # SQ8 scores the same |queries| x corpus layout as knn_bruteforce (the
+    # quantization changes memory, not the candidate set); bucketed candidate
+    # generation is knn_lsh/knn_ivf's job.
+    "knn_sq8",
 }
 
 
