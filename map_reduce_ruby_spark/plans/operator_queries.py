@@ -569,3 +569,113 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "resized_len",
         F.md5(F.hex("payload_resized")).alias("resized_md5"),
     )
+
+
+# --- explicit Bloom-filter semi-join pruning ---------------------------------
+
+_BLOOM_M = 2048  # bits
+_BLOOM_K = 3  # hash functions
+
+
+def _bloom_pos_sql(j: int, key: str) -> str:
+    return (
+        f"(('0x' || substr(md5('bloom{j}:' || CAST({key} AS VARCHAR)), 1, 8))"
+        f"::UBIGINT)::BIGINT % {_BLOOM_M}"
+    )
+
+
+@register(
+    "bloom_semi_join_prune",
+    oracle=f"""
+    WITH build AS (
+        SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    bits AS (
+        SELECT DISTINCT {_bloom_pos_sql(0, 'c_custkey')} AS pos FROM build
+        UNION
+        SELECT DISTINCT {_bloom_pos_sql(1, 'c_custkey')} FROM build
+        UNION
+        SELECT DISTINCT {_bloom_pos_sql(2, 'c_custkey')} FROM build
+    ),
+    probe AS (
+        SELECT o_orderkey, o_orderstatus, o_custkey,
+               (SELECT COUNT(*) FROM bits
+                WHERE pos IN ({_bloom_pos_sql(0, 'o_custkey')},
+                              {_bloom_pos_sql(1, 'o_custkey')},
+                              {_bloom_pos_sql(2, 'o_custkey')})) AS nbits,
+               o_custkey IN (SELECT c_custkey FROM build) AS is_member
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE nbits = {_BLOOM_K}) AS n_bloom_pass,
+           COUNT(*) FILTER (WHERE is_member) AS n_members,
+           COUNT(*) FILTER (WHERE nbits = {_BLOOM_K} AND NOT is_member)
+               AS n_false_positives,
+           COUNT(*) FILTER (WHERE is_member AND nbits < {_BLOOM_K})
+               AS n_false_negatives
+    FROM probe GROUP BY o_orderstatus
+    """,
+    doc="Bloom-filter semi-join pruning made explicit (the mechanism behind "
+    "Spark's runtime row-level filtering, spark.sql.optimizer.runtime."
+    "bloomFilter): the build side's keys set k=3 md5-derived bit positions "
+    "in an m=2048-bit filter; a probe row survives only if all 3 of its "
+    "positions are set. The filter is a <=2048-row distinct-position table "
+    "broadcast to the probe scan — the probe NEVER shuffles, which is the "
+    "entire point at 100 TB (prune before the exchange, pay the exact semi "
+    "join only on survivors). The query emits per-status pass/member/"
+    "false-positive tallies, and the n_false_negatives column pins the "
+    "no-false-negatives Bloom invariant (must be 0) under the hash gate.",
+    tags=("join", "bloom", "custom-operator"),
+)
+def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    build = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey").distinct()
+
+    def pos(j: int, key: str):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"bloom{j}:"), F.col(key).cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_M
+        )
+
+    bits = (
+        build.select(F.explode(F.array(*[pos(j, "c_custkey") for j in range(_BLOOM_K)])).alias("pos"))
+        .distinct()
+    )
+    probed = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_custkey",
+        F.posexplode(F.array(*[pos(j, "o_custkey") for j in range(_BLOOM_K)])).alias("j", "pos"),
+    )
+    # broadcast the bit table; inner join counts how many of the k probe
+    # positions are set — nbits == k is the bloom pass.
+    nbits = (
+        probed.join(F.broadcast(bits), "pos")
+        .groupBy("o_orderkey", "o_orderstatus", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("nbits"))
+    )
+    flags = (
+        orders.select("o_orderkey", "o_orderstatus", "o_custkey")
+        .join(nbits.select("o_orderkey", "nbits"), "o_orderkey", "left")
+        .na.fill({"nbits": 0})
+        .join(
+            F.broadcast(build.withColumnRenamed("c_custkey", "o_custkey").withColumn("member", F.lit(True))),
+            "o_custkey",
+            "left",
+        )
+        .withColumn("is_member", F.coalesce(F.col("member"), F.lit(False)))
+    )
+    k = _BLOOM_K
+    return flags.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("nbits") == k, 1)).alias("n_bloom_pass"),
+        F.count(F.when(F.col("is_member"), 1)).alias("n_members"),
+        F.count(F.when((F.col("nbits") == k) & ~F.col("is_member"), 1)).alias("n_false_positives"),
+        F.count(F.when(F.col("is_member") & (F.col("nbits") < k), 1)).alias("n_false_negatives"),
+    )

@@ -260,3 +260,51 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.session_end_s.cast("long").alias("session_end_s"),
         "n_events",
     )
+
+
+@register(
+    "streaming_cms_counters",
+    oracle="""
+    WITH keyed AS (
+        SELECT user_id, r,
+               (('0x' || substr(md5(CAST(100 + r AS VARCHAR) || ':' ||
+                 CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT)::BIGINT % 64 AS bucket
+        FROM events, UNNEST(range(0, 4)) AS t(r)
+    )
+    SELECT r, bucket, COUNT(*) AS c
+    FROM keyed GROUP BY r, bucket
+    """,
+    doc="The count-min sketch maintained BY the streaming engine: each event "
+    "increments its 4 md5-derived (row, bucket) counters via a streaming "
+    "groupBy in complete mode; the availableNow drain's final snapshot must "
+    "equal the batch-built counter table (cms_user_counts' sketch) exactly. "
+    "This is the production shape for approximate stream frequencies: state "
+    "is the FIXED d x w counter grid regardless of stream volume — compare "
+    "the stateful-totals query, whose state grows with distinct users. Uses "
+    "the same hash family as cms_user_counts, so batch and streaming "
+    "sketches are mergeable by addition.",
+    tags=("streaming", "sketch", "approx"),
+)
+def streaming_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = streaming_events(spark, sf_dir)
+    uid = F.col("user_id").cast("string")
+    buckets = F.array(
+        *[
+            (
+                F.conv(F.substring(F.md5(F.concat(F.lit(f"{100 + r}:"), uid)), 1, 8), 16, 10)
+                .cast("long") % 64
+            )
+            for r in range(4)
+        ]
+    )
+    keyed = ev.select(F.posexplode(buckets).alias("r", "bucket")).select(
+        F.col("r").cast("long").alias("r"), "bucket"
+    )
+    agg = keyed.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    return run_stream_to_memory(
+        agg,
+        f"catalog_stream_cms_{abs(hash(sf_dir)) % 10**8}",
+        output_mode="complete",
+    )
