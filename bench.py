@@ -76,6 +76,7 @@ HEADLINE = [
     "corpus_upsert_latest",
     "contamination_ngram_overlap",
     "tfidf_top_terms",
+    "text_bigram_lm_score",
     "text_redact_documents",
     "corpus_materialize",
 ]

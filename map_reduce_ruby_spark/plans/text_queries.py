@@ -524,3 +524,184 @@ def text_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_redactions"),
         F.md5(F.regexp_replace("text", _REDACT_PAT, "<redacted>")).alias("scrubbed_md5"),
     )
+
+
+# --- corpus-trained bigram LM scoring (CCNet-style perplexity filter) -------
+#
+# CCNet filters/buckets documents by the perplexity of a small LM trained on
+# trusted text. Re-expressed relationally: train add-one-smoothed bigram
+# probabilities ON the corpus itself (bigram + unigram count tables — two
+# uniform-key shuffles), then score each document by its mean bigram
+# log-probability and bucket into quality bands. Every step is exact
+# arithmetic both engines share.
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENS_SQL} AS tok FROM documents
+    ),
+    big AS (
+        SELECT doc_id, tok[i] AS w1, tok[i+1] AS w2
+        FROM toks, UNNEST(range(1, len(tok))) AS t(i)
+    ),
+    uni AS (
+        SELECT w1 AS w, COUNT(*) AS cw FROM big GROUP BY w1
+    ),
+    bc AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2
+    ),
+    vocab AS (SELECT COUNT(DISTINCT w) AS v FROM uni),
+    scored AS (
+        SELECT b.doc_id,
+               ln((bc.c12 + 1.0) / (uni.cw + vocab.v)) AS lp
+        FROM big b
+        JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+        JOIN uni ON b.w1 = uni.w
+        CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(SUM(CAST(ROUND(lp * 1000000) AS BIGINT)) / 1000000.0
+                 / COUNT(*), 6) AS avg_lp,
+           CASE WHEN ROUND(SUM(CAST(ROUND(lp * 1000000) AS BIGINT)) / 1000000.0
+                           / COUNT(*), 6) >= -3.32 THEN 'head'
+                WHEN ROUND(SUM(CAST(ROUND(lp * 1000000) AS BIGINT)) / 1000000.0
+                           / COUNT(*), 6) >= -3.40 THEN 'middle'
+                ELSE 'tail' END AS band
+    FROM scored GROUP BY doc_id
+    """,
+    doc="CCNet-style LM quality bucketing: an add-one-smoothed bigram model "
+    "is trained on the corpus (unigram + bigram count tables — shuffles on "
+    "uniform token keys), each document is scored by mean bigram "
+    "log-probability, and scores are cut into head/middle/tail bands (the "
+    "CCNet split). Per-bigram logprobs are summed in scaled int64 "
+    "(round(lp*1e6)) so the mean is addition-order independent — the same "
+    "exactness rule as the engine's decimal sums — making the float "
+    "pipeline hash-gateable. At 100 TB the count tables are corpus-sized "
+    "but uniform-keyed; the scoring join is bigram-key equi-join, never a "
+    "document pair join.",
+    tags=("text", "pipeline", "lm", "extension"),
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens_spark(F.col("text")).alias("tok"))
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("tok") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(tok) - 1),"
+                    " i -> struct(element_at(tok, i) AS w1,"
+                    "             element_at(tok, i + 1) AS w2))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    uni = big.groupBy(F.col("w1").alias("w")).agg(F.count(F.lit(1)).alias("cw"))
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    vocab = uni.agg(F.countDistinct("w").alias("v"))
+    scored = (
+        big.join(bc, ["w1", "w2"])
+        .join(uni, big["w1"] == uni["w"])
+        .crossJoin(F.broadcast(vocab))  # 1-row scalar (vocab size)
+        .select(
+            "doc_id",
+            F.log((F.col("c12") + F.lit(1.0)) / (F.col("cw") + F.col("v"))).alias("lp"),
+        )
+    )
+    avg_lp = F.round(
+        F.sum(F.round(F.col("lp") * 1000000).cast("long")) / F.lit(1000000.0)
+        / F.count(F.lit(1)),
+        6,
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), avg_lp.alias("avg_lp"))
+        .withColumn(
+            "band",
+            F.when(F.col("avg_lp") >= -3.32, "head")
+            .when(F.col("avg_lp") >= -3.40, "middle")
+            .otherwise("tail"),
+        )
+    )
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENS_SQL} AS tok FROM documents
+    ),
+    big AS (
+        SELECT tok[i] AS w1, tok[i+1] AS w2
+        FROM toks, UNNEST(range(1, len(tok))) AS t(i)
+    ),
+    n AS (SELECT COUNT(*) AS total FROM big),
+    uni1 AS (SELECT w1 AS w, COUNT(*) AS c FROM big GROUP BY w1),
+    uni2 AS (SELECT w2 AS w, COUNT(*) AS c FROM big GROUP BY w2),
+    bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+    pmi AS (
+        SELECT bc.w1, bc.w2, bc.c12,
+               ROUND(ln((bc.c12 * n.total) / (CAST(u1.c AS DOUBLE) * u2.c)), 6)
+                   AS pmi
+        FROM bc JOIN uni1 u1 ON bc.w1 = u1.w
+                JOIN uni2 u2 ON bc.w2 = u2.w
+                CROSS JOIN n
+        WHERE bc.c12 >= 5
+    )
+    SELECT w1, w2, c12, pmi, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rk
+          FROM pmi)
+    WHERE rk <= 20
+    """,
+    doc="PMI collocation mining (the classic word-association statistic): "
+    "pointwise mutual information over adjacent-token pairs, support floor "
+    "c12 >= 5, global top-20 by 6dp-rounded PMI with lexicographic "
+    "tie-breaks. Count tables shuffle on token keys; the final top-k is "
+    "orderBy+limit (TakeOrderedAndProject at scale, never a global sort). "
+    "PMI values rounded before ranking so both engines rank identically.",
+    tags=("text", "extension"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens_spark(F.col("text")).alias("tok"))
+    big = toks.select(
+        F.explode(
+            F.when(
+                F.size("tok") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(tok) - 1),"
+                    " i -> struct(element_at(tok, i) AS w1,"
+                    "             element_at(tok, i + 1) AS w2))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
+        ).alias("b"),
+    ).select("b.w1", "b.w2")
+    n = big.agg(F.count(F.lit(1)).alias("total"))
+    uni1 = big.groupBy(F.col("w1").alias("w")).agg(F.count(F.lit(1)).alias("c1"))
+    uni2 = big.groupBy(F.col("w2").alias("w")).agg(F.count(F.lit(1)).alias("c2"))
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).filter(
+        F.col("c12") >= 5
+    )
+    pmi = (
+        bc.join(uni1.withColumnRenamed("w", "w1"), "w1")
+        .join(uni2.withColumnRenamed("w", "w2"), "w2")
+        .crossJoin(F.broadcast(n))  # 1-row scalar (corpus bigram total)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log((F.col("c12") * F.col("total")) / (F.col("c1").cast("double") * F.col("c2"))),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    top = pmi.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(20)
+    w = W.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return top.withColumn("rk", F.row_number().over(w).cast("long"))
