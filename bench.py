@@ -40,6 +40,7 @@ HEADLINE = [
     "knn_ivf",
     "knn_pandas_udf",
     "knn_sq8",
+    "knn_pq",
     "text_quality_score",
     "text_repetition_filter",
     "sequence_pack_shards",

@@ -1,0 +1,190 @@
+"""Product quantization (PQ) — the vector-compression half of the FAISS
+IVF-PQ layout (Jégou et al., "Product Quantization for Nearest Neighbor
+Search"). The reference engine has nothing in this family (its only dataflow
+is map/shuffle/reduce, /root/reference/lib/map_reduce/mapper.rb:43-55); this
+is a scale extension for embedding corpora.
+
+Build (deterministic, the IVF build's rules applied per subspace):
+    - the vector is split into n_sub contiguous subspaces;
+    - each subspace trains its own k-codeword codebook by Lloyd iterations
+      with evenly-strided seed ids, scaled-int64 centroid sums (addition is
+      associative, so the update is shuffle-order independent), empty cells
+      keeping their previous codeword, argmin ties to the lowest code;
+    - ALL subspaces train in one pass per iteration: assignment is a single
+      narrow projection (n_sub literal-codebook argmins), and the update is
+      ONE aggregation over (subspace, cell, pos) — the shuffle carries
+      n_sub * k * sub_dim partial rows regardless of corpus size.
+
+Encode: n_sub small integer codes per vector — dim doubles become n_sub
+bytes (64x compression at dim=64/n_sub=8/k<=256), which is what lets a
+100 TB embedding corpus keep its index hot.
+
+Search (ADC — asymmetric distance computation): a query computes one lookup
+table per subspace (k squared distances against the codebook, a
+n_sub x k-double artifact per query), and a candidate's approximate squared
+distance is just n_sub table lookups summed — no vector math per pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from map_reduce_ruby_spark.operators.ivf import _cell_expr, _dists_expr
+
+
+def _sub_expr(e: str, m: int, sub_dim: int) -> str:
+    """SQL text for subspace m's contiguous slice of array column ``e``."""
+    return f"slice({e}, {m * sub_dim + 1}, {sub_dim})"
+
+
+def build_pq_index(
+    vectors: DataFrame, dim: int, n_sub: int = 8, k: int = 16, iterations: int = 1
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """vectors: (id: long, e: array<double> of length dim). Returns
+    (codes(id, code0..code{n_sub-1}), codebooks[m][k][sub_dim]).
+    Deterministic end-to-end (see module docstring)."""
+    sub = dim // n_sub
+    vectors = vectors.cache()
+    n = vectors.count()
+    stride = max(1, n // k)
+    init_ids = [i * stride for i in range(k)]
+    seed_rows = (
+        vectors.filter(F.col("id").isin(init_ids)).orderBy("id").select("e").collect()
+    )
+    books: list[list[list[float]]] = [
+        [list(r.e[m * sub : (m + 1) * sub]) for r in seed_rows] for m in range(n_sub)
+    ]
+
+    for _ in range(iterations):
+        assigned = vectors.select(
+            "id",
+            "e",
+            *[
+                _cell_expr(F.expr(_sub_expr("e", m, sub)), books[m]).alias(f"c{m}")
+                for m in range(n_sub)
+            ],
+        )
+        # One update aggregation for ALL subspaces: explode dim structs of
+        # (subspace, assigned cell, position, value); scaled-int64 sums make
+        # the centroid means independent of shuffle pairing (the IVF rule).
+        stats = (
+            assigned.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(m).alias("m"),
+                                F.col(f"c{m}").alias("cell"),
+                                F.lit(p).alias("pos"),
+                                F.expr(f"element_at(e, {m * sub + p + 1})").alias("val"),
+                            )
+                            for m in range(n_sub)
+                            for p in range(sub)
+                        ]
+                    )
+                ).alias("s")
+            )
+            .select("s.*")
+            .groupBy("m", "cell", "pos")
+            .agg(
+                F.sum(F.round(F.col("val") * 1_000_000_000).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()  # n_sub * k * sub rows — bounded build artifact
+        )
+        sums: dict[tuple[int, int], list[int]] = {}
+        counts: dict[tuple[int, int], int] = {}
+        for r in stats:
+            sums.setdefault((int(r.m), int(r.cell)), [0] * sub)[int(r.pos)] = int(r.s)
+            counts[(int(r.m), int(r.cell))] = int(r.n)
+        books = [
+            [
+                [(sums[(m, c)][i] / 1e9) / counts[(m, c)] for i in range(sub)]
+                if (m, c) in counts
+                else books[m][c]  # empty cell keeps its previous codeword
+                for c in range(k)
+            ]
+            for m in range(n_sub)
+        ]
+
+    codes = vectors.select(
+        "id",
+        *[
+            _cell_expr(F.expr(_sub_expr("e", m, sub)), books[m]).alias(f"code{m}")
+            for m in range(n_sub)
+        ],
+    )
+    return codes, books
+
+
+def pq_search(
+    codes: DataFrame,
+    books: list[list[list[float]]],
+    queries: DataFrame,
+    vectors: DataFrame,
+    dim: int,
+    top_k: int = 5,
+    rerank: int = 100,
+) -> DataFrame:
+    """queries: (qid, qe array<double>); vectors: (id, e) — the exact corpus,
+    read ONLY for the shortlist. Two stages, the production IVF-PQ shape:
+
+    1. ADC shortlist: candidates scored by n_sub lookup-table sums (no
+       vector math per pair), top ``rerank`` kept per query. This is the
+       stage that touches the whole corpus — and it only ever reads the
+       n_sub-byte codes.
+    2. Exact rerank: the shortlist (|queries| x rerank rows) joins back to
+       the full vectors for exact cosine, which decides the final top_k.
+       ADC alone cannot separate fine within-cluster neighbors at 4-bit
+       codes (measured recall 0.08 raw vs 0.84 reranked on the fixture).
+
+    Returns (query_id, neighbor_id, cos_sim, rn)."""
+    from map_reduce_ruby_spark.operators.ivf import _dot, _norm
+
+    n_sub = len(books)
+    sub = dim // n_sub
+    luts = queries.select(
+        F.col("qid").alias("query_id"),
+        *[
+            _dists_expr(F.expr(_sub_expr("qe", m, sub)), books[m]).alias(f"lut{m}")
+            for m in range(n_sub)
+        ],
+    )
+    adc = F.expr(
+        " + ".join(
+            f"element_at(lut{m}, CAST(code{m} + 1 AS INT))" for m in range(n_sub)
+        )
+    )
+    scored = codes.join(
+        F.broadcast(luts), F.col("id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(adc, 4).alias("adc_dist"),
+    )
+    w_adc = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    short = (
+        scored.withColumn("arn", F.row_number().over(w_adc))
+        .filter(F.col("arn") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    cand = short.join(
+        vectors.select(F.col("id").alias("neighbor_id"), F.col("e").alias("ce")),
+        "neighbor_id",
+    ).join(
+        F.broadcast(
+            queries.select(F.col("qid").alias("query_id"), F.col("qe"))
+        ),
+        "query_id",
+    )
+    cos = F.round(
+        _dot("qe", "ce", dim) / (_norm("qe", dim) * _norm("ce", dim)), 4
+    )
+    w_cos = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w_cos).cast("long"))
+        .filter(F.col("rn") <= top_k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )

@@ -679,3 +679,163 @@ def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when((F.col("nbits") == k) & ~F.col("is_member"), 1)).alias("n_false_positives"),
         F.count(F.when(F.col("is_member") & (F.col("nbits") < k), 1)).alias("n_false_negatives"),
     )
+
+
+# --- product quantization (PQ) ANN ------------------------------------------
+# The oracle rebuilds the ENTIRE per-subspace k-means + encode + ADC search
+# in SQL (generated below, one CTE chain per subspace) — the same
+# independent-rebuild standard as the knn_ivf oracle.
+
+_PQ_NSUB, _PQ_SUB, _PQ_K, _PQ_TOPK, _PQ_NQ, _PQ_RERANK = 8, 8, 16, 5, 10, 100
+
+
+def _pq_sub_sql(e: str, m: int) -> str:
+    """Subspace m's slice of list column ``e`` (1-based, contiguous)."""
+    off = m * _PQ_SUB
+    return f"list_transform(range(1, {_PQ_SUB + 1}), i -> {e}[{off} + i])"
+
+
+def _pq_sqdist_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {_PQ_SUB + 1}),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def _pq_subspace_ctes(m: int) -> str:
+    """Seeds -> one Lloyd iteration -> final codebook for subspace m."""
+    return f"""
+    s{m}0 AS (
+        SELECT CAST(id // stride AS BIGINT) AS cell, {_pq_sub_sql('e', m)} AS ce
+        FROM v, params
+        WHERE id % stride = 0 AND id // stride < {_PQ_K}
+    ),
+    cs{m}0 AS (SELECT list(ce ORDER BY cell) AS cs FROM s{m}0),
+    a{m}1 AS (
+        SELECT id, sube, list_position(d, list_min(d)) - 1 AS cell
+        FROM (SELECT id, sube,
+                     list_transform((SELECT cs FROM cs{m}0), c ->
+                         {_pq_sqdist_sql('sube', 'c')}) AS d
+              FROM (SELECT id, {_pq_sub_sql('e', m)} AS sube FROM v))
+    ),
+    m{m}1 AS (
+        SELECT cell, pos,
+               (CAST(SUM(CAST(ROUND(val * 1000000000) AS BIGINT)) AS DOUBLE)
+                / 1000000000.0) / COUNT(*) AS mval
+        FROM (SELECT cell, unnest(sube) AS val,
+                     generate_subscripts(sube, 1) AS pos
+              FROM a{m}1)
+        GROUP BY cell, pos
+    ),
+    c{m}1 AS (
+        SELECT g.cell, COALESCE(mm.me, p.ce) AS ce
+        FROM (SELECT unnest(range(0, {_PQ_K})) AS cell) g
+        LEFT JOIN (SELECT cell, list(mval ORDER BY pos) AS me
+                   FROM m{m}1 GROUP BY cell) mm USING (cell)
+        LEFT JOIN s{m}0 p USING (cell)
+    ),
+    cs{m}1 AS (SELECT list(ce ORDER BY cell) AS cs FROM c{m}1),
+    f{m} AS (
+        SELECT id, list_position(d, list_min(d)) - 1 AS code
+        FROM (SELECT id,
+                     list_transform((SELECT cs FROM cs{m}1), c ->
+                         {_pq_sqdist_sql('sube', 'c')}) AS d
+              FROM (SELECT id, {_pq_sub_sql('e', m)} AS sube FROM v))
+    ),
+    l{m} AS (
+        SELECT qid,
+               list_transform((SELECT cs FROM cs{m}1), c ->
+                   {_pq_sqdist_sql('qsube', 'c')}) AS lut
+        FROM (SELECT qid, {_pq_sub_sql('qe', m)} AS qsube FROM q)
+    )"""
+
+
+_PQ_ORACLE = (
+    f"""
+    WITH v AS (
+        SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    params AS (SELECT GREATEST(1, COUNT(*) // {_PQ_K}) AS stride FROM v),
+    q AS (SELECT id AS qid, e AS qe FROM v WHERE id < {_PQ_NQ}),"""
+    + ",".join(_pq_subspace_ctes(m) for m in range(_PQ_NSUB))
+    + f""",
+    codes AS (
+        SELECT f0.id, {', '.join(f'f{m}.code AS code{m}' for m in range(_PQ_NSUB))}
+        FROM f0 {' '.join(f'JOIN f{m} ON f0.id = f{m}.id' for m in range(1, _PQ_NSUB))}
+    ),
+    luts AS (
+        SELECT l0.qid, {', '.join(f'l{m}.lut AS lut{m}' for m in range(_PQ_NSUB))}
+        FROM l0 {' '.join(f'JOIN l{m} ON l0.qid = l{m}.qid' for m in range(1, _PQ_NSUB))}
+    ),
+    scored AS (
+        SELECT q.qid AS query_id, c.id AS neighbor_id,
+               ROUND({' + '.join(f'q.lut{m}[c.code{m} + 1]' for m in range(_PQ_NSUB))},
+                     4) AS adc_dist
+        FROM luts q JOIN codes c ON c.id <> q.qid
+    ),
+    short AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY adc_dist, neighbor_id) AS arn
+              FROM scored)
+        WHERE arn <= {_PQ_RERANK}
+    ),
+    rer AS (
+        SELECT s.query_id, s.neighbor_id,
+               ROUND(list_sum(list_transform(range(1, {_IVF_DIM + 1}),
+                         i -> qq.qe[i] * c.e[i]))
+                     / (sqrt(list_sum(list_transform(qq.qe, x -> x * x)))
+                        * sqrt(list_sum(list_transform(c.e, x -> x * x)))),
+                     4) AS cos_sim
+        FROM short s
+        JOIN q qq ON qq.qid = s.query_id
+        JOIN v c ON c.id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM rer)
+    WHERE rn <= {_PQ_TOPK}
+    """
+)
+
+
+@register(
+    "knn_pq",
+    oracle=_PQ_ORACLE,
+    doc="Product-quantization ANN (Jegou et al.; operators/pq.py): the "
+    "vector is split into 8 subspaces, each trained to a 16-codeword "
+    "codebook by the same deterministic k-means rules as knn_ivf (strided "
+    "seeds, scaled-int64 sums, ties to lowest code) — ALL subspaces in one "
+    "assignment projection + ONE (subspace, cell, pos) aggregation per "
+    "iteration. Vectors compress to 8 codes (64 doubles -> 8 nibbles); "
+    "queries score candidates by ADC lookup-table sums, no per-pair vector "
+    "math. The oracle rebuilds every subspace's k-means, the encoding, the "
+    "lookup tables, and the ADC ranking in SQL — the index build is "
+    "value-checked end-to-end. Search is the production two-stage shape: "
+    "ADC shortlists top-100 per query reading only the 8-byte codes, then "
+    "exact cosine reranks the shortlist (raw 4-bit ADC cannot separate "
+    "fine within-cluster neighbors — measured recall 0.08 raw vs 0.84 "
+    "reranked; bound in tests/test_ivf.py). In production PQ composes "
+    "with the IVF cell layout (candidates from probed cells only).",
+    tags=("similarity", "ann", "quantization", "custom-operator"),
+)
+def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_ruby_spark.operators import build_pq_index, pq_search
+
+    index = ivf_index_for(spark, sf_dir)  # reuse the empty-corpus probe only
+    if index is None:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, adc_dist double, rn long"
+        )
+    v = _ivf_vectors(spark, sf_dir)
+    codes, books = build_pq_index(
+        v, dim=_IVF_DIM, n_sub=_PQ_NSUB, k=_PQ_K, iterations=1
+    )
+    queries = v.filter(F.col("id") < _PQ_NQ).select(
+        F.col("id").alias("qid"), F.col("e").alias("qe")
+    )
+    return pq_search(
+        codes, books, queries, v, dim=_IVF_DIM, top_k=_PQ_TOPK, rerank=_PQ_RERANK
+    )

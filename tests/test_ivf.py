@@ -71,3 +71,24 @@ def test_sq8_recall_vs_bruteforce(spark, sf_dir):
         for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_pq_recall_vs_bruteforce(spark, sf_dir):
+    """PQ at 8 subspaces x 16 codewords is a lossy 64x compression; the
+    ADC-shortlist + exact-rerank search must still find most of the true
+    top-5 (measured 0.84 on the fixture; raw un-reranked ADC gives 0.08).
+    A collapse below 0.6 means codebook training, the ADC tables, or the
+    rerank join broke."""
+    exact = all_entries()["knn_bruteforce"].fn(spark, sf_dir).collect()
+    approx = all_entries()["knn_pq"].fn(spark, sf_dir).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls

@@ -49,6 +49,15 @@ ALLOWED_QUADRATIC = {
     # quantization changes memory, not the candidate set); bucketed candidate
     # generation is knn_lsh/knn_ivf's job.
     "knn_sq8",
+    # PQ's ADC stage reads the whole code table per query by design (it is
+    # the compression demo; candidate bucketing is the IVF layer's job) —
+    # and it reads 8-byte codes, not vectors.
+    "knn_pq",
+    # 1-row scalar crossJoins (vocab size / corpus bigram total) — the same
+    # uncorrelated-scalar-subquery pattern as tfidf/q22 above: O(n), not
+    # quadratic.
+    "text_bigram_lm_score",
+    "text_pmi_collocations",
 }
 
 
