@@ -327,3 +327,125 @@ def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").alias("cms_est"))
         .withColumn("is_overestimate", F.col("cms_est") >= F.col("exact_cnt"))
     )
+
+
+# --- funnel + retention (product-analytics staples) -------------------------
+
+
+@register(
+    "events_funnel_stages",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    s1 AS (
+        SELECT user_id, MIN(ts_us) AS t1 FROM e
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts_us) AS t2
+        FROM e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts_us > s1.t1
+              AND e.ts_us <= s1.t1 + 43200000000
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts_us) AS t3
+        FROM e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2
+              AND e.ts_us <= s2.t2 + 43200000000
+        GROUP BY e.user_id
+    )
+    SELECT CAST(0 AS BIGINT) AS stage, COUNT(DISTINCT user_id) AS n_users FROM e
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), COUNT(*) FROM s1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), COUNT(*) FROM s2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), COUNT(*) FROM s3
+    """,
+    doc="Ordered funnel analysis (signup -> click -> purchase, strictly "
+    "increasing event times per user, each conversion within a 12-hour "
+    "window): each stage is min-timestamp-after-previous-stage bounded by "
+    "the conversion window — an equi-join on user_id plus a time-range "
+    "predicate, the "
+    "sequence-matching skeleton every product-analytics engine ships. All "
+    "joins are keyed on user_id (one co-partitioned shuffle chain at "
+    "scale); stages emit as (stage, n_users) rows via UNION ALL of "
+    "independent aggregates, no scalar-subquery cross join.",
+    tags=("events", "funnel", "extension"),
+)
+def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts_us")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("t1"))
+            & (F.col("ts_us") <= F.col("t1") + 43_200_000_000)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("t2"))
+            & (F.col("ts_us") <= F.col("t2") + 43_200_000_000)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    def stage(n, df):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(n).cast("long").alias("stage"), "n_users"
+        )
+    total = ev.agg(F.countDistinct("user_id").alias("n_users")).select(
+        F.lit(0).cast("long").alias("stage"), "n_users"
+    )
+    return total.unionAll(stage(1, s1)).unionAll(stage(2, s2)).unionAll(stage(3, s3))
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 // 7 AS week FROM events
+    ),
+    cohort AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, week FROM e
+    )
+    SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+           COUNT(*) AS n_users
+    FROM activity a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY c.cohort_week, a.week - c.cohort_week
+    """,
+    doc="Retention cohort matrix: users grouped by first-activity week, "
+    "counted per (cohort_week, week_offset) of later activity — the "
+    "standard retention triangle. Two aggregations and one user-keyed "
+    "equi-join; every shuffle keys on user_id or the small (cohort, "
+    "offset) pair. Weeks are integer epoch-week arithmetic, identical in "
+    "both engines.",
+    tags=("events", "retention", "extension"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", (F.col("ts_us") / F.lit(86400000000)).cast("long").alias("day")
+    )
+    e = ev.select("user_id", (F.col("day") / 7).cast("long").alias("week"))
+    cohort = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = e.distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
