@@ -994,3 +994,94 @@ def approx_median_price_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_within_bounds"),
         )
     )
+
+
+# --- data profiling (ANALYZE-style column summary) ---------------------------
+
+_PROFILE_COLS = [
+    ("l_quantity", "numeric"),
+    ("l_extendedprice", "numeric"),
+    ("l_discount", "numeric"),
+    ("l_returnflag", "string"),
+    ("l_linestatus", "string"),
+    ("l_shipdate", "date"),
+]
+
+
+@register(
+    "lineitem_profile",
+    oracle="""
+    SELECT 'l_quantity' AS col, COUNT(*) AS n_rows,
+           COUNT(l_quantity) AS n_nonnull,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           CAST(MIN(l_quantity) AS VARCHAR) AS min_val,
+           CAST(MAX(l_quantity) AS VARCHAR) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*), COUNT(l_extendedprice),
+           COUNT(DISTINCT l_extendedprice),
+           CAST(MIN(l_extendedprice) AS VARCHAR),
+           CAST(MAX(l_extendedprice) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(l_discount),
+           COUNT(DISTINCT l_discount),
+           CAST(MIN(l_discount) AS VARCHAR), CAST(MAX(l_discount) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', COUNT(*), COUNT(l_returnflag),
+           COUNT(DISTINCT l_returnflag),
+           MIN(l_returnflag), MAX(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linestatus', COUNT(*), COUNT(l_linestatus),
+           COUNT(DISTINCT l_linestatus),
+           MIN(l_linestatus), MAX(l_linestatus)
+    FROM lineitem
+    """,
+    doc="ANALYZE-style table profile: row count, non-null count, exact "
+    "distinct count, min/max per column, one output row per column "
+    "(numeric min/max rendered via the shared %g-style formatter below so "
+    "'26.0' and '26' can never hash-differ). At 100 TB each column's "
+    "profile is one pass with map-side partials; exact COUNT(DISTINCT) is "
+    "the one expensive piece and approx_count_distinct is the documented "
+    "drop-in (the HLL query pins its bounds). Profiles drive the optimizer "
+    "choices this engine otherwise delegates to Catalyst statistics (CBO "
+    "ANALYZE TABLE COMPUTE STATISTICS is the built-in twin).",
+    tags=("aggregate", "profiling", "extension"),
+)
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def prof(col: str, numeric: bool) -> DataFrame:
+        if numeric:
+            # match DuckDB's VARCHAR cast of DOUBLE ('26.0' for integral)
+            mn = F.expr(
+                f"CASE WHEN MIN({col}) = CAST(MIN({col}) AS BIGINT)"
+                f" THEN CONCAT(CAST(CAST(MIN({col}) AS BIGINT) AS STRING), '.0')"
+                f" ELSE CAST(MIN({col}) AS STRING) END"
+            )
+            mx = F.expr(
+                f"CASE WHEN MAX({col}) = CAST(MAX({col}) AS BIGINT)"
+                f" THEN CONCAT(CAST(CAST(MAX({col}) AS BIGINT) AS STRING), '.0')"
+                f" ELSE CAST(MAX({col}) AS STRING) END"
+            )
+        else:
+            mn, mx = F.min(col).cast("string"), F.max(col).cast("string")
+        return li.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            mn.alias("min_val"),
+            mx.alias("max_val"),
+        ).select(F.lit(col).alias("col"), "n_rows", "n_nonnull", "n_distinct", "min_val", "max_val")
+
+    out = prof("l_quantity", True)
+    for c, numeric in [
+        ("l_extendedprice", True),
+        ("l_discount", True),
+        ("l_returnflag", False),
+        ("l_linestatus", False),
+    ]:
+        out = out.unionAll(prof(c, numeric))
+    return out
