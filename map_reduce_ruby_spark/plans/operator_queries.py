@@ -824,12 +824,11 @@ _PQ_ORACLE = (
 def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_ruby_spark.operators import build_pq_index, pq_search
 
-    index = ivf_index_for(spark, sf_dir)  # reuse the empty-corpus probe only
-    if index is None:
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, adc_dist double, rn long"
-        )
     v = _ivf_vectors(spark, sf_dir)
+    if v.isEmpty():  # schema-stable empty result; rn/cos columns as below
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rn long"
+        )
     codes, books = build_pq_index(
         v, dim=_IVF_DIM, n_sub=_PQ_NSUB, k=_PQ_K, iterations=1
     )
