@@ -34,6 +34,7 @@ def main() -> int:
     spark = get_spark(app_name="scaling_probe")
     li0 = load_table(spark, sf_dir, "lineitem")
     ev0 = load_table(spark, sf_dir, "events")
+    dc0 = load_table(spark, sf_dir, "documents")
 
     def q_agg(li):  # q1 shape: scan-filter-8-aggregate
         return (
@@ -68,13 +69,43 @@ def main() -> int:
             .agg(F.sum("new_s").alias("n_sessions"))
         )
 
+    def q_dedup(docs):  # span-dedup shape: gram explode -> gram-hash shuffle
+        # -> per-doc island window (the dedup family's scale signature)
+        from map_reduce_ruby_spark.functions import h32
+
+        tok = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+        base = docs.select("doc_id", tok.alias("tok"))
+        idx = F.when(
+            F.size("tok") >= 5, F.sequence(F.lit(1), F.size("tok") - 4)
+        ).otherwise(F.expr("CAST(array() AS array<int>)"))
+        gram = F.expr(
+            "concat_ws(' ', "
+            + ", ".join(f"element_at(tok, pos + {j})" for j in range(5))
+            + ")"
+        )
+        g = base.select("doc_id", F.explode(idx).alias("pos"), "tok").select(
+            "doc_id", "pos", h32(gram).alias("gh")
+        )
+        d = g.withColumn("cnt", F.count(F.lit(1)).over(W.partitionBy("gh")))
+        return (
+            d.filter(F.col("cnt") >= 2)
+            .withColumn(
+                "grp",
+                F.col("pos")
+                - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+            )
+            .groupBy("doc_id", "grp")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
     results = {}
     for k in (1, 4, 16):
-        li, ev = _scaled(li0, k), _scaled(ev0, k)
+        li, ev, dc = _scaled(li0, k), _scaled(ev0, k), _scaled(dc0, k)
         for name, frame in (
             ("agg", q_agg(li)),
             ("semi_join", q_join(li)),
             ("window", q_window(ev)),
+            ("dedup_span", q_dedup(dc)),
         ):
             frame.count()  # warm
             t0 = time.perf_counter()
@@ -87,7 +118,7 @@ def main() -> int:
         "times_s": results,
         "amortization": {
             name: round(results[f"{name}_x16"] / max(results[f"{name}_x1"], 1e-9), 2)
-            for name in ("agg", "semi_join", "window")
+            for name in ("agg", "semi_join", "window", "dedup_span")
         },
     }
     print(json.dumps(out))
