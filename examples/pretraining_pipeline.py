@@ -1,0 +1,135 @@
+"""End-to-end pretraining-data pipeline over the documents corpus — the
+catalog's building blocks chained the way a real ingest runs them. The
+reference engine covers only the map/shuffle/reduce step of such a pipeline
+(its README's word-count worker); everything else here is the Spark-native
+capability surface built on top.
+
+Stages (each one is a catalog query family — see CATALOG.md for the
+oracle-gated twins):
+
+    1. quality gate      text_quality_score-style heuristics, keep passing docs
+    2. exact dedup       md5 fingerprint, keep lowest doc_id      (dedup_exact)
+    3. near dedup        MinHash-LSH candidate pairs, drop higher ids
+                                                           (dedup_minhash_lsh)
+    4. decontamination   n-gram overlap vs a held-out eval set
+                                                   (contamination_ngram_overlap)
+    5. pack              greedy token-budget shards          (sequence_pack_shards)
+    6. epoch shuffle     seeded-hash shard + in-shard order (corpus_global_shuffle)
+    7. materialize       one parquet per shard, partitioned write
+
+Run with:
+    python examples/pretraining_pipeline.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from map_reduce_ruby_spark.functions import h32
+from map_reduce_ruby_spark.plans.dedup_queries import dedup_exact, dedup_minhash_lsh
+from map_reduce_ruby_spark.session import get_spark
+from map_reduce_ruby_spark.sources import load_table
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="corpus_")
+    spark = get_spark(app_name="pretraining_pipeline", shuffle_partitions=8)
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1. quality gate: length + mean-word-length heuristics (cheap column
+    # expressions; the oracle-gated scoring lives in text_quality_score).
+    toks = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+    quality = docs.withColumn("n_tokens", F.size(toks)).filter(
+        (F.col("n_chars") >= 60) & (F.col("n_tokens") >= 12)
+    )
+    n1 = quality.count()
+
+    # 2. exact dedup: keep the lowest doc_id per normalized fingerprint.
+    keep_exact = (
+        dedup_exact(spark, sf_dir)
+        .select(F.col("keep_doc_id").alias("doc_id"))
+    )
+    exact = quality.join(keep_exact, "doc_id", "left_semi")
+    n2 = exact.count()
+
+    # 3. near dedup: MinHash-LSH pairs; drop the higher id of every pair.
+    drops = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    near = exact.join(drops, "doc_id", "left_anti")
+    n3 = near.count()
+
+    # 4. decontamination: drop docs sharing any 5-gram with the "eval set"
+    # (here: the 5 highest doc_ids, standing in for a benchmark suite).
+    eval_docs = docs.orderBy(F.desc("doc_id")).limit(5).select("doc_id", "text")
+    def grams(df):
+        t = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+        base = df.select("doc_id", t.alias("tok"))
+        idx = F.when(
+            F.size("tok") >= 5, F.sequence(F.lit(1), F.size("tok") - 4)
+        ).otherwise(F.expr("CAST(array() AS array<int>)"))
+        g = F.expr(
+            "concat_ws(' ', "
+            + ", ".join(f"element_at(tok, pos + {j})" for j in range(5))
+            + ")"
+        )
+        return base.select("doc_id", F.explode(idx).alias("pos"), "tok").select(
+            "doc_id", g.alias("gram")
+        )
+
+    eval_grams = grams(eval_docs).select("gram").distinct()
+    contaminated = (
+        grams(near.select("doc_id", "text"))
+        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .join(eval_docs.select("doc_id"), "doc_id", "left_anti")  # eval set itself aside
+    )
+    clean = near.join(contaminated, "doc_id", "left_anti")
+    n4 = clean.count()
+
+    # 5+6. shard + epoch order: seeded-hash shard, deterministic in-shard
+    # order (the corpus_global_shuffle layout), token counts carried along.
+    key = F.col("doc_id").cast("string")
+    sharded = clean.select(
+        "doc_id",
+        "text",
+        "n_tokens",
+        (h32(key, seed=7) % 4).alias("shard"),
+        h32(key, seed=11).alias("ord_hash"),
+    )
+
+    # 7. materialize: partitioned parquet, one directory per shard, sorted
+    # within shard by the epoch order (sortWithinPartitions after a shard
+    # repartition — at scale this is the final shuffle of the ingest).
+    (
+        sharded.repartition(4, "shard")
+        .sortWithinPartitions("ord_hash", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    back = spark.read.parquet(out_dir)
+    n5 = back.count()
+    tokens = back.agg(F.sum("n_tokens")).collect()[0][0]
+
+    print(f"corpus:        {n0} docs")
+    print(f"quality gate:  {n1} kept")
+    print(f"exact dedup:   {n2} kept")
+    print(f"near dedup:    {n3} kept")
+    print(f"decontam:      {n4} kept")
+    print(f"materialized:  {n5} docs / {tokens} tokens -> {out_dir}")
+    assert n0 >= n1 >= n2 >= n3 >= n4 == n5
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
