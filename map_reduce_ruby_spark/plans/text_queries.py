@@ -705,3 +705,111 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = pmi.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(20)
     w = W.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
     return top.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
+# --- BM25 retrieval ----------------------------------------------------------
+
+_BM25_TERMS = ("data", "query", "join")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENS_SQL} AS tok FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, tok, len(tok) AS dlen FROM toks
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(tok) AS term FROM dl)
+        WHERE term IN {_BM25_TERMS}
+        GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               SUM(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+                   * (t.tf * ({_BM25_K1} + 1))
+                   / (t.tf + {_BM25_K1} * (1 - {_BM25_B}
+                      + {_BM25_B} * l.dlen / s.avgdl))) AS raw
+        FROM tf t
+        JOIN df d ON t.term = d.term
+        JOIN dl l ON t.doc_id = l.doc_id
+        CROSS JOIN stats s
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, ROUND(raw, 6) AS bm25, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT doc_id, raw,
+                 row_number() OVER (ORDER BY ROUND(raw, 6) DESC, doc_id) AS rk
+          FROM scored)
+    WHERE rk <= {_BM25_TOPK}
+    """,
+    doc="BM25 retrieval (the inverted-index ranking function) for a fixed "
+    "3-term query: per-doc term frequencies against corpus document "
+    "frequencies and average document length, k1=1.2 b=0.75, global top-20 "
+    "by 6dp-rounded score with doc_id tie-breaks. At scale the tf table IS "
+    "the inverted index (posting lists keyed by term — one uniform-key "
+    "shuffle to build, incrementally maintainable); df/avgdl are tiny "
+    "broadcast artifacts and the final top-k is orderBy+limit "
+    "(TakeOrderedAndProject). The one float sum per doc runs over <= "
+    "|query| terms in deterministic term order, so 6dp rounding is safe to "
+    "gate on.",
+    tags=("text", "retrieval", "extension"),
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id", _tokens_spark(F.col("text")).alias("tok")
+    ).withColumn("dlen", F.size("tok"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        dl.select("doc_id", F.explode("tok").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # SUM over the per-(doc, term) contributions: Spark's partial sums could
+    # pair float addends differently than DuckDB's sequential fold, but each
+    # doc has <= 3 contribution rows, grouped on one shuffle key — both
+    # engines fold the same few addends; 6dp rounding absorbs the pairing.
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl.select("doc_id", "dlen"), "doc_id")
+        .crossJoin(F.broadcast(stats))  # 1-row scalar (n_docs, avgdl)
+        .select(
+            "doc_id",
+            (
+                F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+                * (F.col("tf") * (_BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dlen") / F.col("avgdl"))
+                )
+            ).alias("contribution"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.round(F.sum("contribution"), 6).alias("bm25")
+    )
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_BM25_TOPK)
+    w = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return top.withColumn("rk", F.row_number().over(w).cast("long"))
