@@ -813,3 +813,91 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") + (n - 1)).alias("span_end"),
         F.count(F.lit(1)).alias("n_grams"),
     ).drop("grp")
+
+
+# --- PageRank over the near-dup similarity graph ----------------------------
+
+_PR_D = 0.85  # damping
+_PR_ITERS = 3
+
+
+def _pr_iter_sql(i: int) -> str:
+    """One PageRank iteration: scaled-int64 contribution sums (r/deg rounded
+    at 1e-9) so the per-node addition is shuffle-order independent — the
+    same exactness rule as the k-means centroid sums."""
+    p = i - 1
+    return f"""
+    r{i} AS (
+        SELECT n.node,
+               (0.15 / p.n) + {_PR_D} * (
+                   CAST(COALESCE(SUM(CAST(ROUND(r.r / d.deg * 1000000000)
+                                          AS BIGINT)), 0) AS DOUBLE)
+                   / 1000000000.0) AS r
+        FROM nodes n
+        CROSS JOIN params p
+        LEFT JOIN edges e ON e.b = n.node
+        LEFT JOIN r{p} r ON r.node = e.a
+        LEFT JOIN deg d ON d.node = e.a
+        GROUP BY n.node, p.n
+    )"""
+
+
+@register(
+    "graph_pagerank_dedup",
+    oracle=f"""
+    WITH pairs AS ({_LSH_PAIRS_SQL}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    params AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT a AS node, COUNT(*) AS deg FROM edges GROUP BY a),
+    r0 AS (SELECT node, 1.0 / p.n AS r FROM nodes, params p),
+    {",".join(_pr_iter_sql(i) for i in range(1, _PR_ITERS + 1))}
+    SELECT node AS doc_id, ROUND(r, 9) AS pagerank
+    FROM r{_PR_ITERS}
+    """,
+    doc="PageRank (3 fixed iterations, damping 0.85) over the MinHash-LSH "
+    "near-dup graph — centrality identifies template/boilerplate hubs "
+    "inside duplicate families, a standard corpus-curation signal. Each "
+    "iteration is one edges-to-ranks equi-join plus a per-node aggregate "
+    "(the iterative join-agg shape, like the CC operators); contributions "
+    "sum in scaled int64 so ranks are bit-deterministic however Spark "
+    "pairs the shuffle partials, which is what lets an independent SQL "
+    "rebuild hash-match float ranks. Symmetric edges mean no dangling "
+    "nodes; the damping term keeps isolated-component mass bounded.",
+    tags=("dedup", "graph", "iterative", "extension"),
+)
+def graph_pagerank_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    edges = edges.cache()  # read every iteration (3 joins) + for nodes/deg
+    nodes = edges.select(F.col("a").alias("node")).distinct()
+    n = nodes.count()  # bounded: one integer (the |V| of the dup graph)
+    if n == 0:
+        return spark.createDataFrame([], "doc_id long, pagerank double")
+    deg = edges.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    r = nodes.withColumn("r", F.lit(1.0 / n))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(r.withColumnRenamed("node", "a"), "a")
+            .join(deg.withColumnRenamed("node", "a"), "a")
+            .select(
+                F.col("b").alias("node"),
+                F.round(F.col("r") / F.col("deg") * 1_000_000_000).cast("long").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(0.15 / n)
+                + _PR_D * (F.coalesce(F.col("s"), F.lit(0)).cast("double") / 1e9)
+            ).alias("r"),
+        )
+    return r.select(F.col("node").alias("doc_id"), F.round("r", 9).alias("pagerank"))
