@@ -598,11 +598,15 @@ def _bloom_pos_sql(j: int, key: str) -> str:
         SELECT DISTINCT {_bloom_pos_sql(2, 'c_custkey')} FROM build
     ),
     probe AS (
+        -- per-position membership summed INDIVIDUALLY: a key whose k hash
+        -- positions collide still probes k times (pos IN (...) would match
+        -- distinct set bits only and fabricate false negatives — 28 of
+        -- them at sf0.1)
         SELECT o_orderkey, o_orderstatus, o_custkey,
-               (SELECT COUNT(*) FROM bits
-                WHERE pos IN ({_bloom_pos_sql(0, 'o_custkey')},
-                              {_bloom_pos_sql(1, 'o_custkey')},
-                              {_bloom_pos_sql(2, 'o_custkey')})) AS nbits,
+               (CAST({_bloom_pos_sql(0, 'o_custkey')} IN (SELECT pos FROM bits) AS INT)
+                + CAST({_bloom_pos_sql(1, 'o_custkey')} IN (SELECT pos FROM bits) AS INT)
+                + CAST({_bloom_pos_sql(2, 'o_custkey')} IN (SELECT pos FROM bits) AS INT))
+                   AS nbits,
                o_custkey IN (SELECT c_custkey FROM build) AS is_member
         FROM orders
     )

@@ -563,11 +563,11 @@ def text_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            COUNT(*) AS n_bigrams,
-           ROUND(SUM(CAST(ROUND(lp * 1000000) AS BIGINT)) / 1000000.0
+           ROUND(SUM(CAST(ROUND(lp * 1000) AS BIGINT)) / 1000.0
                  / COUNT(*), 6) AS avg_lp,
-           CASE WHEN ROUND(SUM(CAST(ROUND(lp * 1000000) AS BIGINT)) / 1000000.0
+           CASE WHEN ROUND(SUM(CAST(ROUND(lp * 1000) AS BIGINT)) / 1000.0
                            / COUNT(*), 6) >= -3.32 THEN 'head'
-                WHEN ROUND(SUM(CAST(ROUND(lp * 1000000) AS BIGINT)) / 1000000.0
+                WHEN ROUND(SUM(CAST(ROUND(lp * 1000) AS BIGINT)) / 1000.0
                            / COUNT(*), 6) >= -3.40 THEN 'middle'
                 ELSE 'tail' END AS band
     FROM scored GROUP BY doc_id
@@ -577,7 +577,9 @@ def text_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "uniform token keys), each document is scored by mean bigram "
     "log-probability, and scores are cut into head/middle/tail bands (the "
     "CCNet split). Per-bigram logprobs are summed in scaled int64 "
-    "(round(lp*1e6)) so the mean is addition-order independent — the same "
+    "(round(lp*1e3) — coarse enough that a last-ulp libm ln() divergence "
+    "between engines cannot flip a rounding boundary) so the mean is "
+    "addition-order independent — the same "
     "exactness rule as the engine's decimal sums — making the float "
     "pipeline hash-gateable. At 100 TB the count tables are corpus-sized "
     "but uniform-keyed; the scoring join is bigram-key equi-join, never a "
@@ -612,8 +614,12 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log((F.col("c12") + F.lit(1.0)) / (F.col("cw") + F.col("v"))).alias("lp"),
         )
     )
+    # 1e3 grid, not 1e6: Spark's Math.log and DuckDB's libm log can differ
+    # in the last ulp, and at a fine grid that ulp lands on the .5 rounding
+    # boundary (observed once at sf0.1). The coarser grid keeps the same
+    # band semantics with a ~1000x wider safety margin.
     avg_lp = F.round(
-        F.sum(F.round(F.col("lp") * 1000000).cast("long")) / F.lit(1000000.0)
+        F.sum(F.round(F.col("lp") * 1000).cast("long")) / F.lit(1000.0)
         / F.count(F.lit(1)),
         6,
     )
