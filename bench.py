@@ -49,6 +49,7 @@ HEADLINE = [
     "cms_user_counts",
     "events_tumbling_window",
     "events_sessionize",
+    "events_funnel_stages",
     "asof_last_purchase",
     "salted_skew_agg",
     "df_reduce_by_key_fastpath",
@@ -65,6 +66,7 @@ HEADLINE = [
     "ntile_customer_spend_deciles_ranged",
     "zorder_tile_stats",
     "range_join_orders_promos",
+    "bloom_semi_join_prune",
     "grouping_sets_flag_status",
     "dedup_clusters_cc",
     "dedup_clusters_cc_star",
@@ -72,12 +74,14 @@ HEADLINE = [
     "dedup_span_ngram",
     "dedup_semantic_ivf",
     "corpus_global_shuffle",
+    "graph_pagerank_dedup",
     "corpus_mixing_allocation",
     "corpus_budget_cut",
     "corpus_upsert_latest",
     "contamination_ngram_overlap",
     "tfidf_top_terms",
     "text_bigram_lm_score",
+    "text_bm25_search",
     "text_redact_documents",
     "corpus_materialize",
 ]
