@@ -58,6 +58,7 @@ ALLOWED_QUADRATIC = {
     # quadratic.
     "text_bigram_lm_score",
     "text_pmi_collocations",
+    "text_bm25_search",
 }
 
 
