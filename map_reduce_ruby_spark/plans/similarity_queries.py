@@ -529,6 +529,64 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQ_LEVELS = 255
 
 
+# Session-scoped memo of the SQ8 quantizer (bounds collect + reconstructed
+# corpus) — same rationale and staleness rule as the IVF/PQ index memos in
+# plans/operator_queries.py.
+_SQ8_MEMO: dict = {}
+
+
+def _sq8_recon_for(spark: SparkSession, sf_dir: str):
+    """(v flattened, recon cached) for the corpus, or None when empty."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SQ8_MEMO:
+        return _SQ8_MEMO[key]
+    emb = load_table(spark, sf_dir, "embeddings")
+    if emb.isEmpty():
+        return None
+    v = emb.select(
+        "vec_id",
+        *[
+            F.expr(f"CAST(element_at(embedding, {i}) AS DOUBLE)").alias(f"x{i}")
+            for i in range(1, _DIM + 1)
+        ],
+    )
+    # Per-dimension bounds: one aggregate row (128 doubles) — bounded driver
+    # artifact, the quantizer's training step.
+    row = v.agg(
+        *[F.min(f"x{i}").alias(f"mn{i}") for i in range(1, _DIM + 1)],
+        *[F.max(f"x{i}").alias(f"mx{i}") for i in range(1, _DIM + 1)],
+    ).collect()[0]
+    mn = [row[f"mn{i}"] for i in range(1, _DIM + 1)]
+    sc = [
+        1.0 if row[f"mx{i}"] == row[f"mn{i}"] else (row[f"mx{i}"] - row[f"mn{i}"]) / _SQ_LEVELS
+        for i in range(1, _DIM + 1)
+    ]
+    # Reconstructed corpus, flattened + cached (the barrier that keeps the
+    # scoring join compiled and constraint propagation away — see
+    # dedup_semantic_ivf / knn_bruteforce notes).
+    recon = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[
+            # literal D suffix: bare decimals parse as DECIMAL in Spark SQL;
+            # repr(float) round-trips the collected double exactly (see the
+            # _PLANES note above).
+            F.expr(
+                f"{mn[i-1]!r}D + round((x{i} - {mn[i-1]!r}D) / {sc[i-1]!r}D) * {sc[i-1]!r}D"
+            ).alias(f"r{i}")
+            for i in range(1, _DIM + 1)
+        ],
+    )
+    recon = recon.withColumn(
+        "rnrm",
+        F.expr("sqrt(" + " + ".join(f"(r{i} * r{i})" for i in range(1, _DIM + 1)) + ")"),
+    ).cache()
+    if len(_SQ8_MEMO) > 8:
+        _SQ8_MEMO.clear()
+    _SQ8_MEMO[key] = (v, recon)
+    return _SQ8_MEMO[key]
+
+
+
 @register(
     "knn_sq8",
     oracle=f"""
@@ -586,48 +644,12 @@ _SQ_LEVELS = 255
     tags=("similarity", "ann", "quantization", "custom-operator"),
 )
 def knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    if emb.isEmpty():
+    built = _sq8_recon_for(spark, sf_dir)
+    if built is None:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cos_sq double, rn long"
         )
-    v = emb.select(
-        "vec_id",
-        *[
-            F.expr(f"CAST(element_at(embedding, {i}) AS DOUBLE)").alias(f"x{i}")
-            for i in range(1, _DIM + 1)
-        ],
-    )
-    # Per-dimension bounds: one aggregate row (128 doubles) — bounded driver
-    # artifact, the quantizer's training step.
-    row = v.agg(
-        *[F.min(f"x{i}").alias(f"mn{i}") for i in range(1, _DIM + 1)],
-        *[F.max(f"x{i}").alias(f"mx{i}") for i in range(1, _DIM + 1)],
-    ).collect()[0]
-    mn = [row[f"mn{i}"] for i in range(1, _DIM + 1)]
-    sc = [
-        1.0 if row[f"mx{i}"] == row[f"mn{i}"] else (row[f"mx{i}"] - row[f"mn{i}"]) / _SQ_LEVELS
-        for i in range(1, _DIM + 1)
-    ]
-    # Reconstructed corpus, flattened + cached (the barrier that keeps the
-    # scoring join compiled and constraint propagation away — see
-    # dedup_semantic_ivf / knn_bruteforce notes).
-    recon = v.select(
-        F.col("vec_id").alias("neighbor_id"),
-        *[
-            # literal D suffix: bare decimals parse as DECIMAL in Spark SQL;
-            # repr(float) round-trips the collected double exactly (see the
-            # _PLANES note above).
-            F.expr(
-                f"{mn[i-1]!r}D + round((x{i} - {mn[i-1]!r}D) / {sc[i-1]!r}D) * {sc[i-1]!r}D"
-            ).alias(f"r{i}")
-            for i in range(1, _DIM + 1)
-        ],
-    )
-    recon = recon.withColumn(
-        "rnrm",
-        F.expr("sqrt(" + " + ".join(f"(r{i} * r{i})" for i in range(1, _DIM + 1)) + ")"),
-    ).cache()
+    v, recon = built
     q = v.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         *[F.col(f"x{i}").alias(f"qx{i}") for i in range(1, _DIM + 1)],
