@@ -209,3 +209,39 @@ def test_dynamic_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
         assert rows == {"purchase": expected}
     finally:
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
+
+
+def test_recursive_cte_surface(spark):
+    """Pin the Spark 4.1 recursive-CTE surface: UNION ALL recursion works
+    (series generation — usable for bounded-depth expansions), while
+    UNION-distinct recursion raises the documented error, which is WHY the
+    connected-components operators use iterative DataFrame algorithms
+    (min-label propagation / large-star-small-star) instead of a recursive
+    CTE: cyclic-graph closure needs mid-recursion dedup."""
+    rows = spark.sql(
+        """
+        WITH RECURSIVE t(n) AS (
+            SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 5
+        )
+        SELECT n FROM t ORDER BY n
+        """
+    ).collect()
+    assert [r.n for r in rows] == [1, 2, 3, 4, 5]
+
+    import pytest as _pytest
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW rcte_edges AS "
+        "SELECT * FROM VALUES (1,2),(2,1) AS t(a,b)"
+    )
+    with _pytest.raises(Exception, match="UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE"):
+        spark.sql(
+            """
+            WITH RECURSIVE reach(a, b) AS (
+                SELECT a, b FROM rcte_edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN rcte_edges e ON r.b = e.a
+            )
+            SELECT COUNT(*) AS n FROM reach
+            """
+        ).collect()
