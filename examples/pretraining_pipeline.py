@@ -86,12 +86,15 @@ def main() -> int:
         )
 
     eval_grams = grams(eval_docs).select("gram").distinct()
+    # Eval docs in the corpus share their own grams, so they land in
+    # `contaminated` and are dropped from the training set along with every
+    # doc overlapping them — exempting them here would train on the
+    # benchmark verbatim.
     contaminated = (
         grams(near.select("doc_id", "text"))
         .join(F.broadcast(eval_grams), "gram", "left_semi")
         .select("doc_id")
         .distinct()
-        .join(eval_docs.select("doc_id"), "doc_id", "left_anti")  # eval set itself aside
     )
     clean = near.join(contaminated, "doc_id", "left_anti")
     n4 = clean.count()

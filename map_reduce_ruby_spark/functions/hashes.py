@@ -18,13 +18,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def h32(col: Column, seed: int | None = None) -> Column:
+def h32(col: Column, seed: int | str | None = None) -> Column:
     """32-bit md5-based hash of a string column (Spark side)."""
     s = F.concat(F.lit(f"{seed}:"), col) if seed is not None else col
     return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
 
 
-def h32_sql(expr: str, seed: int | None = None) -> str:
+def h32_sql(expr: str, seed: int | str | None = None) -> str:
     """The identical hash as a DuckDB SQL expression."""
     s = f"'{seed}:' || {expr}" if seed is not None else expr
     return f"(('0x' || substr(md5({s}), 1, 8))::UBIGINT)::BIGINT"

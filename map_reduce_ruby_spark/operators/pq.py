@@ -98,12 +98,16 @@ def build_pq_index(
         for r in stats:
             sums.setdefault((int(r.m), int(r.cell)), [0] * sub)[int(r.pos)] = int(r.s)
             counts[(int(r.m), int(r.cell))] = int(r.n)
+        # range over the ACTUAL codebook size: a corpus smaller than k seeds
+        # fewer codewords (stride clamps to 1), and indexing range(k) would
+        # IndexError on the empty-cell branch (mirrors build_ivf_index's
+        # range(len(centroids)) rule).
         books = [
             [
                 [(sums[(m, c)][i] / 1e9) / counts[(m, c)] for i in range(sub)]
                 if (m, c) in counts
                 else books[m][c]  # empty cell keeps its previous codeword
-                for c in range(k)
+                for c in range(len(books[m]))
             ]
             for m in range(n_sub)
         ]

@@ -307,16 +307,10 @@ _CMS_W = 64  # buckets per row
 def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    from map_reduce_ruby_spark.functions import h32
+
     uid = F.col("user_id").cast("string")
-    buckets = F.array(
-        *[
-            (
-                F.conv(F.substring(F.md5(F.concat(F.lit(f"{100 + r}:"), uid)), 1, 8), 16, 10)
-                .cast("long") % _CMS_W
-            )
-            for r in range(_CMS_D)
-        ]
-    )
+    buckets = F.array(*[h32(uid, seed=100 + r) % _CMS_W for r in range(_CMS_D)])
     keyed = counts.select(
         "user_id", "exact_cnt", F.posexplode(buckets).alias("r", "bucket")
     ).select("user_id", "exact_cnt", F.col("r").cast("long").alias("r"), "bucket")

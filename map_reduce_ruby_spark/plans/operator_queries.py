@@ -414,6 +414,9 @@ def ivf_index_for(spark: SparkSession, sf_dir: str):
         if v.isEmpty():
             return None
         if len(_IVF_INDEX_MEMO) > 8:  # a handful of sf_dirs per session at most
+            # the build's vectors.cache() is plan-keyed in Spark's
+            # CacheManager (MEMORY_AND_DISK, LRU-evictable under pressure);
+            # nothing referenced here to unpersist explicitly
             _IVF_INDEX_MEMO.clear()
         _IVF_INDEX_MEMO[key] = build_ivf_index(v, k=_IVF_K, iterations=2)
     return _IVF_INDEX_MEMO[key]
@@ -638,14 +641,9 @@ def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     build = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey").distinct()
 
     def pos(j: int, key: str):
-        return (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"bloom{j}:"), F.col(key).cast("string"))), 1, 8),
-                16,
-                10,
-            ).cast("long")
-            % _BLOOM_M
-        )
+        from map_reduce_ruby_spark.functions import h32
+
+        return h32(F.col(key).cast("string"), seed=f"bloom{j}") % _BLOOM_M
 
     bits = (
         build.select(F.explode(F.array(*[pos(j, "c_custkey") for j in range(_BLOOM_K)])).alias("pos"))
@@ -655,7 +653,7 @@ def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderstatus",
         "o_custkey",
-        F.posexplode(F.array(*[pos(j, "o_custkey") for j in range(_BLOOM_K)])).alias("j", "pos"),
+        F.explode(F.array(*[pos(j, "o_custkey") for j in range(_BLOOM_K)])).alias("pos"),
     )
     # broadcast the bit table; inner join counts how many of the k probe
     # positions are set — nbits == k is the bloom pass.
@@ -860,6 +858,8 @@ def pq_index_for(spark: SparkSession, sf_dir: str):
         if v.isEmpty():
             return None
         if len(_PQ_INDEX_MEMO) > 8:
+            for cached_codes, _b in _PQ_INDEX_MEMO.values():
+                cached_codes.unpersist()
             _PQ_INDEX_MEMO.clear()
         codes, books = build_pq_index(
             v, dim=_IVF_DIM, n_sub=_PQ_NSUB, k=_PQ_K, iterations=1

@@ -998,16 +998,6 @@ def approx_median_price_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- data profiling (ANALYZE-style column summary) ---------------------------
 
-_PROFILE_COLS = [
-    ("l_quantity", "numeric"),
-    ("l_extendedprice", "numeric"),
-    ("l_discount", "numeric"),
-    ("l_returnflag", "string"),
-    ("l_linestatus", "string"),
-    ("l_shipdate", "date"),
-]
-
-
 @register(
     "lineitem_profile",
     oracle="""

@@ -581,6 +581,8 @@ def _sq8_recon_for(spark: SparkSession, sf_dir: str):
         F.expr("sqrt(" + " + ".join(f"(r{i} * r{i})" for i in range(1, _DIM + 1)) + ")"),
     ).cache()
     if len(_SQ8_MEMO) > 8:
+        for _v, cached_recon in _SQ8_MEMO.values():
+            cached_recon.unpersist()
         _SQ8_MEMO.clear()
     _SQ8_MEMO[key] = (v, recon)
     return _SQ8_MEMO[key]

@@ -289,16 +289,10 @@ def streaming_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     ev = streaming_events(spark, sf_dir)
+    from map_reduce_ruby_spark.functions import h32
+
     uid = F.col("user_id").cast("string")
-    buckets = F.array(
-        *[
-            (
-                F.conv(F.substring(F.md5(F.concat(F.lit(f"{100 + r}:"), uid)), 1, 8), 16, 10)
-                .cast("long") % 64
-            )
-            for r in range(4)
-        ]
-    )
+    buckets = F.array(*[h32(uid, seed=100 + r) % 64 for r in range(4)])
     keyed = ev.select(F.posexplode(buckets).alias("r", "bucket")).select(
         F.col("r").cast("long").alias("r"), "bucket"
     )

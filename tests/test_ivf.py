@@ -92,3 +92,19 @@ def test_pq_recall_vs_bruteforce(spark, sf_dir):
         for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_pq_build_small_corpus(spark):
+    """A non-empty corpus smaller than k must train a truncated codebook,
+    not IndexError (build_ivf_index's range(len(centroids)) rule)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_ruby_spark.operators import build_pq_index
+
+    v = spark.range(5).select(
+        F.col("id"),
+        F.expr("transform(sequence(1, 16), i -> CAST(id * i AS DOUBLE))").alias("e"),
+    )
+    codes, books = build_pq_index(v, dim=16, n_sub=4, k=16, iterations=1)
+    assert codes.count() == 5
+    assert all(len(b) == 5 for b in books)  # 5 seeds < k=16

@@ -69,12 +69,23 @@ def main() -> int:
             .agg(F.sum("new_s").alias("n_sessions"))
         )
 
+    def _scaled_docs(df, k):
+        # copy-tagged union: WITHOUT the tag, every gram in copy i collides
+        # with its twin in copy j, so at x4/x16 the cnt>=2 filter passes
+        # nearly all rows and the ratio measures a selectivity jump, not
+        # amortization. Tagging keeps per-copy duplication selectivity equal
+        # to the x1 run (rows scale, per-row work and filter rate do not).
+        return reduce(
+            DataFrame.union,
+            [df.withColumn("copy", F.lit(i)) for i in range(k)],
+        )
+
     def q_dedup(docs):  # span-dedup shape: gram explode -> gram-hash shuffle
         # -> per-doc island window (the dedup family's scale signature)
         from map_reduce_ruby_spark.functions import h32
 
         tok = F.filter(F.split("text", r"\s+"), lambda w: w != "")
-        base = docs.select("doc_id", tok.alias("tok"))
+        base = docs.select("copy", "doc_id", tok.alias("tok"))
         idx = F.when(
             F.size("tok") >= 5, F.sequence(F.lit(1), F.size("tok") - 4)
         ).otherwise(F.expr("CAST(array() AS array<int>)"))
@@ -83,8 +94,11 @@ def main() -> int:
             + ", ".join(f"element_at(tok, pos + {j})" for j in range(5))
             + ")"
         )
-        g = base.select("doc_id", F.explode(idx).alias("pos"), "tok").select(
-            "doc_id", "pos", h32(gram).alias("gh")
+        g = base.select("copy", "doc_id", F.explode(idx).alias("pos"), "tok").select(
+            "copy",
+            "doc_id",
+            "pos",
+            h32(F.concat(F.col("copy").cast("string"), F.lit(":"), gram)).alias("gh"),
         )
         d = g.withColumn("cnt", F.count(F.lit(1)).over(W.partitionBy("gh")))
         return (
@@ -92,15 +106,17 @@ def main() -> int:
             .withColumn(
                 "grp",
                 F.col("pos")
-                - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+                - F.row_number().over(
+                    W.partitionBy("copy", "doc_id").orderBy("pos")
+                ),
             )
-            .groupBy("doc_id", "grp")
+            .groupBy("copy", "doc_id", "grp")
             .agg(F.count(F.lit(1)).alias("n"))
         )
 
     results = {}
     for k in (1, 4, 16):
-        li, ev, dc = _scaled(li0, k), _scaled(ev0, k), _scaled(dc0, k)
+        li, ev, dc = _scaled(li0, k), _scaled(ev0, k), _scaled_docs(dc0, k)
         for name, frame in (
             ("agg", q_agg(li)),
             ("semi_join", q_join(li)),
