@@ -555,9 +555,8 @@ _SH_WIDTH = 32  # signature bits for the hamming query
 _SH_BANDS = 4   # 4 bands x 8 bits: any pair with hamming <= 3 shares a band
 
 
-@register(
-    "dedup_simhash_hamming",
-    oracle=f"""
+# Shared with dedup_edit_distance below (its candidate block IS this query).
+_SH_HAMMING_SQL = f"""
     WITH sig AS ({_simhash_sig_sql(_SH_WIDTH)}),
     bands AS (
         {' UNION ALL '.join(
@@ -577,7 +576,12 @@ _SH_BANDS = 4   # 4 bands x 8 bits: any pair with hamming <= 3 shares a band
            CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
     FROM cand
     WHERE bit_count(xor(sig_a, sig_b)) <= {_HAMMING_MAX}
-    """,
+"""
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=_SH_HAMMING_SQL,
     doc="SimHash near-dup pairs within hamming distance 2 (not just the "
     "hamming-0 families of dedup_simhash): a 32-bit signature splits into 4 "
     "bands of 8 bits; by pigeonhole any pair differing in <= 3 bits shares "
@@ -901,3 +905,144 @@ def graph_pagerank_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r"),
         )
     return r.select(F.col("node").alias("doc_id"), F.round("r", 9).alias("pagerank"))
+
+
+# --- Edit-distance verification on blocked candidates ------------------------
+
+_EDIT_MAX = 40  # max Levenshtein distance for a verified near-dup pair
+
+
+@register(
+    "dedup_edit_distance",
+    # Candidate block = dedup_simhash_hamming's full query (shared constant,
+    # so the two stay in lockstep by construction).
+    oracle=f"""
+    WITH cand AS ({_SH_HAMMING_SQL})
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+    FROM cand c
+    JOIN documents a ON a.doc_id = c.doc_a
+    JOIN documents b ON b.doc_id = c.doc_b
+    WHERE levenshtein(a.text, b.text) <= {_EDIT_MAX}
+    """,
+    doc="Edit-distance near-dup verification: SimHash-banded candidates "
+    f"(hamming <= 2) re-checked with exact Levenshtein <= {_EDIT_MAX} over "
+    "the raw text — the high-precision tier of a dedup cascade (fingerprint "
+    "blocks cheaply; edit distance confirms). Scale: the O(len^2) DP runs "
+    "ONLY on banded candidate pairs (sum-of-bucket-squared, never corpus^2) "
+    "and the threshold argument lets the JVM band-limit the DP to O(len*k). "
+    "Texts are fetched by two doc_id equi-joins after candidate pruning.",
+    tags=("dedup", "edit-distance", "lsh", "extension"),
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup_simhash_hamming(spark, sf_dir).select("doc_a", "doc_b")
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    paired = cand.join(ta, "doc_a").join(tb, "doc_b")
+    # threshold form: DP cost O(len * k) instead of O(len^2); -1 = "beyond".
+    dist = F.levenshtein("text_a", "text_b", _EDIT_MAX)
+    return (
+        paired.select("doc_a", "doc_b", dist.cast("long").alias("edit_dist"))
+        .filter(F.col("edit_dist") >= 0)
+    )
+
+
+# --- Triangle counting on the near-dup graph ---------------------------------
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH pairs AS ({_LSH_PAIRS_SQL}),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    und AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+    deg AS (SELECT a AS node, COUNT(*) AS deg FROM und GROUP BY a),
+    oe AS (
+        SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS u,
+               CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS v
+        FROM e
+        JOIN deg da ON da.node = e.a
+        JOIN deg db ON db.node = e.b
+    ),
+    tri AS (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM oe e1
+        JOIN oe e2 ON e1.u = e2.u AND e1.v < e2.v
+        JOIN e  e3 ON e3.a = LEAST(e1.v, e2.v) AND e3.b = GREATEST(e1.v, e2.v)
+    ),
+    per_node AS (
+        SELECT corner AS node, COUNT(*) AS n_triangles FROM (
+            SELECT x AS corner FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ) GROUP BY corner
+    )
+    SELECT d.node AS doc_id,
+           d.deg,
+           COALESCE(t.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.deg >= 2 THEN
+               ROUND(CAST(COALESCE(t.n_triangles, 0) AS DOUBLE)
+                     / (d.deg * (d.deg - 1) / 2.0), 6)
+           ELSE 0.0 END AS clustering_coeff
+    FROM deg d LEFT JOIN per_node t ON t.node = d.node
+    """,
+    doc="Triangle counting + local clustering coefficient over the "
+    "MinHash-LSH near-dup graph: dense triangle neighborhoods are template "
+    "families (every member near-dups every other), while star-shaped "
+    "zero-triangle hubs are boilerplate stitched into otherwise-unrelated "
+    "docs — the two need different curation (drop family vs strip "
+    "boilerplate). Degree-ordered orientation (each edge points from lower "
+    "(deg, id) to higher) bounds wedge fan-out by sqrt(|E|) on skewed "
+    "graphs — the standard trick that keeps the wedge join from exploding "
+    "on hubs; the closing-edge check is a canonical (LEAST, GREATEST) "
+    "equi-join, so every join hash-partitions.",
+    tags=("dedup", "graph", "extension"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    e = pairs.cache()  # read 3x: orientation, closing-edge probe, degrees
+    und = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    ranked = e.join(da, "a").join(db, "b")
+    lower_first = F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
+    oe = ranked.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    e1 = oe.select(F.col("u"), F.col("v").alias("y"))
+    e2 = oe.select(F.col("u"), F.col("v").alias("z"))
+    wedges = e1.join(e2, "u").filter(F.col("y") < F.col("z"))
+    closing = e.select(F.col("a").alias("lo"), F.col("b").alias("hi"))
+    tri = wedges.join(
+        closing,
+        (F.least("y", "z") == F.col("lo")) & (F.greatest("y", "z") == F.col("hi")),
+    ).select(F.col("u").alias("x"), "y", "z")
+    corners = (
+        tri.select(F.col("x").alias("corner"))
+        .unionAll(tri.select(F.col("y").alias("corner")))
+        .unionAll(tri.select(F.col("z").alias("corner")))
+    )
+    per_node = corners.groupBy(F.col("corner").alias("node")).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    out = deg.join(per_node, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        "deg",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            F.round(
+                F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1) / 2.0),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    )
+    return out

@@ -850,3 +850,149 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = keyed.orderBy(F.desc("akey"), F.asc("doc_id")).limit(_WS_TOPK)
     w = W.orderBy(F.desc("akey"), F.asc("doc_id"))
     return top.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
+# --- Sliding-window document chunking ---------------------------------------
+
+_CHUNK_TOKENS = 32  # tokens per training chunk
+_CHUNK_STRIDE = 24  # overlap = _CHUNK_TOKENS - _CHUNK_STRIDE = 8 tokens
+
+
+@register(
+    "doc_chunk_overlap",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {_CONTAM_TOKENS_SQL} AS toks,
+               len({_CONTAM_TOKENS_SQL}) AS n
+        FROM documents
+        WHERE len({_CONTAM_TOKENS_SQL}) > 0
+    ),
+    chunks AS (
+        SELECT doc_id, n,
+               CAST(i.i AS BIGINT) AS chunk_idx,
+               1 + i.i * {_CHUNK_STRIDE} AS start_tok
+        FROM tok, UNNEST(range(0,
+            CASE WHEN n <= {_CHUNK_TOKENS} THEN 1
+                 ELSE CAST(floor((n - {_CHUNK_TOKENS} + {_CHUNK_STRIDE} - 1)
+                                 / {_CHUNK_STRIDE}.0) AS BIGINT) + 1
+            END)) AS i(i)
+    )
+    SELECT c.doc_id, c.chunk_idx,
+           CAST(len(list_slice(t.toks, c.start_tok,
+                               c.start_tok + {_CHUNK_TOKENS} - 1)) AS BIGINT)
+               AS chunk_tokens,
+           md5(array_to_string(list_slice(t.toks, c.start_tok,
+                               c.start_tok + {_CHUNK_TOKENS} - 1), ' '))
+               AS chunk_hash
+    FROM chunks c JOIN tok t USING (doc_id)
+    """,
+    doc="Sliding-window chunking: split each document into "
+    f"{_CHUNK_TOKENS}-token training chunks with stride {_CHUNK_STRIDE} "
+    "(8-token overlap preserves cross-boundary context) — the step between "
+    "cleaning and sequence packing in a pretraining pipeline. The chunk "
+    "table carries an md5 content hash so chunk-level dedup can run "
+    "downstream without re-tokenizing. Scale: pure narrow ops (split, "
+    "sequence, explode, slice) — zero shuffles, embarrassingly parallel, "
+    "output rows ~ n_tokens/stride per doc. The tail chunk is kept short "
+    "(last start covers every trailing token exactly once past the final "
+    "full window). No reference twin (user map code would do this; "
+    "SURVEY.md §2.2 scalar functions).",
+    tags=("pipeline", "chunking", "extension"),
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_ruby_spark.plans.text_queries import _tokens_spark
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens_spark(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks")).withColumn(
+        "n", F.size("toks")
+    ).filter(F.col("n") > 0)
+    n_chunks = F.when(F.col("n") <= _CHUNK_TOKENS, F.lit(1)).otherwise(
+        (
+            F.floor(
+                (F.col("n") - _CHUNK_TOKENS + _CHUNK_STRIDE - 1)
+                / F.lit(float(_CHUNK_STRIDE))
+            )
+            + 1
+        ).cast("long")
+    )
+    chunked = base.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks.cast("long") - 1)).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.slice(
+            "toks", F.lit(1) + F.col("chunk_idx").cast("int") * _CHUNK_STRIDE, _CHUNK_TOKENS
+        ).alias("chunk"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").cast("long").alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", "chunk")).alias("chunk_hash"),
+    )
+
+
+# --- Corpus snapshot diff ----------------------------------------------------
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH old_gen AS (
+        SELECT doc_id, source, text FROM documents WHERE doc_id % 13 <> 5
+    ),
+    new_gen AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END
+                   AS text
+        FROM documents WHERE doc_id % 11 <> 3
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           COALESCE(o.source, n.source) AS source,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.text <> n.text THEN 'changed'
+                ELSE 'unchanged' END AS change_class,
+           CAST(COALESCE(length(o.text), -1) AS BIGINT) AS old_len,
+           CAST(COALESCE(length(n.text), -1) AS BIGINT) AS new_len
+    FROM old_gen o FULL OUTER JOIN new_gen n ON o.doc_id = n.doc_id
+    """,
+    doc="Snapshot diff between two corpus generations (derived "
+    "deterministically from the documents table: doc_id % 13 = 5 rows are "
+    "new-only, % 11 = 3 rows were dropped, % 7 = 0 rows were revised): "
+    "FULL OUTER join on the document key classifies every row "
+    "added/removed/changed/unchanged — the audit a versioned corpus store "
+    "runs between releases. The only full-outer-join entry in the catalog "
+    "(q13 is left outer). Scale: one sort-merge join on the primary key; "
+    "change detection compares text in place — at 100 TB you'd compare "
+    "stored content hashes instead, same plan shape.",
+    tags=("pipeline", "diff", "join", "outer", "extension"),
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    old_gen = docs.filter(F.col("doc_id") % 13 != 5).select(
+        "doc_id", "source", "text"
+    )
+    new_gen = docs.filter(F.col("doc_id") % 11 != 3).select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    o, n = old_gen.alias("o"), new_gen.alias("n")
+    joined = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+        F.coalesce(F.col("o.source"), F.col("n.source")).alias("source"),
+        F.when(F.col("o.doc_id").isNull(), F.lit("added"))
+        .when(F.col("n.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("o.text") != F.col("n.text"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_class"),
+        F.coalesce(F.length("o.text").cast("long"), F.lit(-1)).alias("old_len"),
+        F.coalesce(F.length("n.text").cast("long"), F.lit(-1)).alias("new_len"),
+    )

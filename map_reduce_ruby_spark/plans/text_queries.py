@@ -819,3 +819,130 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_BM25_TOPK)
     w = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
     return top.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
+# --- Vocabulary coverage -----------------------------------------------------
+
+_VOCAB_K = 20  # vocabulary size for the coverage report
+
+
+@register(
+    "vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, t.term AS term
+        FROM documents, UNNEST({_TOKENS_SQL}) AS t(term)
+    ),
+    vocab AS (
+        SELECT term FROM (
+            SELECT term, COUNT(*) AS n FROM tok GROUP BY term
+        ) ORDER BY n DESC, term LIMIT {_VOCAB_K}
+    ),
+    per_lang AS (
+        SELECT lang,
+               COUNT(*) AS total_tokens,
+               COUNT(*) FILTER (WHERE term IN (SELECT term FROM vocab))
+                   AS covered_tokens
+        FROM tok GROUP BY lang
+    )
+    SELECT lang, total_tokens, covered_tokens,
+           ROUND(CAST(covered_tokens AS DOUBLE) / total_tokens, 6) AS coverage
+    FROM per_lang
+    """,
+    doc="Vocabulary coverage: build a top-K global vocabulary (count desc, "
+    "term asc tie-break — deterministic) and report, per language, what "
+    "fraction of token occurrences the vocabulary covers — the standard "
+    "check before freezing a tokenizer vocab on a multilingual corpus. "
+    "Scale: token explode is narrow; the vocab is a K-row TakeOrdered "
+    "result broadcast back, so the big side shuffles once (per-lang agg). "
+    "No reference twin (no scalar/topk operators there, SURVEY.md:150-152).",
+    tags=("text", "vocab", "pipeline", "extension"),
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(_tokens_spark(F.col("text"))).alias("term")
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(_VOCAB_K)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    per_lang = (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.sum(F.coalesce(F.col("in_vocab"), F.lit(0))).alias("covered_tokens"),
+        )
+    )
+    return per_lang.select(
+        "lang",
+        "total_tokens",
+        "covered_tokens",
+        F.round(
+            F.col("covered_tokens").cast("double") / F.col("total_tokens"), 6
+        ).alias("coverage"),
+    )
+
+
+# --- N-gram diversity --------------------------------------------------------
+
+
+@register(
+    "ngram_diversity",
+    oracle=f"""
+    WITH tri AS (
+        SELECT source, g.gram AS gram
+        FROM (
+            SELECT source,
+                   list_transform(range(1, len({_TOKENS_SQL}) - 1),
+                       i -> {_TOKENS_SQL}[i] || ' ' || {_TOKENS_SQL}[i+1]
+                            || ' ' || {_TOKENS_SQL}[i+2]) AS grams
+            FROM documents
+            WHERE len({_TOKENS_SQL}) >= 3
+        ), UNNEST(grams) AS g(gram)
+    )
+    SELECT source,
+           COUNT(*) AS total_trigrams,
+           COUNT(DISTINCT gram) AS distinct_trigrams,
+           ROUND(CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*), 6)
+               AS diversity
+    FROM tri GROUP BY source
+    """,
+    doc="N-gram diversity per source: distinct/total trigram ratio — the "
+    "cheap self-repetition signal used to demote template-generated or "
+    "looping sources before training (low ratio = boilerplate). "
+    "NON-distinct trigrams by construction (unlike the dedup shingles, "
+    "which dedupe per doc): repetition inside a document must count. "
+    "Scale: explode + one two-level aggregate; count(distinct) expands to "
+    "Spark's standard partial-distinct two-stage plan on the (source, gram) "
+    "shuffle key.",
+    tags=("text", "quality", "extension"),
+)
+def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _tokens_spark(F.col("text"))
+    n = F.size(tok)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(tok, i + 1),
+            F.element_at(tok, i + 2),
+            F.element_at(tok, i + 3),
+        ),
+    )
+    tri = (
+        docs.filter(n >= 3)
+        .select("source", F.explode(grams).alias("gram"))
+    )
+    return tri.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_trigrams"),
+        F.countDistinct("gram").alias("distinct_trigrams"),
+        F.round(
+            F.countDistinct("gram").cast("double") / F.count(F.lit(1)), 6
+        ).alias("diversity"),
+    )
