@@ -1075,3 +1075,37 @@ def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]:
         out = out.unionAll(prof(c, numeric))
     return out
+
+
+# --- LATERAL correlated top-k ------------------------------------------------
+
+_LATERAL_SQL = """
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n,
+    LATERAL (
+        SELECT c_name, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 3
+    ) t
+"""
+
+
+@register(
+    "lateral_topk_customers",
+    oracle=_LATERAL_SQL,
+    doc="LATERAL correlated subquery with per-group LIMIT: the same ANSI "
+    "text runs on both engines (like sql_interface_nation_revenue) — top-3 "
+    "customers by account balance per nation, tie-broken on name. The "
+    "interesting part is the PLAN: Catalyst decorrelates the lateral into "
+    "WindowGroupLimit -> Window -> broadcast join, so the per-group top-k "
+    "is pre-pruned map-side BEFORE the shuffle (each task keeps <= 3 rows "
+    "per nation) — the decorrelation means the 'loop over nations' surface "
+    "syntax never executes as a loop, which is exactly what makes the "
+    "construct usable on a 100 TB fact side.",
+    tags=("sql", "lateral", "topk", "window"),
+)
+def lateral_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_ruby_spark.sources import register_views
+
+    register_views(spark, sf_dir, ["nation", "customer"])
+    return spark.sql(_LATERAL_SQL)

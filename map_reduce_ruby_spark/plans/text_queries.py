@@ -946,3 +946,115 @@ def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("gram").cast("double") / F.count(F.lit(1)), 6
         ).alias("diversity"),
     )
+
+
+# --- BPE merge induction -----------------------------------------------------
+#
+# The first N merges of byte-pair-encoding tokenizer training, run as a
+# declarative plan: each round is (adjacent-pair count) -> (argmax pair) ->
+# (greedy left-to-right merge fold over every document), and the learned
+# pair feeds the next round's fold through a 1-row cross join — no collect,
+# no driver loop. The merge fold is a higher-order aggregate() over the
+# token array: the accumulator is the already-merged prefix as a string, and
+# a merged token "p+q" can never equal p again, which is exactly the greedy
+# non-overlap rule of BPE. The reference has no tokenizer surface at all
+# (user map code, SURVEY.md §2.2).
+
+_BPE_STEPS = 3
+
+
+def _bpe_pairs_sql(prev: str, s: int, engine: str) -> str:
+    if engine == "duckdb":
+        return f"""
+    pc{s} AS (
+        SELECT {prev}.toks[i.i] AS p, {prev}.toks[i.i + 1] AS q, COUNT(*) AS cnt
+        FROM {prev}, UNNEST(range(1, len({prev}.toks))) AS i(i)
+        GROUP BY 1, 2
+    )"""
+    return f"""
+    pc{s} AS (
+        SELECT element_at(toks, i) AS p, element_at(toks, i + 1) AS q,
+               COUNT(*) AS cnt
+        FROM {prev} LATERAL VIEW explode(sequence(1, size(toks) - 1)) AS i
+        GROUP BY 1, 2
+    )"""
+
+
+def _bpe_case_sql(p: str, q: str, len_fn: str) -> str:
+    """The greedy-merge fold step: if the accumulated string ends with token
+    ``p`` and the next token is ``q``, fuse them into 'p+q'; else append.
+    ``p``/``q`` are SQL expressions (column refs in the plan, literals in
+    unit tests)."""
+    return f"""CASE WHEN (acc = {p} OR right(acc, {len_fn}({p}) + 1) = ' ' || {p})
+                         AND t = {q}
+                    THEN left(acc, {len_fn}(acc) - {len_fn}({p})) || {p} || '+' || {q}
+                    ELSE acc || ' ' || t END"""
+
+
+def _bpe_fold_sql(prev: str, s: int, engine: str) -> str:
+    # Greedy left-to-right merge of (tp.p, tp.q): fold tokens into a
+    # space-joined string, replacing a trailing p followed by q with "p+q".
+    if engine == "duckdb":
+        body = _bpe_case_sql("tp.p", "tp.q", "len")
+        return f"""
+    t{s} AS (
+        SELECT doc_id,
+               string_split(list_reduce(toks, (acc, t) -> {body}), ' ') AS toks
+        FROM {prev}, top{s} tp
+    )"""
+    body = _bpe_case_sql("tp.p", "tp.q", "length")
+    return f"""
+    t{s} AS (
+        SELECT doc_id,
+               split(aggregate(slice(toks, 2, size(toks) - 1),
+                               element_at(toks, 1),
+                               (acc, t) -> {body}), ' ') AS toks
+        FROM {prev} CROSS JOIN top{s} tp
+    )"""
+
+
+def _bpe_sql(engine: str) -> str:
+    tok = _TOKENS_SQL if engine == "duckdb" else "filter(split(text, '\\\\s+'), w -> w <> '')"
+    length = "len" if engine == "duckdb" else "size"
+    ctes = []
+    for s in range(1, _BPE_STEPS + 1):
+        ctes.append(_bpe_pairs_sql(f"t{s - 1}", s, engine))
+        ctes.append(
+            f"""
+    top{s} AS (SELECT p, q, cnt FROM pc{s} ORDER BY cnt DESC, p, q LIMIT 1)"""
+        )
+        if s < _BPE_STEPS:
+            ctes.append(_bpe_fold_sql(f"t{s - 1}", s, engine))
+    unions = " UNION ALL ".join(
+        f"SELECT {s} AS step, p, q, cnt FROM top{s}" for s in range(1, _BPE_STEPS + 1)
+    )
+    return f"""
+    WITH t0 AS (
+        SELECT doc_id, {tok} AS toks FROM documents WHERE {length}({tok}) >= 2
+    ),
+    {",".join(ctes)}
+    SELECT CAST(step AS BIGINT) AS step, p, q, cnt FROM ({unions})
+    """
+
+
+@register(
+    "bpe_merge_steps",
+    oracle=_bpe_sql("duckdb"),
+    doc=f"Tokenizer induction: the first {_BPE_STEPS} BPE merges learned "
+    "over the corpus, fully in-plan. Round = adjacent-pair count (explode + "
+    "groupBy — one shuffle on the pair key) -> argmax pair (K=1 TakeOrdered, "
+    "tie-broken cnt desc / p / q) -> greedy merge applied to every document "
+    "via a higher-order aggregate() fold, with the learned pair flowing "
+    "into the fold through a 1-row broadcast cross join (the scalar-"
+    "subquery pattern — O(n) per round, never quadratic, no driver "
+    "round-trip). A merged token 'p+q' can't re-match p, giving BPE's "
+    "non-overlapping left-to-right semantics for free. At 100 TB each round "
+    "is one narrow fold + one pair-count shuffle — the same cost profile as "
+    "production BPE trainers' counting step.",
+    tags=("text", "tokenizer", "iterative", "extension"),
+)
+def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_ruby_spark.sources import register_views
+
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(_bpe_sql("spark"))

@@ -1,0 +1,166 @@
+"""Semantic invariants for the round-3 curation operators, pinned beyond the
+cross-engine oracle: chunk coverage arithmetic, triangle counts vs a
+brute-force reference, the BPE greedy-fold non-overlap rule, and the
+decorrelated LATERAL plan shape.
+"""
+
+from __future__ import annotations
+
+from map_reduce_ruby_spark.plans import all_entries
+
+
+def run(spark, sf_dir, name):
+    return all_entries()[name].fn(spark, sf_dir).toPandas()
+
+
+# --- doc_chunk_overlap -------------------------------------------------------
+
+
+def test_chunk_overlap_covers_every_token(spark, sf_dir):
+    """Per doc: chunk starts stride by 24, every token lands in >= 1 chunk,
+    and the chunk count matches the closed-form ceil formula."""
+    from map_reduce_ruby_spark.plans.pipeline_queries import (
+        _CHUNK_STRIDE,
+        _CHUNK_TOKENS,
+    )
+
+    chunks = run(spark, sf_dir, "doc_chunk_overlap")
+    docs = (
+        all_entries()["text_token_stats"].fn(spark, sf_dir).toPandas()
+    )  # doc_id -> n_tokens
+    ntok = dict(zip(docs.doc_id, docs.n_tokens))
+    for doc_id, grp in chunks.groupby("doc_id"):
+        n = ntok[doc_id]
+        expect_chunks = (
+            1 if n <= _CHUNK_TOKENS else (n - _CHUNK_TOKENS + _CHUNK_STRIDE - 1) // _CHUNK_STRIDE + 1
+        )
+        assert len(grp) == expect_chunks, (doc_id, n, len(grp))
+        assert sorted(grp.chunk_idx) == list(range(expect_chunks))
+        # coverage: last chunk's [start, start + chunk_tokens) must reach n
+        last = grp[grp.chunk_idx == expect_chunks - 1].iloc[0]
+        last_start = 1 + (expect_chunks - 1) * _CHUNK_STRIDE
+        assert last_start + last.chunk_tokens - 1 == n, (doc_id, n)
+        # every non-tail chunk is full-width
+        full = grp[grp.chunk_idx < expect_chunks - 1]
+        assert (full.chunk_tokens == _CHUNK_TOKENS).all()
+
+
+# --- graph_triangle_count ----------------------------------------------------
+
+
+def test_triangle_count_matches_bruteforce(spark, sf_dir):
+    pairs = run(spark, sf_dir, "dedup_minhash_lsh")[["doc_a", "doc_b"]]
+    edges = {tuple(sorted(t)) for t in pairs.itertuples(index=False)}
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect: dict[int, int] = {n: 0 for n in adj}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            # each triangle is found once per edge (3x total); each find
+            # credits the OPPOSITE corner, so every corner ends up +1/triangle
+            expect[c] += 1
+    got = run(spark, sf_dir, "graph_triangle_count")
+    assert set(got.doc_id) == set(adj)
+    for row in got.itertuples(index=False):
+        assert row.deg == len(adj[row.doc_id]), row
+        assert row.n_triangles == expect[row.doc_id], row
+
+
+# --- bpe_merge_steps ---------------------------------------------------------
+
+
+def _fold(spark, tokens: list[str], p: str, q: str) -> str:
+    from map_reduce_ruby_spark.plans.text_queries import _bpe_case_sql
+
+    case = _bpe_case_sql(f"'{p}'", f"'{q}'", "length")
+    arr = "array(" + ",".join(f"'{t}'" for t in tokens) + ")"
+    sql = (
+        f"SELECT aggregate(slice({arr}, 2, size({arr}) - 1), "
+        f"element_at({arr}, 1), (acc, t) -> {case}) AS out"
+    )
+    return spark.sql(sql).collect()[0].out
+
+
+def test_bpe_fold_merges_greedy_left_to_right(spark):
+    assert _fold(spark, ["a", "b", "a", "b"], "a", "b") == "a+b a+b"
+    # non-overlap: a merged token never re-matches its left half
+    assert _fold(spark, ["a", "a", "b", "b"], "a", "b") == "a a+b b"
+    assert _fold(spark, ["b", "b", "b"], "b", "b") == "b+b b"
+    # no occurrence -> identity join
+    assert _fold(spark, ["x", "y"], "a", "b") == "x y"
+    # suffix check must match whole tokens only: 'ca' ends with 'a' as a
+    # SUBSTRING but is not the token 'a'
+    assert _fold(spark, ["ca", "b"], "a", "b") == "ca b"
+
+
+def test_bpe_steps_are_distinct_and_positive(spark, sf_dir):
+    got = run(spark, sf_dir, "bpe_merge_steps").sort_values("step")
+    assert list(got.step) == [1, 2, 3]
+    assert (got.cnt > 0).all()
+    assert len({(r.p, r.q) for r in got.itertuples(index=False)}) == 3
+
+
+# --- corpus_snapshot_diff ----------------------------------------------------
+
+
+def test_snapshot_diff_classes(spark, sf_dir):
+    got = run(spark, sf_dir, "corpus_snapshot_diff")
+    by_class = {k: set(g.doc_id) for k, g in got.groupby("change_class")}
+    all_ids = set(got.doc_id)
+    for doc_id in all_ids:
+        in_old = doc_id % 13 != 5
+        in_new = doc_id % 11 != 3
+        if not in_old:
+            expect = "added"
+        elif not in_new:
+            expect = "removed"
+        elif doc_id % 7 == 0:
+            expect = "changed"
+        else:
+            expect = "unchanged"
+        assert doc_id in by_class.get(expect, set()), (doc_id, expect)
+    # removed rows have no new_len; added rows no old_len
+    assert (got[got.change_class == "removed"].new_len == -1).all()
+    assert (got[got.change_class == "added"].old_len == -1).all()
+    # changed rows grew by exactly len(' [rev2]')
+    ch = got[got.change_class == "changed"]
+    assert (ch.new_len - ch.old_len == 7).all()
+
+
+# --- lateral_topk_customers --------------------------------------------------
+
+
+def test_lateral_decorrelates_to_window_group_limit(spark, sf_dir):
+    df = all_entries()["lateral_topk_customers"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    got = df.toPandas()
+    assert (got.groupby("n_name").size() <= 3).all()
+
+
+# --- mv_incremental_refresh --------------------------------------------------
+
+
+def test_mv_refresh_flags_only_delta_grains(spark, sf_dir):
+    from map_reduce_ruby_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    got = run(spark, sf_dir, "mv_incremental_refresh")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("day_no", F.expr("ts_us div 86400000000"))
+        .toPandas()
+    )
+    delta_grains = {
+        (r.day_no, r.event_type)
+        for r in ev[ev.event_id % 10 == 7].itertuples(index=False)
+    }
+    for row in got.itertuples(index=False):
+        assert bool(row.was_refreshed) == ((row.day_no, row.event_type) in delta_grains)
+    # totals equal the direct aggregation
+    direct = ev.groupby(["day_no", "event_type"]).size()
+    for row in got.itertuples(index=False):
+        assert row.n_events == direct[(row.day_no, row.event_type)]

@@ -59,6 +59,10 @@ ALLOWED_QUADRATIC = {
     "text_bigram_lm_score",
     "text_pmi_collocations",
     "text_bm25_search",
+    # Each BPE round feeds the learned merge pair into the corpus-wide fold
+    # through a 1-row broadcast cross join (scalar-subquery pattern, O(n)
+    # per round — the same shape as tfidf/q22's single-row crossJoins).
+    "bpe_merge_steps",
 }
 
 
