@@ -252,6 +252,22 @@ def _gen_date_query(rng: random.Random) -> str:
     )
 
 
+def _gen_lateral_query(rng: random.Random) -> str:
+    """LATERAL correlated top-k arm: per-dim-row LIMIT subquery — Catalyst
+    decorrelates to WindowGroupLimit, DuckDB executes it natively; unique
+    tie-break keys make the k rows identical. Exercises the surface the
+    catalog's lateral_topk_customers pins, with generated k/thresholds."""
+    k = rng.randint(1, 4)
+    bal = round(rng.uniform(-500, 5000), 2)
+    return (
+        f"SELECT n.n_name, t.c_custkey, t.c_acctbal "
+        f"FROM nation n, LATERAL ("
+        f"SELECT c_custkey, c_acctbal FROM customer c "
+        f"WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > {bal} "
+        f"ORDER BY c_acctbal DESC, c_custkey LIMIT {k}) t"
+    )
+
+
 def _gen_query(rng: random.Random) -> str:
     preds = []
     for _ in range(rng.randint(1, 3)):
@@ -316,6 +332,7 @@ def views(spark, sf_dir):
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
 
 
 # Round-robin over every arm: with N_QUERIES=40 each arm runs 4x per seed.
@@ -330,6 +347,7 @@ ARMS = [
     _gen_outer_join_query,
     _gen_conditional_agg_query,
     _gen_date_query,
+    _gen_lateral_query,
 ]
 
 
