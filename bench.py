@@ -83,6 +83,15 @@ HEADLINE = [
     "text_bigram_lm_score",
     "text_bm25_search",
     "text_redact_documents",
+    "doc_chunk_overlap",
+    "vocab_coverage",
+    "ngram_diversity",
+    "corpus_snapshot_diff",
+    "mv_incremental_refresh",
+    "window_rank_breadth",
+    "lateral_topk_customers",
+    "bpe_merge_steps",
+    "graph_triangle_count",
     "corpus_materialize",
 ]
 

@@ -447,14 +447,12 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Incremental materialized-view refresh -----------------------------------
 
-
-@register(
-    "mv_incremental_refresh",
-    # The ORACLE computes the DIRECT aggregation over all events; the Spark
-    # side maintains the view INCREMENTALLY (base MV + late-batch delta).
-    # A hash match therefore proves the algebraic identity incremental
-    # refresh relies on — not just that two copies of the same plan agree.
-    oracle=f"""
+# The ORACLE computes the DIRECT aggregation over all events; the Spark side
+# maintains the view INCREMENTALLY (base MV + delta). A hash match therefore
+# proves the algebraic identity incremental refresh relies on — not just
+# that two copies of the same plan agree. Shared by the batch query and its
+# Structured Streaming twin (streaming_queries.streaming_mv_refresh).
+MV_DIRECT_ORACLE = f"""
     SELECT epoch_us(ts) // 86400000000 AS day_no,
            event_type,
            COUNT(*) AS n_events,
@@ -462,36 +460,24 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(CASE WHEN event_id % 10 = 7 THEN 1 ELSE 0 END) AS was_refreshed
     FROM events
     GROUP BY 1, 2
-    """,
-    doc="Incremental materialized-view maintenance for a daily "
-    "(day, event_type) rollup: the base MV (events with event_id % 10 <> 7 "
-    "— the already-ingested set) is refreshed with a late-arriving delta "
-    "batch (% 10 = 7) by aggregating ONLY the delta at view grain and "
-    "full-outer-merging the two partial states — counts add, cent-sums "
-    "add — never rescanning the base fact table. The DuckDB oracle "
-    "recomputes the view directly from all events, so the hash match "
-    "verifies the incremental path against ground truth. Scale: refresh "
-    "cost tracks the DELTA size (one small agg + one merge join on the "
-    "view key), which is what makes a 100 TB fact table's hourly view "
-    "refresh affordable; cent-integer partials make add-merge exact.",
-    tags=("events", "mv", "incremental", "extension"),
-)
-def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "day_no", F.expr("ts_us div 86400000000")
+"""
+
+
+def mv_grain_agg(df: DataFrame) -> DataFrame:
+    """Aggregate events (needs a day_no column) to MV grain with ADDABLE
+    partial state: row count + exact integer-cent sum. Shared by the batch
+    refresh and its streaming twin."""
+    return df.groupBy("day_no", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
     )
-    cents = F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
-    base_mv = (
-        ev.filter(F.col("event_id") % 10 != 7)
-        .groupBy("day_no", "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), cents)
-    )
-    delta = (
-        ev.filter(F.col("event_id") % 10 == 7)
-        .groupBy("day_no", "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), cents)
-    )
-    b, d = base_mv.alias("b"), delta.alias("d")
+
+
+def mv_merge(base_mv: DataFrame, delta_mv: DataFrame) -> DataFrame:
+    """Full-outer merge of two MV partial states: counts add, cent-sums add
+    (both are addable partials, so the merge is exact; division to currency
+    happens only here, after the last addition)."""
+    b, d = base_mv.alias("b"), delta_mv.alias("d")
     merged = b.join(
         d,
         (F.col("b.day_no") == F.col("d.day_no"))
@@ -513,3 +499,28 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_value"),
         F.when(F.col("d.day_no").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("was_refreshed"),
     )
+
+
+@register(
+    "mv_incremental_refresh",
+    oracle=MV_DIRECT_ORACLE,
+    doc="Incremental materialized-view maintenance for a daily "
+    "(day, event_type) rollup: the base MV (events with event_id % 10 <> 7 "
+    "— the already-ingested set) is refreshed with a late-arriving delta "
+    "batch (% 10 = 7) by aggregating ONLY the delta at view grain and "
+    "full-outer-merging the two partial states — counts add, cent-sums "
+    "add — never rescanning the base fact table. The DuckDB oracle "
+    "recomputes the view directly from all events, so the hash match "
+    "verifies the incremental path against ground truth. Scale: refresh "
+    "cost tracks the DELTA size (one small agg + one merge join on the "
+    "view key), which is what makes a 100 TB fact table's hourly view "
+    "refresh affordable; cent-integer partials make add-merge exact.",
+    tags=("events", "mv", "incremental", "extension"),
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day_no", F.expr("ts_us div 86400000000")
+    )
+    base_mv = mv_grain_agg(ev.filter(F.col("event_id") % 10 != 7))
+    delta_mv = mv_grain_agg(ev.filter(F.col("event_id") % 10 == 7))
+    return mv_merge(base_mv, delta_mv)

@@ -1109,3 +1109,52 @@ def lateral_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ["nation", "customer"])
     return spark.sql(_LATERAL_SQL)
+
+
+# --- Window-function breadth -------------------------------------------------
+
+
+@register(
+    "window_rank_breadth",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(rank()       OVER w AS BIGINT) AS rk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drk,
+           ROUND(percent_rank() OVER w, 6) AS prk,
+           ROUND(cume_dist()    OVER w, 6) AS cd,
+           CAST(COALESCE(lag(o_orderkey, 1)  OVER w, -1) AS BIGINT) AS prev_key,
+           CAST(COALESCE(lead(o_orderkey, 1) OVER w, -1) AS BIGINT) AS next_key,
+           CAST(first_value(o_orderkey) OVER w AS BIGINT) AS first_key,
+           CAST(COALESCE(nth_value(o_orderkey, 2) OVER w, -1) AS BIGINT) AS second_key
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="The full ranking/navigation window-function surface in one query "
+    "(rank, dense_rank, percent_rank, cume_dist, lag, lead, first_value, "
+    "nth_value) over one shared window — all nine functions evaluate in a "
+    "SINGLE WindowExec pass (one shuffle on o_custkey, one sort), which is "
+    "the plan property that matters at scale: adding a window function to "
+    "an existing window is free. Order key is (o_orderdate, o_orderkey) — "
+    "unique per partition, so every rank/navigation value is total-ordered "
+    "and exactly comparable. The reference has no window operators at all "
+    "(SURVEY.md §2.2).",
+    tags=("window", "rank", "navigation"),
+)
+def window_rank_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rk"),
+        F.dense_rank().over(w).cast("long").alias("drk"),
+        F.round(F.percent_rank().over(w), 6).alias("prk"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.coalesce(F.lag("o_orderkey", 1).over(w), F.lit(-1)).cast("long").alias("prev_key"),
+        F.coalesce(F.lead("o_orderkey", 1).over(w), F.lit(-1)).cast("long").alias("next_key"),
+        F.first("o_orderkey").over(wf).cast("long").alias("first_key"),
+        F.coalesce(F.nth_value("o_orderkey", 2).over(wf), F.lit(-1)).cast("long").alias("second_key"),
+    )

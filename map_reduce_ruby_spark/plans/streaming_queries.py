@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from map_reduce_ruby_spark.functions import cents_sum_sql
 from map_reduce_ruby_spark.plans.catalog import register
+from map_reduce_ruby_spark.plans.events_queries import MV_DIRECT_ORACLE, mv_grain_agg, mv_merge
 from map_reduce_ruby_spark.streaming import (
     run_stream_to_memory,
     streaming_events,
@@ -302,3 +303,39 @@ def streaming_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"catalog_stream_cms_{abs(hash(sf_dir)) % 10**8}",
         output_mode="complete",
     )
+
+
+@register(
+    "streaming_mv_refresh",
+    oracle=MV_DIRECT_ORACLE,  # shared with the batch twin
+    doc="The incremental-MV refresh driven by the STREAMING engine: the "
+    "late-arriving delta (event_id % 10 = 7) flows through a Structured "
+    "Streaming aggregation at view grain (complete-mode snapshot of addable "
+    "partials: count + integer cents), then merges with the statically-"
+    "computed base MV exactly like the batch twin (shared mv_grain_agg / "
+    "mv_merge). The DuckDB oracle recomputes the view directly from all "
+    "events, so the hash match proves stream-maintained state + merge = "
+    "ground truth — the production shape where an hourly stream keeps a "
+    "100 TB fact table's rollup fresh without rescans.",
+    tags=("streaming", "mv", "incremental", "stateful"),
+)
+def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from map_reduce_ruby_spark.sources import load_table
+
+    delta_stream = (
+        streaming_events(spark, sf_dir)
+        .filter(F.col("event_id") % 10 == 7)
+        .withColumn("day_no", F.expr("ts_us div 86400000000"))
+    )
+    delta_mv = run_stream_to_memory(
+        mv_grain_agg(delta_stream),
+        f"catalog_stream_mv_{abs(hash(sf_dir)) % 10**8}",
+    )
+    base = load_table(spark, sf_dir, "events").withColumn(
+        "day_no", F.expr("ts_us div 86400000000")
+    )
+    base_mv = mv_grain_agg(base.filter(F.col("event_id") % 10 != 7))
+    return mv_merge(base_mv, delta_mv)
+

@@ -924,26 +924,33 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = _tokens_spark(F.col("text"))
-    n = F.size(tok)
+    # materialize toks as a column FIRST: element_at inside the transform
+    # lambda would otherwise re-evaluate the split per access (no
+    # common-subexpression elimination inside lambda bodies)
+    toked = docs.select(
+        "source", _tokens_spark(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 3)
+    t = F.col("toks")
     grams = F.transform(
-        F.sequence(F.lit(0), n - 3),
+        F.sequence(F.lit(0), F.size(t) - 3),
         lambda i: F.concat_ws(
             " ",
-            F.element_at(tok, i + 1),
-            F.element_at(tok, i + 2),
-            F.element_at(tok, i + 3),
+            F.element_at(t, i + 1),
+            F.element_at(t, i + 2),
+            F.element_at(t, i + 3),
         ),
     )
-    tri = (
-        docs.filter(n >= 3)
-        .select("source", F.explode(grams).alias("gram"))
-    )
-    return tri.groupBy("source").agg(
+    tri = toked.select("source", F.explode(grams).alias("gram"))
+    counted = tri.groupBy("source").agg(
         F.count(F.lit(1)).alias("total_trigrams"),
         F.countDistinct("gram").alias("distinct_trigrams"),
+    )
+    return counted.select(
+        "source",
+        "total_trigrams",
+        "distinct_trigrams",
         F.round(
-            F.countDistinct("gram").cast("double") / F.count(F.lit(1)), 6
+            F.col("distinct_trigrams").cast("double") / F.col("total_trigrams"), 6
         ).alias("diversity"),
     )
 
