@@ -92,6 +92,9 @@ HEADLINE = [
     "lateral_topk_customers",
     "bpe_merge_steps",
     "graph_triangle_count",
+    "stats_moments_corr",
+    "events_gap_fill_ffill",
+    "streaming_mv_refresh",
     "corpus_materialize",
 ]
 

@@ -524,3 +524,85 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_mv = mv_grain_agg(ev.filter(F.col("event_id") % 10 != 7))
     delta_mv = mv_grain_agg(ev.filter(F.col("event_id") % 10 == 7))
     return mv_merge(base_mv, delta_mv)
+
+
+# --- Time-series gap fill + forward fill -------------------------------------
+
+
+@register(
+    "events_gap_fill_ffill",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS day_no,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+        FROM events WHERE value >= 195 GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT b.event_type, CAST(d.d AS BIGINT) AS day_no
+        FROM (
+            SELECT event_type,
+                   epoch_us(MIN(ts)) // 86400000000 AS lo,
+                   epoch_us(MAX(ts)) // 86400000000 AS hi
+            FROM events GROUP BY event_type
+        ) b, UNNEST(range(b.lo, b.hi + 1)) AS d(d)
+    ),
+    joined AS (
+        SELECT s.event_type, s.day_no, d.cents,
+               COUNT(d.cents) OVER (PARTITION BY s.event_type ORDER BY s.day_no
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS grp
+        FROM spine s LEFT JOIN daily d
+          ON d.event_type = s.event_type AND d.day_no = s.day_no
+    )
+    SELECT event_type, day_no,
+           CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS is_gap,
+           COALESCE(CAST(MAX(cents) OVER (PARTITION BY event_type, grp)
+                         AS DOUBLE) / 100.0, -1.0) AS filled_value
+    FROM joined
+    """,
+    doc="Time-series gap filling with forward fill: the sparse daily "
+    "high-value revenue series (value >= 195) is densified onto each "
+    "event_type's own [min_day, max_day] spine (per-group sequence + "
+    "explode — NO cross join, so nothing quadratic), and missing days carry "
+    "the last observed value forward via the count-of-non-nulls group trick "
+    "(grp = running non-null count; every null shares its grp with the "
+    "last observation; MAX over (type, grp) broadcasts it) — plain window "
+    "functions, portable across engines, no IGNORE NULLS dependency. Days "
+    "before the first observation fill with -1. Scale: one shuffle on "
+    "event_type for spine+windows; the spine is O(groups x days), "
+    "generated, never materialized wide.",
+    tags=("events", "timeseries", "gapfill", "window", "extension"),
+)
+def events_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value") >= 195)
+        .withColumn("day_no", F.expr("ts_us div 86400000000"))
+        .groupBy("event_type", "day_no")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("min(ts_us) div 86400000000").alias("lo"),
+        F.expr("max(ts_us) div 86400000000").alias("hi"),
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day_no"),
+    )
+    joined = spine.join(daily, ["event_type", "day_no"], "left")
+    w_run = (
+        W.partitionBy("event_type")
+        .orderBy("day_no")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    grouped = joined.withColumn("grp", F.count("cents").over(w_run))
+    w_grp = W.partitionBy("event_type", "grp")
+    return grouped.select(
+        "event_type",
+        "day_no",
+        F.when(F.col("cents").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
+        F.coalesce(
+            F.max("cents").over(w_grp).cast("double") / 100.0, F.lit(-1.0)
+        ).alias("filled_value"),
+    )

@@ -1158,3 +1158,70 @@ def window_rank_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(wf).cast("long").alias("first_key"),
         F.coalesce(F.nth_value("o_orderkey", 2).over(wf), F.lit(-1)).cast("long").alias("second_key"),
     )
+
+
+# --- Statistical aggregates from exact moments -------------------------------
+#
+# corr/slope/intercept computed from EXACT integer moments (per-row products
+# in int64 cents — price_cents^2 <= 1.2e14, well inside int64 — summed in
+# DECIMAL(38,0), which both engines add exactly in any order), then ONE cast
+# to double at the end. Native corr()/regr_slope() are float sums whose
+# value depends on partial-aggregation order — unusable under a bit-exact
+# cross-engine gate; the moment form is the standard numerically-stable-
+# enough rewrite when |corr| isn't pathologically tiny, and it is the ONLY
+# order-independent one.
+
+_MOM = {
+    "x": "CAST(ROUND(l_quantity * 100) AS BIGINT)",
+    "y": "CAST(ROUND(l_extendedprice * 100) AS BIGINT)",
+}
+
+
+# One ANSI text, both engines (like sql_interface_nation_revenue).
+x, y, dec = _MOM["x"], _MOM["y"], "DECIMAL(38,0)"
+_STATS_SQL = f"""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST({x} AS {dec})) AS sx,
+               SUM(CAST({y} AS {dec})) AS sy,
+               SUM(CAST({x} * {x} AS {dec})) AS sxx,
+               SUM(CAST({y} * {y} AS {dec})) AS syy,
+               SUM(CAST({x} * {y} AS {dec})) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_qty_price,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                 / n, 6) AS intercept_cents
+    FROM m
+"""
+del x, y, dec
+
+
+@register(
+    "stats_moments_corr",
+    oracle=_STATS_SQL,
+    doc="Pearson correlation + least-squares slope/intercept of extended "
+    "price vs quantity per return flag, computed from exact integer moments "
+    "(cent-scaled per-row products in int64, sums in DECIMAL(38,0)) with a "
+    "single cast to double at the end. Native corr()/regr_*() accumulate "
+    "in floating point, so their low bits depend on how Spark pairs the "
+    "partial aggregates — the moment rewrite is the order-independent form "
+    "that can sit behind a bit-exact cross-engine gate, and at 100 TB it is "
+    "also the FASTER plan: one pass of map-side integer partials instead of "
+    "Welford-style merging. Units: slope/intercept are in cents per "
+    "centi-unit (corr is scale-invariant).",
+    tags=("aggregate", "statistics", "extension"),
+)
+def stats_moments_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_ruby_spark.sources import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_STATS_SQL)
