@@ -13,9 +13,10 @@ oracle-gated twins):
                                                            (dedup_minhash_lsh)
     4. decontamination   n-gram overlap vs a held-out eval set
                                                    (contamination_ngram_overlap)
-    5. pack              greedy token-budget shards          (sequence_pack_shards)
-    6. epoch shuffle     seeded-hash shard + in-shard order (corpus_global_shuffle)
-    7. materialize       one parquet per shard, partitioned write
+    5. chunk             32-token sliding windows, 8 overlap  (doc_chunk_overlap)
+    6. chunk dedup       drop identical chunks by content hash     (dedup_exact)
+    7. epoch shuffle     seeded-hash shard + in-shard order (corpus_global_shuffle)
+    8. materialize       one parquet per shard, partitioned write
 
 Run with:
     python examples/pretraining_pipeline.py [sf_dir] [out_dir]
@@ -99,29 +100,80 @@ def main() -> int:
     clean = near.join(contaminated, "doc_id", "left_anti")
     n4 = clean.count()
 
-    # 5+6. shard + epoch order: seeded-hash shard, deterministic in-shard
+    # 5. chunk: 32-token sliding windows with 8-token overlap — the
+    # training unit becomes the chunk, not the document (doc_chunk_overlap's
+    # arithmetic; narrow ops only, no shuffle).
+    CHUNK, STRIDE = 32, 24
+    toked = clean.select("doc_id", toks.alias("tok")).withColumn(
+        "nt", F.size("tok")
+    )
+    n_chunks_col = F.when(F.col("nt") <= CHUNK, F.lit(1)).otherwise(
+        (F.floor((F.col("nt") - CHUNK + STRIDE - 1) / F.lit(float(STRIDE))) + 1).cast(
+            "long"
+        )
+    )
+    chunks = (
+        toked.select(
+            "doc_id",
+            "tok",
+            F.explode(F.sequence(F.lit(0), n_chunks_col.cast("long") - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.slice(
+                "tok", F.lit(1) + F.col("chunk_idx").cast("int") * STRIDE, CHUNK
+            ).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.concat_ws(" ", "chunk").alias("text"),
+            F.size("chunk").cast("long").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", "chunk")).alias("chunk_hash"),
+        )
+    )
+    n5 = chunks.count()
+
+    # 6. chunk-level exact dedup: overlapping windows of near-identical docs
+    # produce identical chunks — keep the lowest (doc_id, chunk_idx) per
+    # content hash (same keep-first rule as dedup_exact, one hash shuffle).
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    chunks_kept = (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    n6 = chunks_kept.count()
+
+    # 7. shard + epoch order: seeded-hash shard, deterministic in-shard
     # order (the corpus_global_shuffle layout), token counts carried along.
-    key = F.col("doc_id").cast("string")
-    sharded = clean.select(
+    key = F.concat_ws(":", F.col("doc_id").cast("string"), F.col("chunk_idx").cast("string"))
+    sharded = chunks_kept.select(
         "doc_id",
+        "chunk_idx",
         "text",
         "n_tokens",
         (h32(key, seed=7) % 4).alias("shard"),
         h32(key, seed=11).alias("ord_hash"),
     )
 
-    # 7. materialize: partitioned parquet, one directory per shard, sorted
+    # 8. materialize: partitioned parquet, one directory per shard, sorted
     # within shard by the epoch order (sortWithinPartitions after a shard
     # repartition — at scale this is the final shuffle of the ingest).
     (
         sharded.repartition(4, "shard")
-        .sortWithinPartitions("ord_hash", "doc_id")
+        .sortWithinPartitions("ord_hash", "doc_id", "chunk_idx")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(out_dir)
     )
     back = spark.read.parquet(out_dir)
-    n5 = back.count()
+    n7 = back.count()
     tokens = back.agg(F.sum("n_tokens")).collect()[0][0]
 
     print(f"corpus:        {n0} docs")
@@ -129,8 +181,12 @@ def main() -> int:
     print(f"exact dedup:   {n2} kept")
     print(f"near dedup:    {n3} kept")
     print(f"decontam:      {n4} kept")
-    print(f"materialized:  {n5} docs / {tokens} tokens -> {out_dir}")
-    assert n0 >= n1 >= n2 >= n3 >= n4 == n5
+    print(f"chunked:       {n5} chunks")
+    print(f"chunk dedup:   {n6} kept")
+    print(f"materialized:  {n7} chunks / {tokens} tokens -> {out_dir}")
+    assert n0 >= n1 >= n2 >= n3 >= n4
+    assert n5 >= n4  # every kept doc (>= 12 tokens) yields >= 1 chunk
+    assert n5 >= n6 == n7
     return 0
 
 

@@ -114,14 +114,68 @@ def main() -> int:
             .agg(F.count(F.lit(1)).alias("n"))
         )
 
+    def q_triangle(li):  # graph shape: degree-oriented wedge join + closing
+        # edge probe (graph_triangle_count's skeleton) over an edge list
+        # derived from lineitem keys. copy-tagging (via the caller) keeps
+        # per-copy graph density scale-invariant: nodes are namespaced per
+        # copy, so 16x rows = 16 disjoint copies of the x1 graph, and the
+        # wedge fan-out per node stays constant while total work scales.
+        n_nodes = 50_000
+        e = (
+            li.select(
+                "copy",
+                (F.col("l_orderkey") % n_nodes).alias("p"),
+                (F.col("l_partkey") % n_nodes).alias("q"),
+            )
+            .filter(F.col("p") != F.col("q"))
+            .select(
+                "copy", F.least("p", "q").alias("a"), F.greatest("p", "q").alias("b")
+            )
+            .distinct()
+        )
+        und = e.unionByName(
+            e.select("copy", F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        deg = und.groupBy("copy", F.col("a").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        da = deg.select("copy", F.col("node").alias("a"), F.col("deg").alias("da"))
+        db = deg.select("copy", F.col("node").alias("b"), F.col("deg").alias("db"))
+        ranked = e.join(da, ["copy", "a"]).join(db, ["copy", "b"])
+        lower = F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
+        oe = ranked.select(
+            "copy",
+            F.when(lower, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+        wedges = (
+            oe.select("copy", "u", F.col("v").alias("y"))
+            .join(oe.select("copy", "u", F.col("v").alias("z")), ["copy", "u"])
+            .filter(F.col("y") < F.col("z"))
+        )
+        closing = e.select(
+            F.col("copy").alias("ccopy"),
+            F.col("a").alias("lo"),
+            F.col("b").alias("hi"),
+        )
+        tri = wedges.join(
+            closing,
+            (F.col("copy") == F.col("ccopy"))
+            & (F.least("y", "z") == F.col("lo"))
+            & (F.greatest("y", "z") == F.col("hi")),
+        )
+        return tri.groupBy("copy").agg(F.count(F.lit(1)).alias("n_tri"))
+
     results = {}
     for k in (1, 4, 16):
         li, ev, dc = _scaled(li0, k), _scaled(ev0, k), _scaled_docs(dc0, k)
+        lit = _scaled_docs(li0, k)  # copy-tagged (graph shape)
         for name, frame in (
             ("agg", q_agg(li)),
             ("semi_join", q_join(li)),
             ("window", q_window(ev)),
             ("dedup_span", q_dedup(dc)),
+            ("triangle", q_triangle(lit)),
         ):
             frame.count()  # warm
             t0 = time.perf_counter()
@@ -134,7 +188,7 @@ def main() -> int:
         "times_s": results,
         "amortization": {
             name: round(results[f"{name}_x16"] / max(results[f"{name}_x1"], 1e-9), 2)
-            for name in ("agg", "semi_join", "window", "dedup_span")
+            for name in ("agg", "semi_join", "window", "dedup_span", "triangle")
         },
     }
     print(json.dumps(out))
