@@ -156,11 +156,18 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     every consumer (the full-pairs self-join, the cluster query, and the
     incremental batch-vs-corpus pass) reads it on BOTH sides of a join —
     uncached, Spark recomputes the whole shingle/hash pipeline per side.
-    In production this is the persisted band index the ingest maintains;
+    In production this is the persisted band index the ingest maintains
+    (operators/dedup_index.py is that form — same schema, bucketed storage);
     cache() (memory-and-disk) is its in-session stand-in. Lifetime is the
     session (a few small columns per document);
     ``spark.catalog.clearCache()`` releases it."""
-    docs = load_table(spark, sf_dir, "documents")
+    return _bands_for_docs(load_table(spark, sf_dir, "documents")).cache()
+
+
+def _bands_for_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) for an arbitrary (doc_id, text) frame —
+    the uncached band computation shared by the in-query index above and the
+    persisted index writer/prober in operators/dedup_index.py."""
     toked = docs.select("doc_id", _tokens(F.col("text")).alias("toks")).filter(
         F.size("toks") >= 3
     )
@@ -192,7 +199,6 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("band"),
         )
         .select("doc_id", "band.band_idx", "band.band_hash")
-        .cache()
     )
 
 

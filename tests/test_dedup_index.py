@@ -1,0 +1,60 @@
+"""Persisted MinHash band index (operators/dedup_index.py): the stored-index
+probe path must equal the in-query derived path (dedup_incremental_minhash),
+and the probe join must be corpus-shuffle-free (bucketed scan on the index
+side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_ruby_spark.operators.dedup_index import (
+    dedup_against_index,
+    write_minhash_index,
+)
+from map_reduce_ruby_spark.plans import all_entries
+from map_reduce_ruby_spark.sources import load_table
+
+
+def _split(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return corpus, batch
+
+
+def test_persisted_index_equals_derived_path(spark, sf_dir, tmp_path):
+    corpus, batch = _split(spark, sf_dir)
+    write_minhash_index(spark, corpus, "mh_idx_eq", str(tmp_path / "idx"))
+    got = dedup_against_index(spark, batch, "mh_idx_eq").toPandas()
+    want = (
+        all_entries()["dedup_incremental_minhash"].fn(spark, sf_dir).toPandas()
+    )
+    key = lambda df: df.sort_values("doc_id").reset_index(drop=True)
+    got, want = key(got)[sorted(got.columns)], key(want)[sorted(want.columns)]
+    assert got.equals(want), (len(got), len(want))
+
+
+def test_probe_join_has_no_index_side_exchange(spark, sf_dir, tmp_path):
+    corpus, batch = _split(spark, sf_dir)
+    write_minhash_index(spark, corpus, "mh_idx_plan", str(tmp_path / "idx2"))
+    df = dedup_against_index(spark, batch, "mh_idx_plan")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the stored side must be read through its bucketed layout...
+    assert "Bucketed: true" in plan, plan
+    # ...and the CORPUS must never shuffle: the small sketched batch
+    # broadcasts (or shuffles alone); every hash exchange in the plan
+    # belongs to the final per-doc aggregate, keyed by doc_id
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "doc_id" in line, line
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_index_rebuild_is_idempotent(spark, sf_dir, tmp_path):
+    corpus, batch = _split(spark, sf_dir)
+    write_minhash_index(spark, corpus, "mh_idx_twice", str(tmp_path / "idx3"))
+    first = dedup_against_index(spark, batch, "mh_idx_twice").count()
+    write_minhash_index(spark, corpus, "mh_idx_twice", str(tmp_path / "idx3"))
+    again = dedup_against_index(spark, batch, "mh_idx_twice").count()
+    assert first == again
