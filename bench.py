@@ -55,6 +55,7 @@ HEADLINE = [
     "df_reduce_by_key_fastpath",
     "multimodal_decode_stats",
     "multimodal_resize",
+    "multimodal_frame_energy",
     "q6_forecast_revenue",
     "q8_market_share",
     "q10_returned_items",

@@ -206,3 +206,56 @@ def sample_frames(decoded: DataFrame, every_k: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_k))
         ).alias("frame_idx"),
     )
+
+
+FRAME_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("sum_sq", T.LongType(), False),
+        T.StructField("frame_n", T.LongType(), False),
+    ]
+)
+
+
+def frame_energy(media: DataFrame, frame_len: int = 64) -> DataFrame:
+    """Per-frame energy over payload bytes, audio-style: the payload is read
+    as unsigned 8-bit samples, framed into tumbling ``frame_len`` windows
+    (last frame short), and each frame reports its EXACT integer sum of
+    squares + length — float math (RMS = sqrt(sum_sq / n)) is deferred to
+    the caller so everything this kernel shuffles is order-independent
+    int64. One vectorized numpy pass per Arrow batch (np.add.reduceat over
+    the squared sample array); the real-codec version would frombuffer a
+    decoded PCM array instead — identical plumbing."""
+
+    def energies(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, mtypes, fidx, ssq, fn = [], [], [], [], []
+            for doc_id, mt, b in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                arr = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64)
+                if len(arr) == 0:
+                    continue
+                sq = arr * arr
+                starts = np.arange(0, len(arr), frame_len)
+                sums = np.add.reduceat(sq, starts)
+                lens = np.diff(np.append(starts, len(arr)))
+                k = len(starts)
+                doc_ids.extend([doc_id] * k)
+                mtypes.extend([mt] * k)
+                fidx.extend(range(k))
+                ssq.extend(sums.tolist())
+                fn.extend(lens.tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "media_type": pd.Series(mtypes, dtype="object"),
+                    "frame_idx": pd.Series(fidx, dtype="int64"),
+                    "sum_sq": pd.Series(ssq, dtype="int64"),
+                    "frame_n": pd.Series(fn, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(energies, FRAME_ENERGY_SCHEMA)

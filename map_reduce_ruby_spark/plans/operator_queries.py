@@ -866,3 +866,79 @@ def pq_index_for(spark: SparkSession, sf_dir: str):
         )
         _PQ_INDEX_MEMO[key] = (codes.cache(), books)
     return _PQ_INDEX_MEMO[key]
+
+
+@register(
+    "multimodal_frame_energy",
+    oracle="""
+    WITH hx AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS media_type,
+               hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, media_type, CAST(f.f AS BIGINT) AS frame_idx,
+               CAST(list_sum(list_transform(
+                   range(f.f * 64 + 1, least((f.f + 1) * 64, n) + 1),
+                   i -> ('0x' || substr(h, 2*i - 1, 2))::BIGINT
+                        * ('0x' || substr(h, 2*i - 1, 2))::BIGINT))
+                    AS BIGINT) AS sum_sq,
+               least((f.f + 1) * 64, n) - f.f * 64 AS frame_n
+        FROM hx, UNNEST(range(0, (n + 63) // 64)) AS f(f)
+        WHERE n > 0
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY sum_sq DESC, frame_idx) AS rk
+        FROM frames
+    )
+    SELECT f.doc_id, f.media_type,
+           COUNT(*) AS n_frames,
+           CAST(SUM(f.sum_sq) AS BIGINT) AS total_energy,
+           MAX(CASE WHEN f.rk = 1 THEN f.frame_idx END) AS peak_frame,
+           ROUND(MAX(CASE WHEN f.rk = 1 THEN
+               sqrt(CAST(f.sum_sq AS DOUBLE) / f.frame_n) END), 6) AS peak_rms
+    FROM ranked f
+    GROUP BY f.doc_id, f.media_type
+    """,
+    doc="Audio-style frame energy over binary payloads: the mapInPandas "
+    "kernel (operators/multimodal.frame_energy) reads each payload as "
+    "unsigned 8-bit samples, frames them into tumbling 64-sample windows "
+    "(one vectorized np.add.reduceat per Arrow batch), and emits EXACT "
+    "int64 per-frame energies; the plan then aggregates per doc — frame "
+    "count, exact total energy, argmax frame (ties -> lowest index), and "
+    "peak RMS with the single sqrt applied after all integer math. The "
+    "oracle re-derives every byte from hex(encode(text)) and must agree "
+    "bit-for-bit. Scale: per-frame rows multiply scan-side before one "
+    "doc_id shuffle; a real PCM decode drops into the same kernel "
+    "unchanged.",
+    tags=("multimodal", "custom-operator", "extension"),
+)
+def multimodal_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_ruby_spark.operators.multimodal import (
+        attach_fake_media,
+        frame_energy,
+    )
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = frame_energy(attach_fake_media(docs))
+    w = W.partitionBy("doc_id").orderBy(F.desc("sum_sq"), F.asc("frame_idx"))
+    ranked = frames.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("doc_id", "media_type").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("sum_sq").alias("total_energy"),
+        F.max(F.when(F.col("rk") == 1, F.col("frame_idx"))).alias("peak_frame"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("rk") == 1,
+                    F.sqrt(F.col("sum_sq").cast("double") / F.col("frame_n")),
+                )
+            ),
+            6,
+        ).alias("peak_rms"),
+    )

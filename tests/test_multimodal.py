@@ -84,3 +84,21 @@ def test_resize_media_stride_sampling(media):
         assert bytes(r.payload_resized) == expected
         assert r.orig_len == len(arr)
         assert r.resized_len == len(expected) <= 256
+
+
+def test_frame_energy_exact_vs_python(media, spark, sf_dir):
+    from map_reduce_ruby_spark.operators.multimodal import frame_energy
+
+    got = frame_energy(media, frame_len=64).toPandas()
+    payloads = {
+        r.doc_id: bytes(r.payload) for r in media.select("doc_id", "payload").collect()
+    }
+    for doc_id, grp in got.groupby("doc_id"):
+        b = payloads[doc_id]
+        n = len(b)
+        expect_frames = (n + 63) // 64
+        assert len(grp) == expect_frames, (doc_id, n)
+        for row in grp.itertuples(index=False):
+            lo, hi = row.frame_idx * 64, min((row.frame_idx + 1) * 64, n)
+            assert row.frame_n == hi - lo
+            assert row.sum_sq == sum(v * v for v in b[lo:hi]), (doc_id, row.frame_idx)
