@@ -28,6 +28,19 @@ REPRESENTATIVE = [
     "dedup_incremental_minhash",
     "q21_waiting_orders",
     "zorder_tile_stats",
+    # round-3 additions
+    "doc_chunk_overlap",            # sequence/explode over empty
+    "events_gap_fill_ffill",        # spine from empty min/max bounds
+    "bpe_merge_steps",              # LIMIT-1 argmax over empty pair counts
+    "multimodal_frame_energy",      # mapInPandas over zero batches
+    "graph_triangle_count",         # empty edge set -> empty graph
+    "stats_moments_corr",           # no groups -> no divisions
+    "mv_incremental_refresh",       # full-outer merge of two empty MVs
+    "dedup_edit_distance",          # empty candidate set
+    "vocab_coverage",               # empty vocab TakeOrdered
+    "corpus_snapshot_diff",         # full outer over two empty gens
+    "lateral_topk_customers",       # decorrelated lateral over empty dims
+    "window_rank_breadth",          # nine window fns over empty partitions
 ]
 
 
