@@ -302,7 +302,11 @@ def _simhash_sig_df(spark: SparkSession, sf_dir: str, width: int = 16) -> DataFr
         ]
     )
     simhash = sum(F.col(f"b{bit}") for bit in range(width))  # type: ignore[arg-type]
-    return sig.select("doc_id", simhash.cast("long").alias("simhash"))
+    # cached for the same reason as _minhash_bands: the hamming query reads
+    # it on BOTH sides of the banded self-join, and dedup_edit_distance
+    # layers a verification join on top — one narrow (doc_id, long) row per
+    # doc, recomputed 2-3x uncached. Per-width plans cache independently.
+    return sig.select("doc_id", simhash.cast("long").alias("simhash")).cache()
 
 
 @register(
@@ -636,9 +640,9 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_incremental_minhash",
-    oracle=f"""
+# Shared with dedup_persisted_index below: the persisted-index probe must
+# produce exactly what this in-query derivation produces.
+_INCR_MINHASH_ORACLE = f"""
     WITH hs AS (
         SELECT doc_id, {{base}} AS hashes
         FROM documents
@@ -659,18 +663,23 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM batch n JOIN corpus c
       ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
     GROUP BY n.doc_id
-    """.format(
-        base=_base_hashes_sql(_SHINGLES_SQL),
-        sig_cols=", ".join(
-            f"{e} AS mh{i}" for i, e in enumerate(_minhash_sig_sql("hashes"))
-        ),
-        bands_union=" UNION ALL ".join(
-            f"SELECT doc_id, {b} AS band_idx, "
-            f"md5({' || chr(44) || '.join(f'mh{b * _ROWS_PER_BAND + r}::VARCHAR' for r in range(_ROWS_PER_BAND))}) AS band_hash "
-            f"FROM sig"
-            for b in range(_N_BANDS)
-        ),
+""".format(
+    base=_base_hashes_sql(_SHINGLES_SQL),
+    sig_cols=", ".join(
+        f"{e} AS mh{i}" for i, e in enumerate(_minhash_sig_sql("hashes"))
     ),
+    bands_union=" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5({' || chr(44) || '.join(f'mh{b * _ROWS_PER_BAND + r}::VARCHAR' for r in range(_ROWS_PER_BAND))}) AS band_hash "
+        f"FROM sig"
+        for b in range(_N_BANDS)
+    ),
+)
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=_INCR_MINHASH_ORACLE,
     doc="INCREMENTAL near-dedup — the shape a production ingest actually "
     "runs: a new batch (doc_id % 5 = 0 stands in for today's crawl) is "
     "checked against the EXISTING corpus's minhash band index without ever "
@@ -1052,3 +1061,41 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("clustering_coeff"),
     )
     return out
+
+
+@register(
+    "dedup_persisted_index",
+    # SAME oracle as dedup_incremental_minhash: the persisted-index probe
+    # path must be indistinguishable from the in-query derivation.
+    oracle=_INCR_MINHASH_ORACLE,
+    doc="The PERSISTED form of incremental near-dedup "
+    "(operators/dedup_index.py): the corpus's MinHash band index is "
+    "materialized to a table bucketed+sorted on band_hash, then the batch "
+    "(doc_id % 5 = 0) is sketched fresh and probes the bucketed scan — the "
+    "plan shows the corpus side reading through its bucket layout with NO "
+    "exchange (the batch side broadcasts), which is the property that "
+    "makes daily dedup against a trillion-doc corpus one bounded join. "
+    "Gated by the same oracle as dedup_incremental_minhash, proving the "
+    "stored index and the in-query derivation are interchangeable. The "
+    "index build runs at query-build time (one write per session/sf).",
+    tags=("dedup", "minhash", "lsh", "incremental", "custom-operator"),
+)
+def dedup_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from map_reduce_ruby_spark.operators.dedup_index import (
+        dedup_against_index,
+        write_minhash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    tag = abs(hash(os.path.abspath(sf_dir))) % 10**8
+    table = f"mh_band_idx_{tag}"
+    # one build per (session, sf_dir): rebuilding is idempotent but wasteful
+    if not spark.catalog.tableExists(table):
+        path = os.path.join(tempfile.gettempdir(), f"mh_band_idx_{tag}")
+        write_minhash_index(spark, corpus, table, path)
+    return dedup_against_index(spark, batch, table)
