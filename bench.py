@@ -85,6 +85,7 @@ HEADLINE = [
     "text_bm25_search",
     "text_redact_documents",
     "doc_chunk_overlap",
+    "chunk_dedup_families",
     "vocab_coverage",
     "ngram_diversity",
     "corpus_snapshot_diff",

@@ -858,9 +858,8 @@ _CHUNK_TOKENS = 32  # tokens per training chunk
 _CHUNK_STRIDE = 24  # overlap = _CHUNK_TOKENS - _CHUNK_STRIDE = 8 tokens
 
 
-@register(
-    "doc_chunk_overlap",
-    oracle=f"""
+# Shared with chunk_dedup_families below (its input IS this query).
+_CHUNK_ORACLE = f"""
     WITH tok AS (
         SELECT doc_id, {_CONTAM_TOKENS_SQL} AS toks,
                len({_CONTAM_TOKENS_SQL}) AS n
@@ -885,7 +884,12 @@ _CHUNK_STRIDE = 24  # overlap = _CHUNK_TOKENS - _CHUNK_STRIDE = 8 tokens
                                c.start_tok + {_CHUNK_TOKENS} - 1), ' '))
                AS chunk_hash
     FROM chunks c JOIN tok t USING (doc_id)
-    """,
+"""
+
+
+@register(
+    "doc_chunk_overlap",
+    oracle=_CHUNK_ORACLE,
     doc="Sliding-window chunking: split each document into "
     f"{_CHUNK_TOKENS}-token training chunks with stride {_CHUNK_STRIDE} "
     "(8-token overlap preserves cross-boundary context) — the step between "
@@ -995,4 +999,43 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("change_class"),
         F.coalesce(F.length("o.text").cast("long"), F.lit(-1)).alias("old_len"),
         F.coalesce(F.length("n.text").cast("long"), F.lit(-1)).alias("new_len"),
+    )
+
+
+@register(
+    "chunk_dedup_families",
+    oracle=f"""
+    WITH chunk_table AS ({_CHUNK_ORACLE})
+    SELECT chunk_hash,
+           COUNT(*) AS n_copies,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS keep_doc_id
+    FROM chunk_table
+    WHERE chunk_tokens >= 8
+    GROUP BY chunk_hash
+    HAVING COUNT(*) >= 2
+    """,
+    doc="Chunk-LEVEL exact dedup (the stage the pipeline example runs after "
+    "chunking): duplicate families over the md5 chunk hashes from "
+    "doc_chunk_overlap — near-identical documents that escape doc-level "
+    "exact dedup still produce byte-identical 32-token chunks, and "
+    "training dedups at chunk granularity (Lee et al.'s motivation for "
+    "span dedup, applied to fixed windows). Sub-8-token tail chunks are "
+    "excluded (short windows collide by chance, not by provenance). "
+    "Scale: one shuffle on the uniform 128-bit hash after the narrow "
+    "chunking pass — identical cost shape to dedup_exact, at ~n_tokens/24 "
+    "x the row count.",
+    tags=("pipeline", "chunking", "dedup", "extension"),
+)
+def chunk_dedup_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = doc_chunk_overlap(spark, sf_dir)
+    return (
+        chunks.filter(F.col("chunk_tokens") >= 8)
+        .groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_copies") >= 2)
     )
