@@ -942,3 +942,92 @@ def multimodal_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("peak_rms"),
     )
+
+
+@register(
+    "cogroup_order_reconcile",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS order_cents
+        FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    l AS (
+        SELECT l_orderkey AS o_orderkey,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS line_cents
+        FROM lineitem WHERE l_orderkey % 100 = 0
+        GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey,
+           COALESCE(l.n_lines, 0) AS n_lines,
+           o.order_cents,
+           COALESCE(l.line_cents, 0) AS line_cents,
+           CASE WHEN COALESCE(l.line_cents, 0) <= o.order_cents
+                THEN 1 ELSE 0 END AS within_total
+    FROM o LEFT JOIN l USING (o_orderkey)
+    """,
+    doc="The COGROUP API surface (grouped two-sided applyInPandas): per "
+    "order key, BOTH the order row and all its lineitems arrive as pandas "
+    "frames in one Python function — the escape hatch for per-key "
+    "reconciliation logic that genuinely needs both sides materialized "
+    "(here: discounted line totals vs the order header, integer cents "
+    "only, so the fold is order-independent and the SQL oracle can "
+    "rebuild it as an outer-joined aggregate). Keys are restricted to "
+    "o_orderkey % 100 = 0: cogroup invokes Python once per GROUP, so its "
+    "cost is per-key, not per-row — the docstring's warning IS the scale "
+    "guidance (use JVM joins unless the per-key logic is not "
+    "SQL-expressible; this entry exists to pin the API surface, like "
+    "knn_pandas_udf pins the vectorized-batch path).",
+    tags=("mapreduce", "cogroup", "pandas-udf", "custom-operator"),
+)
+def cogroup_order_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    lines = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+
+    def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        if len(odf) == 0:  # lineitems referencing no order row: skip (the
+            return pd.DataFrame()  # oracle's LEFT JOIN keeps order side only
+        import numpy as np
+
+        # half-away-from-zero (positive domain: floor(x + 0.5)) — pandas
+        # .round() is banker's half-even, which differs from SQL ROUND at
+        # exact-half cents on both engines
+        order_cents = int(
+            np.floor(float(odf["o_totalprice"].iloc[0]) * 100 + 0.5)
+        )
+        line_cents = int(
+            np.floor(ldf["l_extendedprice"] * (1 - ldf["l_discount"]) * 100 + 0.5)
+            .astype("int64")
+            .sum()
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": [key[0]],
+                "n_lines": [len(ldf)],
+                "order_cents": [order_cents],
+                "line_cents": [line_cents],
+                "within_total": [1 if line_cents <= order_cents else 0],
+            }
+        )
+
+    out_schema = (
+        "o_orderkey long, n_lines long, order_cents long, "
+        "line_cents long, within_total int"
+    )
+    return (
+        orders.groupBy("o_orderkey")
+        .cogroup(lines.groupBy("l_orderkey"))
+        .applyInPandas(reconcile, out_schema)
+    )
