@@ -101,39 +101,18 @@ def main() -> int:
     n4 = clean.count()
 
     # 5. chunk: 32-token sliding windows with 8-token overlap — the
-    # training unit becomes the chunk, not the document (doc_chunk_overlap's
-    # arithmetic; narrow ops only, no shuffle).
-    CHUNK, STRIDE = 32, 24
-    toked = clean.select("doc_id", toks.alias("tok")).withColumn(
-        "nt", F.size("tok")
-    )
-    n_chunks_col = F.when(F.col("nt") <= CHUNK, F.lit(1)).otherwise(
-        (F.floor((F.col("nt") - CHUNK + STRIDE - 1) / F.lit(float(STRIDE))) + 1).cast(
-            "long"
-        )
-    )
-    chunks = (
-        toked.select(
-            "doc_id",
-            "tok",
-            F.explode(F.sequence(F.lit(0), n_chunks_col.cast("long") - 1)).alias(
-                "chunk_idx"
-            ),
-        )
-        .select(
-            "doc_id",
-            "chunk_idx",
-            F.slice(
-                "tok", F.lit(1) + F.col("chunk_idx").cast("int") * STRIDE, CHUNK
-            ).alias("chunk"),
-        )
-        .select(
-            "doc_id",
-            "chunk_idx",
-            F.concat_ws(" ", "chunk").alias("text"),
-            F.size("chunk").cast("long").alias("n_tokens"),
-            F.md5(F.concat_ws(" ", "chunk")).alias("chunk_hash"),
-        )
+    # training unit becomes the chunk, not the document. The chunk
+    # arithmetic is the SHARED helper behind doc_chunk_overlap (one
+    # definition; narrow ops only, no shuffle).
+    from map_reduce_ruby_spark.plans.pipeline_queries import chunk_token_arrays
+
+    toked = clean.select("doc_id", toks.alias("toks"))
+    chunks = chunk_token_arrays(toked).select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(" ", "chunk").alias("text"),
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "chunk")).alias("chunk_hash"),
     )
     n5 = chunks.count()
 

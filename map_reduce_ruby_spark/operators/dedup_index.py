@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 
 
 def write_minhash_index(
-    spark: SparkSession,
     docs: DataFrame,
     table: str,
     path: str,

@@ -1081,6 +1081,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "minhash", "lsh", "incremental", "custom-operator"),
 )
 def dedup_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
     import os
     import tempfile
 
@@ -1092,10 +1093,13 @@ def dedup_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
-    tag = abs(hash(os.path.abspath(sf_dir))) % 10**8
+    # deterministic tag (NOT Python hash(), which is per-process-salted): a
+    # fresh process recomputes the same path and mode=overwrite reuses it —
+    # at most one index dir per sf_dir ever exists under the temp dir
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     table = f"mh_band_idx_{tag}"
     # one build per (session, sf_dir): rebuilding is idempotent but wasteful
     if not spark.catalog.tableExists(table):
         path = os.path.join(tempfile.gettempdir(), f"mh_band_idx_{tag}")
-        write_minhash_index(spark, corpus, table, path)
+        write_minhash_index(corpus, table, path)
     return dedup_against_index(spark, batch, table)

@@ -858,6 +858,38 @@ _CHUNK_TOKENS = 32  # tokens per training chunk
 _CHUNK_STRIDE = 24  # overlap = _CHUNK_TOKENS - _CHUNK_STRIDE = 8 tokens
 
 
+def chunk_token_arrays(df: DataFrame, tok_col: str = "toks") -> DataFrame:
+    """Explode an array-of-tokens column into overlapping sliding-window
+    chunks (_CHUNK_TOKENS tokens, stride _CHUNK_STRIDE, short tail kept):
+    appends (chunk_idx, chunk) to the input columns; empty-array rows drop.
+    The ONE definition of the chunk arithmetic — shared by doc_chunk_overlap,
+    chunk_dedup_families, and examples/pretraining_pipeline.py."""
+    n = F.size(F.col(tok_col))
+    n_chunks = F.when(n <= _CHUNK_TOKENS, F.lit(1)).otherwise(
+        (
+            F.floor(
+                (n - _CHUNK_TOKENS + _CHUNK_STRIDE - 1)
+                / F.lit(float(_CHUNK_STRIDE))
+            )
+            + 1
+        ).cast("long")
+    )
+    exploded = df.filter(n > 0).select(
+        "*",
+        F.explode(F.sequence(F.lit(0), n_chunks.cast("long") - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    return exploded.select(
+        "*",
+        F.slice(
+            tok_col,
+            F.lit(1) + F.col("chunk_idx").cast("int") * _CHUNK_STRIDE,
+            _CHUNK_TOKENS,
+        ).alias("chunk"),
+    )
+
+
 # Shared with chunk_dedup_families below (its input IS this query).
 _CHUNK_ORACLE = f"""
     WITH tok AS (
@@ -907,33 +939,10 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_ruby_spark.plans.text_queries import _tokens_spark
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens_spark(F.col("text"))
-    base = docs.select("doc_id", toks.alias("toks")).withColumn(
-        "n", F.size("toks")
-    ).filter(F.col("n") > 0)
-    n_chunks = F.when(F.col("n") <= _CHUNK_TOKENS, F.lit(1)).otherwise(
-        (
-            F.floor(
-                (F.col("n") - _CHUNK_TOKENS + _CHUNK_STRIDE - 1)
-                / F.lit(float(_CHUNK_STRIDE))
-            )
-            + 1
-        ).cast("long")
-    )
-    chunked = base.select(
-        "doc_id",
-        "toks",
-        F.explode(F.sequence(F.lit(0), n_chunks.cast("long") - 1)).alias("chunk_idx"),
-    ).select(
+    base = docs.select("doc_id", _tokens_spark(F.col("text")).alias("toks"))
+    return chunk_token_arrays(base).select(
         "doc_id",
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        F.slice(
-            "toks", F.lit(1) + F.col("chunk_idx").cast("int") * _CHUNK_STRIDE, _CHUNK_TOKENS
-        ).alias("chunk"),
-    )
-    return chunked.select(
-        "doc_id",
-        "chunk_idx",
         F.size("chunk").cast("long").alias("chunk_tokens"),
         F.md5(F.concat_ws(" ", "chunk")).alias("chunk_hash"),
     )

@@ -978,11 +978,16 @@ def _bpe_pairs_sql(prev: str, s: int, engine: str) -> str:
         FROM {prev}, UNNEST(range(1, len({prev}.toks))) AS i(i)
         GROUP BY 1, 2
     )"""
+    # CASE guard: a doc can collapse to ONE token after a merge round, and
+    # sequence(1, 0) is the DESCENDING [1, 0] — element_at(toks, 2)/(, 0)
+    # would abort under ANSI mode. DuckDB's range(1, 1) is empty already.
     return f"""
     pc{s} AS (
         SELECT element_at(toks, i) AS p, element_at(toks, i + 1) AS q,
                COUNT(*) AS cnt
-        FROM {prev} LATERAL VIEW explode(sequence(1, size(toks) - 1)) AS i
+        FROM {prev} LATERAL VIEW explode(
+            CASE WHEN size(toks) >= 2 THEN sequence(1, size(toks) - 1)
+                 ELSE CAST(array() AS array<int>) END) AS i
         GROUP BY 1, 2
     )"""
 

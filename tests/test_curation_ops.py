@@ -164,3 +164,24 @@ def test_mv_refresh_flags_only_delta_grains(spark, sf_dir):
     direct = ev.groupby(["day_no", "event_type"]).size()
     for row in got.itertuples(index=False):
         assert row.n_events == direct[(row.day_no, row.event_type)]
+
+
+def test_bpe_survives_single_token_docs(spark):
+    """A doc that collapses to ONE token after a merge round must not abort
+    the next round's pair count (sequence(1, 0) is DESCENDING in Spark and
+    element_at would throw under ANSI mode) — regression for the CASE guard
+    in _bpe_pairs_sql."""
+    from map_reduce_ruby_spark.plans.text_queries import _bpe_sql
+
+    rows = [(0, "a b"), (1, "a b"), (2, "a b c d")]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "documents"
+    )
+    try:
+        got = {r.step: (r.p, r.q) for r in spark.sql(_bpe_sql("spark")).collect()}
+    finally:
+        spark.catalog.dropTempView("documents")
+    # round 1 merges (a, b) everywhere; docs 0/1 become the single token
+    # 'a+b' and must simply drop out of round 2's pair counting
+    assert got[1] == ("a", "b")
+    assert len(got) == 3

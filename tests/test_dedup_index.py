@@ -25,7 +25,7 @@ def _split(spark, sf_dir):
 
 def test_persisted_index_equals_derived_path(spark, sf_dir, tmp_path):
     corpus, batch = _split(spark, sf_dir)
-    write_minhash_index(spark, corpus, "mh_idx_eq", str(tmp_path / "idx"))
+    write_minhash_index(corpus, "mh_idx_eq", str(tmp_path / "idx"))
     got = dedup_against_index(spark, batch, "mh_idx_eq").toPandas()
     want = (
         all_entries()["dedup_incremental_minhash"].fn(spark, sf_dir).toPandas()
@@ -37,7 +37,7 @@ def test_persisted_index_equals_derived_path(spark, sf_dir, tmp_path):
 
 def test_probe_join_has_no_index_side_exchange(spark, sf_dir, tmp_path):
     corpus, batch = _split(spark, sf_dir)
-    write_minhash_index(spark, corpus, "mh_idx_plan", str(tmp_path / "idx2"))
+    write_minhash_index(corpus, "mh_idx_plan", str(tmp_path / "idx2"))
     df = dedup_against_index(spark, batch, "mh_idx_plan")
     plan = df._jdf.queryExecution().executedPlan().toString()
     # the stored side must be read through its bucketed layout...
@@ -53,8 +53,8 @@ def test_probe_join_has_no_index_side_exchange(spark, sf_dir, tmp_path):
 
 def test_index_rebuild_is_idempotent(spark, sf_dir, tmp_path):
     corpus, batch = _split(spark, sf_dir)
-    write_minhash_index(spark, corpus, "mh_idx_twice", str(tmp_path / "idx3"))
+    write_minhash_index(corpus, "mh_idx_twice", str(tmp_path / "idx3"))
     first = dedup_against_index(spark, batch, "mh_idx_twice").count()
-    write_minhash_index(spark, corpus, "mh_idx_twice", str(tmp_path / "idx3"))
+    write_minhash_index(corpus, "mh_idx_twice", str(tmp_path / "idx3"))
     again = dedup_against_index(spark, batch, "mh_idx_twice").count()
     assert first == again

@@ -23,7 +23,7 @@ NUMERIC = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 STRINGS = [("l_returnflag", ["A", "N", "R"]), ("l_linestatus", ["O", "F"])]
 GROUPS = ["l_returnflag", "l_linestatus", "l_suppkey % 7", "l_partkey % 5"]
 
-N_QUERIES = 40
+N_QUERIES = 44  # 11 arms x 4 runs each per seed
 
 
 # (l_orderkey, l_linenumber) is NOT unique in the fixture; this 7-column
@@ -335,7 +335,7 @@ def views(spark, sf_dir):
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
 
 
-# Round-robin over every arm: with N_QUERIES=40 each arm runs 4x per seed.
+# Round-robin over every arm: with N_QUERIES=44 each arm runs 4x per seed.
 ARMS = [
     _gen_query,
     _gen_window_query,
