@@ -30,6 +30,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -72,6 +73,47 @@ class _ChunkReader(DataSourceReader):
                     yield (_canon(k), _canon(v))
 
 
+class _ChunkStreamReader(SimpleDataSourceStreamReader):
+    """Streaming reader: tail a directory of chunk files.
+
+    Offset = {"n": k} — the first k files in lexicographic order are
+    committed. Contract (documented, matching the writer's chunk-%05d
+    naming): new files must sort AFTER already-ingested ones, which is how
+    a reference deployment's upload step names them. Each file is ingested
+    exactly once; readBetweenOffsets replays a committed window for
+    recovery, so restarts under a checkpoint neither skip nor duplicate.
+    This is the streaming face of the reference's Reducer#add_chunk flow
+    (reference lib/map_reduce/reducer.rb:34-42): instead of registering
+    chunks one call at a time, the engine watches the drop directory.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("mr_chunks stream requires a path")
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def _rows(self, files: list[str]) -> list[tuple]:
+        rows: list[tuple] = []
+        for path in files:
+            with open(path, encoding="utf-8") as f:
+                for line in f:
+                    if line.strip():
+                        k, v = json.loads(line)
+                        rows.append((_canon(k), _canon(v)))
+        return rows
+
+    def read(self, start: dict):
+        files = _resolve_files(self.path)
+        return iter(self._rows(files[start["n"] :])), {"n": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = _resolve_files(self.path)
+        return iter(self._rows(files[start["n"] : end["n"]]))
+
+
 class _ChunkCommit(WriterCommitMessage):
     pass
 
@@ -106,6 +148,9 @@ class ChunkDataSource(DataSource):
 
     def reader(self, schema) -> _ChunkReader:
         return _ChunkReader(self.options)
+
+    def simpleStreamReader(self, schema) -> _ChunkStreamReader:
+        return _ChunkStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> _ChunkWriter:
         return _ChunkWriter(self.options)

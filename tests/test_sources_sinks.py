@@ -315,3 +315,52 @@ def test_max_partition_bytes_controls_scan_parallelism(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
         spark.conf.set("spark.sql.files.openCostInBytes", prev_open)
+
+
+def test_chunk_stream_ingests_each_file_exactly_once(spark, tmp_path):
+    """Streaming face of the chunk source: drain a drop directory with
+    availableNow under a checkpoint, add a later-sorting file, drain again —
+    the second run must deliver ONLY the new file's rows (no skip, no
+    replay)."""
+    import json
+
+    from map_reduce_ruby_spark.sources.chunk_datasource import register_chunk_source
+
+    register_chunk_source(spark)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_chunk(name, pairs):
+        (drop / name).write_text(
+            "".join(json.dumps([k, v], separators=(",", ":")) + "\n" for k, v in pairs)
+        )
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        # parquet sink: fault-tolerant, so the second run RECOVERS from the
+        # checkpoint (memory sink can't) — the restart path under test
+        q = (
+            spark.readStream.format("mr_chunks")
+            .option("path", str(drop))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {tuple(r) for r in spark.read.parquet(out).collect()}
+
+    write_chunk("chunk-00000.jsonl", [["a", 1], ["b", 2]])
+    first = drain()
+    assert first == {('"a"', "1"), ('"b"', "2")}
+
+    write_chunk("chunk-00001.jsonl", [["c", 3]])
+    second = drain()
+    # cumulative output: the new file's rows appended exactly once,
+    # the already-committed file NOT replayed
+    assert second == {('"a"', "1"), ('"b"', "2"), ('"c"', "3")}
+    assert len(spark.read.parquet(out).collect()) == 3
