@@ -97,6 +97,7 @@ HEADLINE = [
     "stats_moments_corr",
     "events_gap_fill_ffill",
     "streaming_mv_refresh",
+    "approx_topk_terms",
     "corpus_materialize",
 ]
 

@@ -339,3 +339,66 @@ def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_mv = mv_grain_agg(base.filter(F.col("event_id") % 10 != 7))
     return mv_merge(base_mv, delta_mv)
 
+
+
+@register(
+    "streaming_chunk_wordcount",
+    oracle="""
+    WITH tok AS (
+        SELECT t.term AS word
+        FROM documents,
+             UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                                w -> w <> '')) AS t(term)
+    )
+    SELECT word, COUNT(*) AS n FROM tok GROUP BY word
+    """,
+    doc="The reference's chunk handoff driven END-TO-END through the "
+    "streaming engine: (word, 1) pairs derived from documents are written "
+    "as reference-format chunk files (the mr_chunks Python DataSource "
+    "writer — JSON.generate([key, value]) lines), then the SAME directory "
+    "is tailed back via the source's STREAMING reader (exactly-once "
+    "per-file offsets) and aggregated in complete mode. The DuckDB oracle "
+    "recomputes word counts from the documents table directly, so a hash "
+    "match proves the whole write -> stream-ingest -> aggregate loop is "
+    "lossless — the streaming face of Mapper#shuffle file handoff plus "
+    "Reducer ingest (reference lib/map_reduce/mapper.rb:100-121, "
+    "reducer.rb:34-42). Files are written once per (session, sf).",
+    tags=("streaming", "mapreduce", "chunk-format", "custom-operator"),
+)
+def streaming_chunk_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_ruby_spark.sources import load_table
+    from map_reduce_ruby_spark.sources.chunk_datasource import register_chunk_source
+
+    register_chunk_source(spark)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    drop = os.path.join(tempfile.gettempdir(), f"mr_chunk_stream_{tag}")
+    if not os.path.isdir(drop) or not os.listdir(drop):
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = docs.select(
+            F.explode(
+                F.filter(F.split("text", r"\s+"), lambda w: w != "")
+            ).alias("word")
+        ).select(
+            # tokens here are JSON-safe word characters; reference layout is
+            # one compact JSON array per line: ["<word>",1]
+            F.concat(F.lit('"'), F.col("word"), F.lit('"')).alias("key_json"),
+            F.lit("1").alias("value_json"),
+        )
+        pairs.coalesce(4).write.format("mr_chunks").mode("append").option("path", drop).save()
+    stream = (
+        spark.readStream.format("mr_chunks")
+        .option("path", drop)
+        .load()
+        .select(F.expr("substring(key_json, 2, length(key_json) - 2)").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return run_stream_to_memory(
+        stream, f"catalog_chunk_stream_wc_{abs(hash(sf_dir)) % 10**8}"
+    )

@@ -1070,3 +1070,52 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ["documents"])
     return spark.sql(_bpe_sql("spark"))
+
+
+# --- Approximate top-k terms (datasketches) ----------------------------------
+
+_ATK_K = 10
+
+
+@register(
+    "approx_topk_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT t.term AS term
+        FROM documents, UNNEST({_TOKENS_SQL}) AS t(term)
+    ),
+    cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+    top AS (SELECT c FROM cnt ORDER BY c DESC, term LIMIT {_ATK_K})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_entries,
+           CAST(SUM(c) AS BIGINT) AS topk_total,
+           1 AS all_exact
+    FROM top
+    """,
+    doc="Approximate frequent-items top-k (approx_top_k — the datasketches "
+    "frequent-items sketch) over document tokens, completing the sketch "
+    "family (HLL distinct, t-digest quantiles, count-min counts, Bloom "
+    "membership): mergeable fixed-size state per partition instead of a "
+    "full (term, count) shuffle — at 100 TB the vocabulary exceeds the "
+    "tracked capacity and estimates carry a documented error bound. "
+    "Checkable surface: at these SFs the vocab fits the sketch exactly, so "
+    "every estimate is gated against the exact groupBy twin (all_exact "
+    "flag), and the hashed columns are TIE-INVARIANT — entry count and the "
+    "SUM of the top-k counts don't depend on which equal-count term the "
+    "sketch picks at the k boundary, so both engines agree even where the "
+    "tie-break is unspecified.",
+    tags=("text", "sketch", "approx", "topk", "extension"),
+)
+def approx_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_tokens_spark(F.col("text"))).alias("term"))
+    sk = tok.agg(F.expr(f"approx_top_k(term, {_ATK_K})").alias("tk")).select(
+        F.explode("tk").alias("e")
+    )
+    est = sk.select(F.col("e.item").alias("term"), F.col("e.count").alias("est"))
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    joined = est.join(F.broadcast(exact), "term", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.sum("est").cast("long").alias("topk_total"),
+        F.min(F.when(F.col("est") == F.col("c"), 1).otherwise(0)).alias("all_exact"),
+    )

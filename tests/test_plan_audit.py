@@ -22,6 +22,9 @@ EXECUTING_ENTRIES = {
     "streaming_dedup_events",
     "streaming_stream_stream_join",
     "streaming_session_windows",
+    "streaming_mv_refresh",
+    "streaming_chunk_wordcount",  # writes chunk files + drains the stream
+    "dedup_persisted_index",  # writes the bucketed band index at build time
     "knn_ivf",
     "dedup_clusters_cc",
     "dedup_clusters_cc_star",
