@@ -98,6 +98,7 @@ HEADLINE = [
     "events_gap_fill_ffill",
     "streaming_mv_refresh",
     "approx_topk_terms",
+    "approx_rolling_dau_hll",
     "corpus_materialize",
 ]
 
