@@ -678,3 +678,47 @@ def approx_rolling_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("hll_within_bounds"),
     )
+
+
+@register(
+    "events_rolling_median",
+    oracle="""
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day_no,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY 1
+    )
+    SELECT day_no,
+           CAST(cents AS DOUBLE) / 100.0 AS day_value,
+           ROUND(quantile_cont(CAST(cents AS DOUBLE) / 100.0, 0.5) OVER (
+               ORDER BY day_no ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 6) AS rolling_median7
+    FROM daily
+    """,
+    doc="Rolling 7-day median of daily revenue: an exact percentile used as "
+    "a WINDOW function over the aggregated series — the robust-baseline "
+    "smoother (median ignores single-day spikes that wreck a rolling "
+    "mean). Spark percentile() and DuckDB quantile_cont share the (n-1)q "
+    "linear-interpolation definition, and each 7-row frame sorts at most 7 "
+    "exact integer-cent values, so the result is bit-stable. Scale: the "
+    "window runs over the tiny POST-aggregation series (one row per day — "
+    "the same bounded-global-window rule as events_dau_rolling); the heavy "
+    "scan collapses in the daily cents aggregate with map-side partials.",
+    tags=("events", "window", "percentile", "extension"),
+)
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("day_no", F.expr("ts_us div 86400000000"))
+        .groupBy("day_no")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    day_value = F.col("cents").cast("double") / 100.0
+    w = W.orderBy("day_no").rowsBetween(-6, W.currentRow)
+    return daily.select(
+        "day_no",
+        day_value.alias("day_value"),
+        F.round(F.expr("percentile(CAST(cents AS DOUBLE) / 100.0, 0.5)").over(w), 6).alias(
+            "rolling_median7"
+        ),
+    )
