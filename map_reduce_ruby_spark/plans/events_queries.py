@@ -722,3 +722,61 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rolling_median7"
         ),
     )
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH ordered AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+               MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_click_ts
+        FROM events
+    )
+    SELECT event_id, user_id,
+           COALESCE(ts_us - last_click_ts, -1) AS gap_us,
+           CASE WHEN last_click_ts IS NOT NULL
+                 AND ts_us - last_click_ts <= 600000000
+                THEN 1 ELSE 0 END AS attributed
+    FROM ordered
+    WHERE event_type = 'purchase'
+    """,
+    doc="Last-touch attribution: each purchase is attributed to the user's "
+    "most recent STRICTLY-PRECEDING click when the gap is <= 10 minutes — "
+    "the marketing-analytics staple, expressed as a conditional MAX carried "
+    "forward over the per-user event timeline (frame ends at 1 PRECEDING "
+    "so a same-microsecond click does not attribute to itself; ordering "
+    "tie-breaks on event_id). One shuffle on user_id, same scale shape as "
+    "sessionization; unattributed purchases report gap -1. The window form "
+    "replaces the naive per-purchase as-of self-join (which would shuffle "
+    "the table once per funnel stage).",
+    tags=("events", "attribution", "window", "asof", "extension"),
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts_us"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts_us"))
+    ).over(w)
+    flagged = ev.withColumn("last_click_ts", last_click).filter(
+        F.col("event_type") == "purchase"
+    )
+    gap = F.col("ts_us") - F.col("last_click_ts")
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.coalesce(gap, F.lit(-1)).alias("gap_us"),
+        F.when(
+            F.col("last_click_ts").isNotNull() & (gap <= 600_000_000), 1
+        )
+        .otherwise(0)
+        .alias("attributed"),
+    )
