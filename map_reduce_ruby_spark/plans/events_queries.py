@@ -780,3 +780,75 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise(0)
         .alias("attributed"),
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day_no,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT day_no, cents,
+               COUNT(*) OVER w AS n,
+               SUM(cents) OVER w AS s,
+               SUM(cents * cents) OVER w AS sq
+        FROM daily
+        WINDOW w AS (ORDER BY day_no ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day_no,
+           CAST(cents AS DOUBLE) / 100.0 AS day_value,
+           CASE WHEN n >= 3 AND n * sq - s * s > 0 THEN
+               ROUND((CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                     / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                            / (n - 1)), 6)
+           ELSE -999.0 END AS zscore,
+           CASE WHEN n >= 3 AND n * sq - s * s > 0
+                 AND abs((CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                     / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                            / (n - 1))) > 2.0
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM stats
+    """,
+    doc="Daily-revenue anomaly detection: z-score of each day against the "
+    "TRAILING week (frame ends at 1 PRECEDING — the day under test never "
+    "contaminates its own baseline), flagging |z| > 2. Mean and sample "
+    "variance come from exact integer windowed moments (SUM and "
+    "SUM-of-squares of cents — the same order-independence rule as "
+    "stats_moments_corr, applied per frame), so the floats are one fixed "
+    "expression over exact inputs and hash-match. Days with under 3 "
+    "baseline points or zero variance emit the -999 sentinel (NaN breaks "
+    "the exact compare). Scale: windows over the "
+    "bounded post-aggregation series; this is the data-quality monitor a "
+    "100 TB ingest runs on its OWN output volumes every load.",
+    tags=("events", "anomaly", "window", "statistics", "extension"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("day_no", F.expr("ts_us div 86400000000"))
+        .groupBy("day_no")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    w = W.orderBy("day_no").rowsBetween(-7, -1)
+    stats = daily.select(
+        "day_no",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cents").over(w).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("sq"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("sq").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    z = (F.col("cents").cast("double") - mean) / F.sqrt(var)
+    ok = (F.col("n") >= 3) & (F.col("n") * F.col("sq") - F.col("s") * F.col("s") > 0)
+    return stats.select(
+        "day_no",
+        (F.col("cents").cast("double") / 100.0).alias("day_value"),
+        F.when(ok, F.round(z, 6)).otherwise(F.lit(-999.0)).alias("zscore"),
+        F.when(ok & (F.abs(z) > 2.0), 1).otherwise(0).alias("is_anomaly"),
+    )

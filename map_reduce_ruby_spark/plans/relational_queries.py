@@ -1225,3 +1225,74 @@ def stats_moments_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ["lineitem"])
     return spark.sql(_STATS_SQL)
+
+
+# --- ABC / Pareto classification ---------------------------------------------
+
+
+@register(
+    "abc_part_classification",
+    oracle="""
+    WITH per_part AS (
+        SELECT l_partkey,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT l_partkey, cents,
+               SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS run,
+               SUM(cents) OVER () AS total
+        FROM per_part
+    )
+    SELECT CASE WHEN run <= total * 0.8 THEN 'A'
+                WHEN run <= total * 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS class_revenue
+    FROM ranked
+    GROUP BY 1
+    """,
+    doc="ABC (Pareto) classification of parts by discounted revenue: parts "
+    "are ranked by exact integer-cent revenue (tie-break partkey), the "
+    "RUNNING cent total against the grand total cuts the A/B/C classes at "
+    "80% / 95% cumulative share, and classes roll up to (count, revenue). "
+    "All comparisons are integer-cents vs total*fraction — one double "
+    "multiply per boundary, no accumulated float error. Scale note: the "
+    "running sum is an unpartitioned window over the PER-PART aggregate "
+    "(bounded by |parts|, not |lineitems|) — the same post-aggregation "
+    "global-window rule as monthly_revenue_mom_delta; with billions of "
+    "parts, the ranged-quantile bucketing of "
+    "ntile_customer_spend_deciles_ranged is the documented alternative.",
+    tags=("aggregate", "window", "pareto", "extension"),
+)
+def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                "long"
+            )
+        ).alias("cents")
+    )
+    w_run = W.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy()
+    ranked = per_part.select(
+        "l_partkey",
+        "cents",
+        F.sum("cents").over(w_run).alias("run"),
+        F.sum("cents").over(w_all).alias("total"),
+    )
+    klass = (
+        F.when(F.col("run") <= F.col("total") * 0.8, "A")
+        .when(F.col("run") <= F.col("total") * 0.95, "B")
+        .otherwise("C")
+    )
+    return ranked.groupBy(klass.alias("abc_class")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (F.sum("cents").cast("double") / 100.0).alias("class_revenue"),
+    )
