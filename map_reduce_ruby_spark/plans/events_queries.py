@@ -852,3 +852,38 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.round(z, 6)).otherwise(F.lit(-999.0)).alias("zscore"),
         F.when(ok & (F.abs(z) > 2.0), 1).otherwise(0).alias("is_anomaly"),
     )
+
+
+@register(
+    "events_value_histogram",
+    oracle=f"""
+    SELECT LEAST(CAST(floor(value / 25.0) AS BIGINT), 19) AS bucket,
+           ROUND(LEAST(CAST(floor(value / 25.0) AS BIGINT), 19) * 25.0, 1)
+               AS bucket_lo,
+           COUNT(*) AS n_events,
+           {cents_sum_sql('value', 'bucket_value')}
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Equal-width histogram of event values (20 buckets of width 25, "
+    "top bucket open-ended): the distribution-shape profile next to "
+    "lineitem_profile's min/max/distinct — what a data-quality monitor "
+    "plots per ingest. Bucketing is portable floor arithmetic (no "
+    "width_bucket dialect differences); per-bucket value mass uses the "
+    "exact cents rule. Scale: scan-side bucket projection, one 20-group "
+    "aggregate with map-side partials — the cheapest possible full-table "
+    "profile.",
+    tags=("events", "histogram", "profiling", "extension"),
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 25.0).cast("long"), F.lit(19))
+    return (
+        ev.select(
+            bucket.alias("bucket"),
+            F.round(bucket * 25.0, 1).alias("bucket_lo"),
+            "value",
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_events"), cents_sum("value", "bucket_value"))
+    )
