@@ -99,6 +99,9 @@ HEADLINE = [
     "streaming_mv_refresh",
     "approx_topk_terms",
     "approx_rolling_dau_hll",
+    "events_anomaly_zscore",
+    "abc_part_classification",
+    "events_attribution_last_touch",
     "corpus_materialize",
 ]
 
