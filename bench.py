@@ -102,6 +102,8 @@ HEADLINE = [
     "events_anomaly_zscore",
     "abc_part_classification",
     "events_attribution_last_touch",
+    "events_rolling_median",
+    "events_value_histogram",
     "corpus_materialize",
 ]
 
