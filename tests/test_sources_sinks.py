@@ -364,3 +364,28 @@ def test_chunk_stream_ingests_each_file_exactly_once(spark, tmp_path):
     # the already-committed file NOT replayed
     assert second == {('"a"', "1"), ('"b"', "2"), ('"c"', "3")}
     assert len(spark.read.parquet(out).collect()) == 3
+
+
+def test_chunk_stream_reader_replay_window(tmp_path):
+    """readBetweenOffsets must replay exactly the files a committed window
+    covered — the recovery path a restart exercises when a batch planned
+    but not yet committed."""
+    import json
+
+    from map_reduce_ruby_spark.sources.chunk_datasource import _ChunkStreamReader
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "chunk-00000.jsonl").write_text('["a",1]\n["b",2]\n')
+    reader = _ChunkStreamReader({"path": str(drop)})
+    off0 = reader.initialOffset()
+    it, off1 = reader.read(off0)
+    first = list(it)
+    assert off0 == {"n": 0} and off1 == {"n": 1}
+    assert first == [('"a"', "1"), ('"b"', "2")]
+    # a later-sorting file arrives; replaying the COMMITTED window must not
+    # include it
+    (drop / "chunk-00001.jsonl").write_text('["c",3]\n')
+    assert list(reader.readBetweenOffsets(off0, off1)) == first
+    it2, off2 = reader.read(off1)
+    assert list(it2) == [('"c"', "3")] and off2 == {"n": 2}
