@@ -793,24 +793,28 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     stats AS (
         SELECT day_no, cents,
                COUNT(*) OVER w AS n,
-               SUM(cents) OVER w AS s,
-               SUM(cents * cents) OVER w AS sq
+               SUM(CAST(cents AS DECIMAL(38,0))) OVER w AS s,
+               SUM(CAST(cents AS DECIMAL(38,0))
+                   * CAST(cents AS DECIMAL(38,0))) OVER w AS sq
         FROM daily
         WINDOW w AS (ORDER BY day_no ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+        SELECT day_no, cents, n,
+               (CAST(sq AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / GREATEST(n, 1))
+                   / GREATEST(n - 1, 1) AS var,
+               CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / GREATEST(n, 1) AS dev
+        FROM stats
     )
     SELECT day_no,
            CAST(cents AS DOUBLE) / 100.0 AS day_value,
-           CASE WHEN n >= 3 AND n * sq - s * s > 0 THEN
-               ROUND((CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / n)
-                     / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
-                            / (n - 1)), 6)
+           CASE WHEN n >= 3 AND var > 0.0
+                THEN ROUND(dev / sqrt(var), 6)
            ELSE -999.0 END AS zscore,
-           CASE WHEN n >= 3 AND n * sq - s * s > 0
-                 AND abs((CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / n)
-                     / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
-                            / (n - 1))) > 2.0
+           CASE WHEN n >= 3 AND var > 0.0 AND abs(dev / sqrt(var)) > 2.0
                 THEN 1 ELSE 0 END AS is_anomaly
-    FROM stats
+    FROM scored
     """,
     doc="Daily-revenue anomaly detection: z-score of each day against the "
     "TRAILING week (frame ends at 1 PRECEDING — the day under test never "
@@ -833,19 +837,28 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
     )
     w = W.orderBy("day_no").rowsBetween(-7, -1)
+    dec = F.col("cents").cast("decimal(38,0)")
     stats = daily.select(
         "day_no",
         "cents",
         F.count(F.lit(1)).over(w).alias("n"),
-        F.sum("cents").over(w).alias("s"),
-        F.sum(F.col("cents") * F.col("cents")).over(w).alias("sq"),
+        F.sum(dec).over(w).alias("s"),
+        F.sum(dec * dec).over(w).alias("sq"),
     )
-    mean = F.col("s").cast("double") / F.col("n")
+    # moments accumulate in DECIMAL(38,0) (cents^2 overflows int64 a few SF
+    # decades up — same exactness rule as stats_moments_corr); variance and
+    # the positivity guard run in double on BOTH engines
+    # GREATEST clamps: the first frame has n = 0 and ANSI division now
+    # evaluates inside the guard itself; clamped values are only ever READ
+    # when n >= 3, where the clamp is a no-op (both engines identical)
+    n_safe = F.greatest(F.col("n"), F.lit(1))
+    mean = F.col("s").cast("double") / n_safe
     var = (
-        F.col("sq").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
-    ) / (F.col("n") - 1)
+        F.col("sq").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / n_safe
+    ) / F.greatest(F.col("n") - 1, F.lit(1))
     z = (F.col("cents").cast("double") - mean) / F.sqrt(var)
-    ok = (F.col("n") >= 3) & (F.col("n") * F.col("sq") - F.col("s") * F.col("s") > 0)
+    ok = (F.col("n") >= 3) & (var > 0.0)
     return stats.select(
         "day_no",
         (F.col("cents").cast("double") / 100.0).alias("day_value"),

@@ -362,7 +362,8 @@ def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "match proves the whole write -> stream-ingest -> aggregate loop is "
     "lossless — the streaming face of Mapper#shuffle file handoff plus "
     "Reducer ingest (reference lib/map_reduce/mapper.rb:100-121, "
-    "reducer.rb:34-42). Files are written once per (session, sf).",
+    "reducer.rb:34-42). Files are written once per machine temp dir and "
+    "sf, gated on the writer's _SUCCESS marker.",
     tags=("streaming", "mapreduce", "chunk-format", "custom-operator"),
 )
 def streaming_chunk_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,7 +379,10 @@ def streaming_chunk_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_chunk_source(spark)
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     drop = os.path.join(tempfile.gettempdir(), f"mr_chunk_stream_{tag}")
-    if not os.path.isdir(drop) or not os.listdir(drop):
+    # gate on the writer's _SUCCESS marker, not directory non-emptiness: a
+    # killed mid-flight write would otherwise poison the cache until /tmp is
+    # cleaned (files land atomically, the marker lands at driver commit)
+    if not os.path.exists(os.path.join(drop, "_SUCCESS")):
         docs = load_table(spark, sf_dir, "documents")
         pairs = docs.select(
             F.explode(
@@ -399,6 +403,4 @@ def streaming_chunk_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return run_stream_to_memory(
-        stream, f"catalog_chunk_stream_wc_{abs(hash(sf_dir)) % 10**8}"
-    )
+    return run_stream_to_memory(stream, f"catalog_chunk_stream_wc_{tag}")

@@ -93,7 +93,26 @@ class _ChunkStreamReader(SimpleDataSourceStreamReader):
             raise ValueError("mr_chunks stream requires a path")
 
     def initialOffset(self) -> dict:
-        return {"n": 0}
+        return {"n": 0, "last": None}
+
+    @staticmethod
+    def _validate(files: list[str], off: dict) -> None:
+        """The offset carries the BOUNDARY FILENAME next to the count: if a
+        committed file was deleted, or a file arrived that sorts before the
+        boundary, the count would silently slice the wrong window — the name
+        check turns both contract violations into a loud error instead."""
+        n = off.get("n", 0)
+        last = off.get("last")
+        if n == 0 or last is None:
+            return
+        if n > len(files) or os.path.basename(files[n - 1]) != last:
+            raise ValueError(
+                f"mr_chunks stream offset violated: expected file #{n} to be "
+                f"{last!r} (committed boundary); directory now has "
+                f"{[os.path.basename(f) for f in files[:n]]} — a committed "
+                "chunk file was removed or a new file sorted before the "
+                "boundary (files must arrive with increasing names)"
+            )
 
     def _rows(self, files: list[str]) -> list[tuple]:
         rows: list[tuple] = []
@@ -107,10 +126,16 @@ class _ChunkStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         files = _resolve_files(self.path)
-        return iter(self._rows(files[start["n"] :])), {"n": len(files)}
+        self._validate(files, start)
+        end = {
+            "n": len(files),
+            "last": os.path.basename(files[-1]) if files else None,
+        }
+        return iter(self._rows(files[start["n"] :])), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
         files = _resolve_files(self.path)
+        self._validate(files, end)
         return iter(self._rows(files[start["n"] : end["n"]]))
 
 
@@ -130,10 +155,22 @@ class _ChunkWriter(DataSourceWriter):
         pid = TaskContext.get().partitionId()
         os.makedirs(self.path, exist_ok=True)
         out = os.path.join(self.path, f"chunk-{pid:05d}.jsonl")
-        with open(out, "w", encoding="utf-8") as f:
+        # write under a '.'-prefixed temp name (invisible to _resolve_files
+        # and to the streaming reader), then rename: a concurrent tailer can
+        # never observe a half-written chunk file
+        tmp = os.path.join(self.path, f".chunk-{pid:05d}.jsonl.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
             for row in iterator:
                 f.write(f"[{row.key_json},{row.value_json}]\n")
+        os.replace(tmp, out)
         return _ChunkCommit()
+
+    def commit(self, messages) -> None:
+        # driver-side success marker ('_'-prefixed => skipped by readers):
+        # consumers gate on it to distinguish a completed write from a
+        # killed-mid-flight one
+        with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8"):
+            pass
 
 
 class ChunkDataSource(DataSource):

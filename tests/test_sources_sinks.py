@@ -145,6 +145,8 @@ def test_chunk_datasource_write_roundtrip(spark, tmp_path):
     out = str(tmp_path / "out_chunks")
     src.write.format("mr_chunks").mode("append").save(out)
     files = sorted(os.listdir(out))
+    assert "_SUCCESS" in files  # driver-commit marker
+    files = [f for f in files if not f.startswith("_")]
     assert files and all(f.startswith("chunk-") for f in files)
     pairs = []
     for f in files:
@@ -381,11 +383,19 @@ def test_chunk_stream_reader_replay_window(tmp_path):
     off0 = reader.initialOffset()
     it, off1 = reader.read(off0)
     first = list(it)
-    assert off0 == {"n": 0} and off1 == {"n": 1}
+    assert off0["n"] == 0
+    assert off1 == {"n": 1, "last": "chunk-00000.jsonl"}
     assert first == [('"a"', "1"), ('"b"', "2")]
     # a later-sorting file arrives; replaying the COMMITTED window must not
     # include it
     (drop / "chunk-00001.jsonl").write_text('["c",3]\n')
     assert list(reader.readBetweenOffsets(off0, off1)) == first
     it2, off2 = reader.read(off1)
-    assert list(it2) == [('"c"', "3")] and off2 == {"n": 2}
+    assert list(it2) == [('"c"', "3")]
+    assert off2 == {"n": 2, "last": "chunk-00001.jsonl"}
+    # a committed file vanishing must be a loud error, not a silent re-slice
+    (drop / "chunk-00000.jsonl").unlink()
+    import pytest
+
+    with pytest.raises(ValueError, match="offset violated"):
+        reader.read(off2)
