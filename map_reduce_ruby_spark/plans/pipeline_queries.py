@@ -1048,3 +1048,91 @@ def chunk_dedup_families(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") >= 2)
     )
+
+
+# --- Span-level decontamination ----------------------------------------------
+
+_SPAN_GRAM_SQL = " || ' ' || ".join(f"toks[p.pos+{j}]" for j in range(_CONTAM_N))
+
+
+@register(
+    "contamination_span_removal",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {_CONTAM_TOKENS_SQL} AS toks,
+               {h32_sql("'bench:' || doc_id::VARCHAR")} % 100 < 5 AS is_bench
+        FROM documents
+        WHERE len({_CONTAM_TOKENS_SQL}) >= {_CONTAM_N}
+    ),
+    gp AS (
+        SELECT doc_id, is_bench, CAST(p.pos AS BIGINT) AS pos,
+               md5({_SPAN_GRAM_SQL}) AS g
+        FROM tok, UNNEST(range(1, len(toks) - {_CONTAM_N - 2})) AS p(pos)
+    ),
+    bg AS (SELECT DISTINCT g FROM gp WHERE is_bench),
+    hits AS (
+        SELECT gp.doc_id, gp.pos,
+               gp.pos - row_number() OVER (PARTITION BY gp.doc_id
+                                           ORDER BY gp.pos) AS grp
+        FROM gp JOIN bg USING (g)
+        WHERE NOT gp.is_bench
+    )
+    SELECT doc_id,
+           MIN(pos) AS span_start_tok,
+           MAX(pos) + {_CONTAM_N - 1} AS span_end_tok,
+           MAX(pos) + {_CONTAM_N - 1} - MIN(pos) + 1 AS span_tokens
+    FROM hits
+    GROUP BY doc_id, grp
+    """,
+    doc="SPAN-level decontamination: instead of dropping every training doc "
+    "that shares a 4-gram with the benchmark set (contamination_ngram_"
+    "overlap's doc-level flag), compute the exact token spans to STRIP — "
+    "consecutive matching gram positions merge into maximal spans via the "
+    "gaps-and-islands trick (pos - row_number), and each span covers "
+    "[first gram start, last gram start + N - 1]. Surgical removal keeps "
+    "the rest of an otherwise-clean document — materially less data loss "
+    "on long docs with one quoted benchmark item. Scale: same broadcast "
+    "shape as the doc-level twin (bench gram set broadcasts, corpus grams "
+    "probe map-side); the islands window partitions by doc_id over HIT "
+    "rows only — a tiny fraction of the corpus.",
+    tags=("text", "contamination", "span", "pipeline", "extension"),
+)
+def contamination_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+    base = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        (
+            h32(F.concat(F.lit("bench:"), F.col("doc_id").cast("string"))) % 100 < 5
+        ).alias("is_bench"),
+    ).filter(F.size("toks") >= _CONTAM_N)
+    gp = base.select(
+        "doc_id",
+        "is_bench",
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (_CONTAM_N - 1))).alias("pos"),
+    ).select(
+        "doc_id",
+        "is_bench",
+        F.col("pos").cast("long").alias("pos"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                *[F.element_at("toks", F.col("pos") + j) for j in range(_CONTAM_N)],
+            )
+        ).alias("g"),
+    )
+    bg = gp.filter(F.col("is_bench")).select("g").distinct()
+    hits = (
+        gp.filter(~F.col("is_bench"))
+        .join(F.broadcast(bg), "g")
+        .select("doc_id", "pos")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    islands = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return islands.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("span_start_tok"),
+        (F.max("pos") + (_CONTAM_N - 1)).alias("span_end_tok"),
+        (F.max("pos") + (_CONTAM_N - 1) - F.min("pos") + 1).alias("span_tokens"),
+    ).drop("grp")
