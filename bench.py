@@ -80,6 +80,7 @@ HEADLINE = [
     "corpus_budget_cut",
     "corpus_upsert_latest",
     "contamination_ngram_overlap",
+    "contamination_span_removal",
     "tfidf_top_terms",
     "text_bigram_lm_score",
     "text_bm25_search",
