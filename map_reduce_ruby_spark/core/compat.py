@@ -116,7 +116,15 @@ class Mapper:
             num_partitions=n_parts,
         )
         out = out_dir or tempfile.mkdtemp(prefix="mr_shuffle_")
-        partitions = job.shuffle_to_files(self._spark, self._inputs, out)
+        # No-reduce mode defaults to FIFO-stable duplicates: the façade
+        # advertises byte-compatible chunk files, and the reference's merge
+        # keeps equal-key duplicates in input order
+        # (lib/map_reduce/priority_queue.rb:35,50-53, pinned by
+        # spec/map_reduce/mapper_spec.rb:89-125). With a reduce impl the
+        # flag is moot (keys are unique after the fold) and costs nothing.
+        partitions = job.shuffle_to_files(
+            self._spark, self._inputs, out, stable=reduce_fn is None
+        )
         if block is None:
             return partitions
         try:

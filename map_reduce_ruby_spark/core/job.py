@@ -34,6 +34,7 @@ from pyspark.sql import SparkSession
 
 from map_reduce_ruby_spark.core.keys import SortKey
 from map_reduce_ruby_spark.core.partitioner import HashPartitioner, PartitionFn
+from map_reduce_ruby_spark.sources.chunk_datasource import MANIFEST_NAME
 
 
 class MapReduceError(Exception):
@@ -196,12 +197,20 @@ class Job:
         inputs: Any,
         out_dir: str,
         shared_storage: bool = False,
+        stable: bool = False,
     ) -> dict[int, str]:
         """Materialize the shuffle as the reference's partition->file map
         (reference lib/map_reduce/mapper.rb:76-96 ``Mapper#shuffle``): one
         JSON-lines file per non-empty partition, each line
         ``json([key, value])``, keys sorted within the file
         (reference lib/map_reduce/mapper.rb:115,131-135 chunk format).
+
+        ``stable=True`` (no-reduce mode): equal-key duplicates keep input
+        order in the chunk files, matching the reference's FIFO-stable merge
+        byte-for-byte (lib/map_reduce/priority_queue.rb:35,50-53, pinned by
+        spec/map_reduce/mapper_spec.rb:89-125). Costs one ``zipWithIndex``
+        pass; the compat façade turns it on by default because it advertises
+        byte-compatible chunk files.
 
         Two modes:
 
@@ -213,36 +222,33 @@ class Job:
           output is written through the ``mr_chunks`` DataSource writer
           (sources/chunk_datasource.py) — one reference-format sorted run
           per partition, written by the executors directly into ``out_dir``
-          on shared storage (S3/NFS/DBFS mount). No row ever crosses the
-          driver; only the path map comes back.
+          on shared storage. ``out_dir`` may be a plain/``file://`` path
+          (NFS mount) or any URI whose scheme has a registered backend
+          (sources/storage.py — an s3 deployment registers its client
+          once). No row ever crosses the driver, and the partition->path
+          map is read from the writer's ``_MANIFEST.json`` — built on the
+          driver from the tasks' commit messages, never from a directory
+          listing — which is what makes the reference's S3 handoff story
+          (reference README.md:60-67,78-84) work end-to-end on a real
+          cluster.
         """
         if shared_storage:
-            # The path map below comes from a driver-side directory listing,
-            # so this mode requires a path the driver can list directly
-            # (local disk or a mounted shared filesystem). Remote object-
-            # store URIs would write from executors but return an empty map
-            # here — refuse loudly instead; a deployment targeting s3://
-            # lists via its storage client after the write.
-            if "://" in out_dir or out_dir.startswith(("dbfs:", "hdfs:", "s3:")):
-                raise ValueError(
-                    "shuffle_to_files(shared_storage=True) needs a driver-"
-                    f"listable path (local/NFS mount), got {out_dir!r}; for "
-                    "object stores, write with the mr_chunks sink directly "
-                    "and list via the storage client"
-                )
-            if os.path.isdir(out_dir) and any(
-                n.startswith("chunk-") and n.endswith(".jsonl")
-                for n in os.listdir(out_dir)
-            ):
-                raise ValueError(
-                    f"{out_dir!r} already holds chunk files from a previous "
-                    "shuffle — the append-mode writer would interleave "
-                    "generations and the path map would return stale chunks; "
-                    "write each shuffle to a fresh generation directory"
-                )
+            from map_reduce_ruby_spark.sources.storage import join_uri, storage_for
 
-        os.makedirs(out_dir, exist_ok=True)
-        result = self.run(spark, inputs, sort_output=True)
+            backend = storage_for(out_dir)  # raises for unregistered schemes
+            manifest_uri = join_uri(out_dir, MANIFEST_NAME)
+            if backend.exists(manifest_uri):
+                raise ValueError(
+                    f"{out_dir!r} already holds a chunk generation "
+                    f"({MANIFEST_NAME} present) — the append-mode writer "
+                    "would interleave generations and the path map would "
+                    "return stale chunks; write each shuffle to a fresh "
+                    "generation directory"
+                )
+        else:
+            os.makedirs(out_dir, exist_ok=True)
+
+        result = self.run(spark, inputs, sort_output=True, stable=stable)
 
         if shared_storage:
             from map_reduce_ruby_spark.sources.chunk_datasource import (
@@ -256,18 +262,17 @@ class Job:
             )
             # RDD -> (key_json, value_json) rows is a narrow map: partition
             # ids and in-partition sort order carry through to the writer,
-            # which emits chunk-<pid>.jsonl per task (TaskContext.partitionId).
+            # which emits chunk-<pid>.jsonl per task (TaskContext.partitionId)
+            # and reports (partition, file, rows) in its commit message.
             rows = result.map(lambda kv: (canon(kv[0]), canon(kv[1])))
             spark.createDataFrame(rows, CHUNK_SCHEMA).write.format("mr_chunks").mode(
                 "append"
             ).save(out_dir)
-            paths: dict[int, str] = {}
-            for name in os.listdir(out_dir):
-                if name.startswith("chunk-") and name.endswith(".jsonl"):
-                    path = os.path.join(out_dir, name)
-                    if os.path.getsize(path) > 0:
-                        paths[int(name[len("chunk-"):-len(".jsonl")])] = path
-            return paths
+            manifest = json.loads(backend.read_text(manifest_uri))
+            return {
+                int(e["partition"]): join_uri(out_dir, e["file"])
+                for e in manifest["files"]
+            }
 
         def write_partition(pid: int, it: Iterator[tuple[Any, Any]]) -> Iterator[tuple[int, str]]:
             path = os.path.join(out_dir, f"partition-{pid}.jsonl")

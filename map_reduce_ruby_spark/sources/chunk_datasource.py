@@ -23,6 +23,7 @@ from __future__ import annotations
 import glob as _glob
 import json
 import os
+import tempfile
 from typing import Iterator
 
 from pyspark.sql.datasource import (
@@ -43,6 +44,8 @@ def _canon(obj) -> str:
 
 
 def _resolve_files(path: str) -> list[str]:
+    if path.startswith("file://"):
+        path = path[len("file://"):]
     if os.path.isdir(path):
         names = (os.path.join(path, n) for n in os.listdir(path))
         return sorted(p for p in names if os.path.isfile(p) and not os.path.basename(p).startswith(("_", ".")))
@@ -71,6 +74,43 @@ class _ChunkReader(DataSourceReader):
                 if line.strip():
                     k, v = json.loads(line)
                     yield (_canon(k), _canon(v))
+
+
+class _ChunkRows:
+    """Lazy row iterator over a fixed chunk-file window.
+
+    Why not a plain generator: PySpark's simple-stream wrapper caches the
+    iterator returned by ``read()`` unconsumed and hands out
+    ``copy.copy()`` of it to each consumer (datasource_internal.py
+    ``getCache``) — a generator can't be copied. This class holds only the
+    file PATH list (not the rows), opens files one at a time on demand,
+    and ``__copy__`` restarts from the path list — so a large backlog
+    (first start against a big drop directory) never materializes the
+    whole window in driver memory, and every cache copy replays the exact
+    same window."""
+
+    def __init__(self, files: list[str]):
+        self._files = list(files)
+        self._gen: Iterator[tuple] | None = None
+
+    def __copy__(self) -> "_ChunkRows":
+        return _ChunkRows(self._files)
+
+    def __iter__(self) -> "_ChunkRows":
+        return self
+
+    def __next__(self) -> tuple:
+        if self._gen is None:
+            self._gen = self._generate()
+        return next(self._gen)
+
+    def _generate(self) -> Iterator[tuple]:
+        for path in self._files:
+            with open(path, encoding="utf-8") as f:
+                for line in f:
+                    if line.strip():
+                        k, v = json.loads(line)
+                        yield (_canon(k), _canon(v))
 
 
 class _ChunkStreamReader(SimpleDataSourceStreamReader):
@@ -114,15 +154,9 @@ class _ChunkStreamReader(SimpleDataSourceStreamReader):
                 "boundary (files must arrive with increasing names)"
             )
 
-    def _rows(self, files: list[str]) -> list[tuple]:
-        rows: list[tuple] = []
-        for path in files:
-            with open(path, encoding="utf-8") as f:
-                for line in f:
-                    if line.strip():
-                        k, v = json.loads(line)
-                        rows.append((_canon(k), _canon(v)))
-        return rows
+    @staticmethod
+    def _rows(files: list[str]) -> "_ChunkRows":
+        return _ChunkRows(files)
 
     def read(self, start: dict):
         files = _resolve_files(self.path)
@@ -131,16 +165,29 @@ class _ChunkStreamReader(SimpleDataSourceStreamReader):
             "n": len(files),
             "last": os.path.basename(files[-1]) if files else None,
         }
-        return iter(self._rows(files[start["n"] :])), end
+        return self._rows(files[start["n"] :]), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
         files = _resolve_files(self.path)
         self._validate(files, end)
-        return iter(self._rows(files[start["n"] : end["n"]]))
+        return self._rows(files[start["n"] : end["n"]])
 
 
 class _ChunkCommit(WriterCommitMessage):
-    pass
+    """Each task's report back to the driver: which partition it wrote,
+    the chunk filename it published (None when the partition was empty),
+    and how many rows. The driver's commit() turns these into
+    _MANIFEST.json — the partition->path map's source of truth, replacing
+    any directory listing (object stores have no cheap consistent listing;
+    the commit messages are authoritative either way)."""
+
+    def __init__(self, partition_id: int, filename: str | None, rows: int):
+        self.partition_id = partition_id
+        self.filename = filename
+        self.rows = rows
+
+
+MANIFEST_NAME = "_MANIFEST.json"
 
 
 class _ChunkWriter(DataSourceWriter):
@@ -152,25 +199,57 @@ class _ChunkWriter(DataSourceWriter):
     def write(self, iterator) -> _ChunkCommit:
         from pyspark import TaskContext
 
+        from map_reduce_ruby_spark.sources.storage import join_uri, storage_for
+
         pid = TaskContext.get().partitionId()
-        os.makedirs(self.path, exist_ok=True)
-        out = os.path.join(self.path, f"chunk-{pid:05d}.jsonl")
-        # write under a '.'-prefixed temp name (invisible to _resolve_files
-        # and to the streaming reader), then rename: a concurrent tailer can
-        # never observe a half-written chunk file
-        tmp = os.path.join(self.path, f".chunk-{pid:05d}.jsonl.tmp")
-        with open(tmp, "w", encoding="utf-8") as f:
-            for row in iterator:
-                f.write(f"[{row.key_json},{row.value_json}]\n")
-        os.replace(tmp, out)
-        return _ChunkCommit()
+        name = f"chunk-{pid:05d}.jsonl"
+        # Stream rows to executor-local scratch first, then publish the
+        # finished file atomically through the storage backend — the same
+        # shape an object-store upload takes (write local, one atomic PUT).
+        fd, scratch = tempfile.mkstemp(prefix="mr_chunk_w_", suffix=".jsonl")
+        rows = 0
+        try:
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
+                for row in iterator:
+                    f.write(f"[{row.key_json},{row.value_json}]\n")
+                    rows += 1
+            if rows == 0:
+                # empty partition: publish nothing (the reference's split
+                # also only emits files for non-empty partitions,
+                # lib/map_reduce/mapper.rb:100-121)
+                return _ChunkCommit(pid, None, 0)
+            backend = storage_for(self.path)
+            backend.makedirs(self.path)
+            backend.put_file_atomic(scratch, join_uri(self.path, name))
+            return _ChunkCommit(pid, name, rows)
+        finally:
+            if os.path.exists(scratch):
+                os.unlink(scratch)
 
     def commit(self, messages) -> None:
-        # driver-side success marker ('_'-prefixed => skipped by readers):
-        # consumers gate on it to distinguish a completed write from a
-        # killed-mid-flight one
-        with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8"):
-            pass
+        from map_reduce_ruby_spark.sources.storage import join_uri, storage_for
+
+        backend = storage_for(self.path)
+        backend.makedirs(self.path)
+        # _MANIFEST.json: the authoritative partition->file map, built from
+        # the tasks' commit messages (no listing). Describes THIS write; the
+        # shared-storage handoff enforces one generation per directory.
+        files = sorted(
+            (
+                {"partition": int(m.partition_id), "file": m.filename, "rows": int(m.rows)}
+                for m in messages
+                if m is not None and m.filename is not None
+            ),
+            key=lambda e: e["partition"],
+        )
+        manifest = {"format": "mr_chunks/1", "files": files}
+        backend.write_text_atomic(
+            join_uri(self.path, MANIFEST_NAME),
+            json.dumps(manifest, separators=(",", ":")) + "\n",
+        )
+        # success marker ('_'-prefixed => skipped by readers): consumers gate
+        # on it to distinguish a completed write from a killed-mid-flight one
+        backend.write_text_atomic(join_uri(self.path, "_SUCCESS"), "")
 
 
 class ChunkDataSource(DataSource):

@@ -1,0 +1,114 @@
+"""Pluggable shared-storage layer for the chunk handoff.
+
+The reference's deployment story uploads partition files to a blob store
+between phases (reference README.md:60-67,78-84: mappers upload their
+partition files to S3, reducers download them). The cluster-real analog in
+this engine: executor tasks write chunk files straight to shared storage
+through the ``mr_chunks`` writer, each task reports (partition, file, rows)
+in its ``WriterCommitMessage``, and the driver's commit publishes a
+``_MANIFEST.json`` built from those messages. The partition->path map is
+then read from the manifest — never from a directory listing — so the
+handoff works against any storage a backend can reach (the previous
+driver-side ``os.listdir`` only worked for locally-mounted paths).
+
+A backend is any object with five small operations::
+
+    makedirs(dir_uri)                  # idempotent
+    exists(uri) -> bool
+    read_text(uri) -> str
+    write_text_atomic(uri, text)       # readers never see a partial file
+    put_file_atomic(local_path, uri)   # publish a finished local file
+
+The local backend (plain paths and ``file://`` URIs; NFS mounts count — a
+mounted path IS shared storage) ships here. An object-store deployment
+registers its client at session start::
+
+    register_storage_backend("s3", MyS3Backend())   # e.g. boto3-based
+
+``put_file_atomic`` maps naturally onto object stores: a single PUT (or
+completed multipart upload) is atomic — the object is invisible until
+complete — which is exactly the publish semantics the local backend gets
+from write-hidden-then-rename.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+_SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*):")
+
+
+def uri_scheme(uri: str) -> str:
+    """'' for plain local paths; 's3' for s3://..., 'dbfs' for dbfs:/..."""
+    m = _SCHEME_RE.match(uri)
+    return m.group(1).lower() if m else ""
+
+
+def join_uri(base: str, name: str) -> str:
+    return base.rstrip("/") + "/" + name
+
+
+class LocalStorage:
+    """Plain paths and file:// URIs on a locally-mounted filesystem."""
+
+    @staticmethod
+    def _p(uri: str) -> str:
+        return uri[len("file://"):] if uri.startswith("file://") else uri
+
+    def makedirs(self, uri: str) -> None:
+        os.makedirs(self._p(uri), exist_ok=True)
+
+    def exists(self, uri: str) -> bool:
+        return os.path.exists(self._p(uri))
+
+    def read_text(self, uri: str) -> str:
+        with open(self._p(uri), encoding="utf-8") as f:
+            return f.read()
+
+    def write_text_atomic(self, uri: str, text: str) -> None:
+        path = self._p(uri)
+        tmp = os.path.join(
+            os.path.dirname(path) or ".", "." + os.path.basename(path) + ".tmp"
+        )
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(text)
+        os.replace(tmp, path)
+
+    def put_file_atomic(self, local_path: str, uri: str) -> None:
+        # land under a '.'-prefixed temp name (invisible to the chunk
+        # readers' listing filters), then rename: a concurrent tailer can
+        # never observe a half-copied file
+        dst = self._p(uri)
+        tmp = os.path.join(
+            os.path.dirname(dst) or ".", "." + os.path.basename(dst) + ".tmp"
+        )
+        shutil.move(local_path, tmp)  # rename when same fs, copy+unlink across
+        os.replace(tmp, dst)
+
+
+_BACKENDS: dict[str, object] = {"": LocalStorage(), "file": LocalStorage()}
+
+
+def register_storage_backend(scheme: str, backend: object) -> None:
+    """Make ``scheme://`` URIs usable by the chunk writer/handoff. The
+    backend object must provide the five operations in the module
+    docstring. Registration is process-local: do it on the driver before
+    building the job AND ship it to executors (a module-level call in a
+    file on ``spark.submit.pyFiles`` is the usual route)."""
+    _BACKENDS[scheme.lower()] = backend
+
+
+def storage_for(uri: str):
+    scheme = uri_scheme(uri)
+    backend = _BACKENDS.get(scheme)
+    if backend is None:
+        raise ValueError(
+            f"no storage backend registered for scheme {scheme!r} "
+            f"(path {uri!r}); register one with "
+            "map_reduce_ruby_spark.sources.storage.register_storage_backend"
+            "(scheme, backend) — any object with makedirs/exists/read_text/"
+            "write_text_atomic/put_file_atomic (e.g. a boto3 wrapper for s3)"
+        )
+    return backend

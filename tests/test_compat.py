@@ -101,6 +101,71 @@ def test_no_reduce_mapper_preserves_duplicates(spark, tmp_path):
     assert lines == [["x", 1], ["x", 1], ["y", 1]]
 
 
+def test_no_reduce_shuffle_is_fifo_stable_by_default(spark, tmp_path):
+    """Full port of spec/map_reduce/mapper_spec.rb:89-125 ("only sorts, but
+    does not reduce ... when there is no reduce implementation"), with the
+    duplicate keys given DISTINGUISHABLE values so the assertion actually
+    pins duplicate ORDER: the reference's merge is FIFO-stable for equal
+    keys (lib/map_reduce/priority_queue.rb:35,50-53), and the façade's
+    no-reduce path now defaults stable=True to match byte-for-byte."""
+
+    def _impl():
+        class SortOnly:
+            def map(self, _input):
+                yield ["key3", 1], {"value": 1}
+                yield ["key3", 3], {"value": 1}
+                yield ["key1", 1], {"value": "first"}
+                yield ["key2", 1], {"value": 1}
+                yield ["key1", 1], {"value": "second"}
+                yield ["key3", 11], {"value": 1}
+                yield ["key3", 2], {"value": 1}
+
+        return SortOnly()
+
+    mapper = Mapper(_impl(), spark, partitioner=HashPartitioner(2))
+    mapper.map("key")
+    parts = mapper.shuffle(out_dir=str(tmp_path / "fifo"))
+    result = {
+        pid: [json.loads(l) for l in open(path)] for pid, path in parts.items()
+    }
+    # Same partition split as the reference spec (SHA1 placement), keys
+    # numerically sorted (["key3",2] < ["key3",11]), and the two ["key1",1]
+    # duplicates in yield order — "first" before "second".
+    assert result == {
+        0: [
+            [["key1", 1], {"value": "first"}],
+            [["key1", 1], {"value": "second"}],
+            [["key2", 1], {"value": 1}],
+            [["key3", 3], {"value": 1}],
+            [["key3", 11], {"value": 1}],
+        ],
+        1: [
+            [["key3", 1], {"value": 1}],
+            [["key3", 2], {"value": 1}],
+        ],
+    }
+
+
+def test_no_reduce_fifo_order_across_many_inputs(spark, tmp_path):
+    """Duplicate order follows INPUT order across map() calls, not just
+    within one call: seq = (input index, intra-input yield order)."""
+
+    def _impl():
+        class Dups:
+            def map(self, i):
+                yield "k", f"v{i}a"
+                yield "k", f"v{i}b"
+
+        return Dups()
+
+    mapper = Mapper(_impl(), spark, partitioner=lambda k: 0)
+    for i in range(5):
+        mapper.map(i)
+    [path] = mapper.shuffle(out_dir=str(tmp_path / "fifo2")).values()
+    values = [json.loads(l)[1] for l in open(path)]
+    assert values == [f"v{i}{s}" for i in range(5) for s in ("a", "b")]
+
+
 def test_reducer_distinct_keys_need_no_reduce(spark):
     """spec/map_reduce/reducer_spec.rb:37-62."""
     reducer = Reducer(_no_reduce(), spark)

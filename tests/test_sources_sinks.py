@@ -225,8 +225,8 @@ def test_binaryfile_source_reads_blobs(spark, sf_dir):
 
 
 def test_shuffle_to_files_shared_storage_guards(spark, tmp_path):
-    """The shared-storage mode must refuse (a) object-store URIs the driver
-    cannot list (it would silently return an empty path map) and (b) a
+    """The shared-storage mode must refuse (a) URIs whose scheme has no
+    registered storage backend (executors could not write there) and (b) a
     directory holding a previous generation's chunks (the append-mode write
     would interleave generations and the map would return stale files)."""
     from map_reduce_ruby_spark.core.job import Job
@@ -236,13 +236,69 @@ def test_shuffle_to_files_shared_storage_guards(spark, tmp_path):
 
     job = Job(map_fn=map_fn, reduce_fn=lambda k, a, b: a + b, num_partitions=2)
 
-    with pytest.raises(ValueError, match="driver-listable"):
+    with pytest.raises(ValueError, match="no storage backend registered"):
         job.shuffle_to_files(spark, ["a"], "s3://bucket/chunks", shared_storage=True)
 
     out = str(tmp_path / "gen0")
     job.shuffle_to_files(spark, ["a b"], out, shared_storage=True)
     with pytest.raises(ValueError, match="fresh generation"):
         job.shuffle_to_files(spark, ["c d"], out, shared_storage=True)
+
+
+def test_shared_storage_handoff_uses_commit_messages_not_listing(spark, tmp_path):
+    """The partition->path map must come from the writer's commit messages
+    (via _MANIFEST.json), NOT from listing the directory: a stray
+    chunk-named file planted in the target dir before the shuffle must NOT
+    appear in the returned map — and the manifest must agree byte-for-byte
+    with what the tasks reported."""
+    import json as _json
+
+    from map_reduce_ruby_spark.core.job import Job
+
+    def map_fn(text):
+        for w in text.split():
+            yield w, 1
+
+    out = tmp_path / "remote_gen"
+    out.mkdir()
+    # a listing-based implementation would pick this stray file up
+    (out / "chunk-00099.jsonl").write_text('["stray",1]\n')
+
+    job = Job(map_fn=map_fn, reduce_fn=lambda k, a, b: a + b, num_partitions=4)
+    pmap = job.shuffle_to_files(spark, ["x y", "x z"], str(out), shared_storage=True)
+
+    assert pmap, "expected non-empty partition map"
+    assert 99 not in pmap and all("chunk-00099" not in p for p in pmap.values())
+    manifest = _json.loads((out / "_MANIFEST.json").read_text())
+    assert manifest["format"] == "mr_chunks/1"
+    assert {e["partition"] for e in manifest["files"]} == set(pmap)
+    assert sum(e["rows"] for e in manifest["files"]) == 3  # x:2 merged, y, z
+
+
+def test_shared_storage_handoff_accepts_file_uri(spark, tmp_path):
+    """A file://-mounted 'remote' dir round-trips purely through the storage
+    backend + commit messages: URIs in, URIs out, correct chunk bytes."""
+    from map_reduce_ruby_spark.core.job import Job
+
+    def map_fn(text):
+        for w in text.split():
+            yield w, 1
+
+    job = Job(map_fn=map_fn, reduce_fn=lambda k, a, b: a + b, num_partitions=3)
+    uri = "file://" + str(tmp_path / "mounted" / "gen1")
+    pmap = job.shuffle_to_files(spark, ["m n", "m"], uri, shared_storage=True)
+
+    assert pmap and all(p.startswith("file://") for p in pmap.values())
+    merged = {}
+    for p in pmap.values():
+        for k, v in read_chunk(p[len("file://"):]):
+            merged[k] = v
+    assert merged == {"m": 2, "n": 1}
+    # the dir holds only published chunks + markers (no temp leftovers)
+    names = sorted(os.listdir(str(tmp_path / "mounted" / "gen1")))
+    assert all(
+        n.startswith(("chunk-", "_MANIFEST", "_SUCCESS")) for n in names
+    ), names
 
 
 def test_schema_evolution_merge_on_read(spark, sf_dir, tmp_path):
@@ -366,6 +422,24 @@ def test_chunk_stream_ingests_each_file_exactly_once(spark, tmp_path):
     # the already-committed file NOT replayed
     assert second == {('"a"', "1"), ('"b"', "2"), ('"c"', "3")}
     assert len(spark.read.parquet(out).collect()) == 3
+
+
+def test_chunk_rows_iterator_is_lazy_and_copyable(tmp_path):
+    """The stream reader's row iterator holds only file PATHS (laziness at
+    scale) yet supports copy.copy — the contract PySpark's simple-stream
+    cache relies on: each copy replays the full window regardless of how
+    far the original was consumed."""
+    import copy as _copy
+
+    from map_reduce_ruby_spark.sources.chunk_datasource import _ChunkRows
+
+    p = tmp_path / "c0.jsonl"
+    p.write_text('["a",1]\n["b",2]\n["c",3]\n')
+    it = _ChunkRows([str(p)])
+    assert next(it) == ('"a"', "1")  # partially consume the original
+    clone = _copy.copy(it)
+    assert list(clone) == [('"a"', "1"), ('"b"', "2"), ('"c"', "3")]
+    assert list(it) == [('"b"', "2"), ('"c"', "3")]  # original unaffected
 
 
 def test_chunk_stream_reader_replay_window(tmp_path):
