@@ -1081,7 +1081,6 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "minhash", "lsh", "incremental", "custom-operator"),
 )
 def dedup_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
     import tempfile
 
@@ -1093,10 +1092,14 @@ def dedup_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
+    from map_reduce_ruby_spark.sources.tables import table_fingerprint
+
     # deterministic tag (NOT Python hash(), which is per-process-salted): a
-    # fresh process recomputes the same path and mode=overwrite reuses it —
-    # at most one index dir per sf_dir ever exists under the temp dir
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    # fresh process recomputes the same path and mode=overwrite reuses it.
+    # The tag is a CONTENT fingerprint of the documents table (path + data
+    # file sizes/mtimes), so regenerating the fixture at this sf_dir
+    # invalidates the cached index instead of silently serving stale bands.
+    tag = table_fingerprint(sf_dir, "documents")
     table = f"mh_band_idx_{tag}"
     # one build per (session, sf_dir): rebuilding is idempotent but wasteful
     if not spark.catalog.tableExists(table):

@@ -367,7 +367,6 @@ def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "mapreduce", "chunk-format", "custom-operator"),
 )
 def streaming_chunk_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
     import tempfile
 
@@ -375,9 +374,13 @@ def streaming_chunk_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from map_reduce_ruby_spark.sources import load_table
     from map_reduce_ruby_spark.sources.chunk_datasource import register_chunk_source
+    from map_reduce_ruby_spark.sources.tables import table_fingerprint
 
     register_chunk_source(spark)
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    # content fingerprint, not a path hash: regenerating the fixture at
+    # sf_dir changes the tag, so a stale /tmp drop directory can't serve
+    # chunk files derived from the old documents table
+    tag = table_fingerprint(sf_dir, "documents")
     drop = os.path.join(tempfile.gettempdir(), f"mr_chunk_stream_{tag}")
     # gate on the writer's _SUCCESS marker, not directory non-emptiness: a
     # killed mid-flight write would otherwise poison the cache until /tmp is
@@ -389,9 +392,15 @@ def streaming_chunk_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.filter(F.split("text", r"\s+"), lambda w: w != "")
             ).alias("word")
         ).select(
-            # tokens here are JSON-safe word characters; reference layout is
-            # one compact JSON array per line: ["<word>",1]
-            F.concat(F.lit('"'), F.col("word"), F.lit('"')).alias("key_json"),
+            # real JSON escaping (to_json), not quote-concatenation: a token
+            # containing '"' or '\' must still produce a valid chunk line
+            # (reference layout: one compact JSON array per line,
+            # ["<word>",1]). to_json has no scalar form, so serialize a
+            # 1-element array and strip the brackets.
+            F.expr(
+                "substring(to_json(array(word)), 2,"
+                " length(to_json(array(word))) - 2)"
+            ).alias("key_json"),
             F.lit("1").alias("value_json"),
         )
         pairs.coalesce(4).write.format("mr_chunks").mode("append").option("path", drop).save()
@@ -399,7 +408,13 @@ def streaming_chunk_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.format("mr_chunks")
         .option("path", drop)
         .load()
-        .select(F.expr("substring(key_json, 2, length(key_json) - 2)").alias("word"))
+        # inverse of the writer: parse the JSON scalar back (array-wrap
+        # because from_json has no scalar form either)
+        .select(
+            F.expr(
+                "from_json(concat('[', key_json, ']'), 'array<string>')[0]"
+            ).alias("word")
+        )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -88,3 +88,29 @@ def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = 
     """Register each table as a temp view so catalog queries can use spark.sql."""
     for name in tables or TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def table_fingerprint(sf_dir: str, name: str = "documents") -> str:
+    """Content fingerprint for caching artifacts DERIVED from a fixture
+    table (persisted indexes, chunk drop directories): md5 over the table's
+    absolute path plus every data file's (name, size, mtime_ns). If the
+    fixture at sf_dir is regenerated, the fingerprint changes, so a stale
+    cache under /tmp can never silently serve results derived from the old
+    data — the failure mode a path-only tag had."""
+    import hashlib
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    parts = [os.path.abspath(path)]
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(
+            os.path.join(path, f)
+            for f in (os.listdir(path) if os.path.isdir(path) else [])
+            if not f.startswith((".", "_"))
+        )
+    )
+    for f in files:
+        st = os.stat(f)
+        parts.append(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
