@@ -41,6 +41,7 @@ HEADLINE = [
     "knn_pandas_udf",
     "knn_sq8",
     "knn_pq",
+    "knn_ivf_pq",
     "text_quality_score",
     "text_repetition_filter",
     "sequence_pack_shards",

@@ -9,7 +9,12 @@ from map_reduce_ruby_spark.operators.connected_components import (
 from map_reduce_ruby_spark.operators.prefix_sum import exclusive_prefix_sum
 from map_reduce_ruby_spark.operators.range_join import range_join
 from map_reduce_ruby_spark.operators.ivf import build_ivf_index, ivf_search
-from map_reduce_ruby_spark.operators.pq import build_pq_index, pq_search
+from map_reduce_ruby_spark.operators.pq import (
+    build_ivf_pq_index,
+    build_pq_index,
+    ivf_pq_search,
+    pq_search,
+)
 from map_reduce_ruby_spark.operators.skew import salted_agg
 from map_reduce_ruby_spark.operators.multimodal import (
     attach_fake_media,
@@ -31,6 +36,8 @@ __all__ = [
     "ivf_search",
     "build_pq_index",
     "pq_search",
+    "build_ivf_pq_index",
+    "ivf_pq_search",
     "write_bucketed",
     "compact",
     "interleave_bits",

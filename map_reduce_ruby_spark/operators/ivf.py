@@ -158,17 +158,15 @@ def build_ivf_index(
     return assign_cells(vectors, centroids), centroids
 
 
-def ivf_search(
-    assignments: DataFrame,
-    centroids: list[list[float]],
-    queries: DataFrame,
-    top_k: int = 5,
-    nprobe: int = 2,
-) -> DataFrame:
-    """queries: (qid, qe). Probe the nprobe nearest cells per query; exact
-    cosine rank within candidates. Returns (query_id, neighbor_id, cos_sim, rn)."""
-    dists = _dists_expr(F.col("qe"), centroids)
-    probe_cells = F.slice(
+def probe_cells_expr(
+    e: Column, centroids: list[list[float]], nprobe: int
+) -> Column:
+    """The nprobe nearest cell ids for a query vector column: squared
+    distances against the literal centroid matrix, (distance, cell) structs
+    sorted (ties to lowest cell id via the struct order), first nprobe
+    kept. Shared by ivf_search and the composed IVF-PQ search."""
+    dists = _dists_expr(e, centroids)
+    return F.slice(
         F.transform(
             F.array_sort(
                 F.zip_with(
@@ -182,6 +180,18 @@ def ivf_search(
         1,
         nprobe,
     )
+
+
+def ivf_search(
+    assignments: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    top_k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """queries: (qid, qe). Probe the nprobe nearest cells per query; exact
+    cosine rank within candidates. Returns (query_id, neighbor_id, cos_sim, rn)."""
+    probe_cells = probe_cells_expr(F.col("qe"), centroids, nprobe)
     dim = len(centroids[0])
     # Norms are computed ONCE per vector scan-side (before the candidate
     # join), not per candidate pair — a query probing c candidates would

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from map_reduce_ruby_spark.operators.ivf import _cell_expr, _dists_expr
+from map_reduce_ruby_spark.operators.ivf import _cell_expr, _dists_expr, probe_cells_expr
 
 
 def _sub_expr(e: str, m: int, sub_dim: int) -> str:
@@ -185,6 +185,94 @@ def pq_search(
     cos = F.round(
         _dot("qe", "ce", dim) / (_norm("qe", dim) * _norm("ce", dim)), 4
     )
+    w_cos = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w_cos).cast("long"))
+        .filter(F.col("rn") <= top_k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+def build_ivf_pq_index(assignments: DataFrame, codes: DataFrame) -> DataFrame:
+    """The composed FAISS IVF-PQ index layout: each corpus vector's PQ codes
+    stored WITH its IVF cell id — (id, cell, code0..code{n_sub-1}). In
+    production this is the persisted table (partitioned by cell); here it is
+    built once per session by joining the two memoized indexes and cached by
+    the caller. After this build, a search never touches full vectors except
+    for the shortlist rerank."""
+    return assignments.select("id", "cell").join(codes, "id")
+
+
+def ivf_pq_search(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    books: list[list[list[float]]],
+    queries: DataFrame,
+    vectors: DataFrame,
+    dim: int,
+    top_k: int = 5,
+    nprobe: int = 2,
+    rerank: int = 100,
+) -> DataFrame:
+    """The composed IVF-PQ search (Jégou et al. §V: IVFADC): candidates come
+    ONLY from each query's nprobe probed cells (the IVF layer bounds the
+    scan), and those candidates are scored by ADC lookup-table sums over
+    their n_sub-byte codes (the PQ layer removes per-pair vector math).
+    Exact cosine reranks the top ``rerank`` shortlist.
+
+    indexed: (id, cell, code0..) from build_ivf_pq_index;
+    queries: (qid, qe); vectors: (id, e) read only for the shortlist.
+
+    Plan shape: one scan of the (cached) index table, broadcast hash join
+    on cell against |queries| x nprobe probe rows carrying the lookup
+    tables, ADC projection, per-query top-rerank window, then a shortlist-
+    sized join back to the vectors. At 100 TB the index scan reads
+    n_sub bytes per vector in the probed cells only — the production ANN
+    shape, unlike knn_pq's documented all-codes compression demo.
+    Returns (query_id, neighbor_id, cos_sim, rn)."""
+    from map_reduce_ruby_spark.operators.ivf import _dot, _norm
+
+    n_sub = len(books)
+    sub = dim // n_sub
+    # query side: probed cells + one ADC lookup table per subspace — a
+    # |queries| x nprobe row artifact, broadcast to the index scan
+    qside = queries.select(
+        "qid",
+        F.explode(probe_cells_expr(F.col("qe"), centroids, nprobe)).alias("cell"),
+        *[
+            _dists_expr(F.expr(_sub_expr("qe", m, sub)), books[m]).alias(f"lut{m}")
+            for m in range(n_sub)
+        ],
+    )
+    adc = F.expr(
+        " + ".join(
+            f"element_at(lut{m}, CAST(code{m} + 1 AS INT))" for m in range(n_sub)
+        )
+    )
+    scored = (
+        indexed.join(F.broadcast(qside), "cell")
+        .filter(F.col("id") != F.col("qid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("id").alias("neighbor_id"),
+            F.round(adc, 4).alias("adc_dist"),
+        )
+    )
+    w_adc = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    short = (
+        scored.withColumn("arn", F.row_number().over(w_adc))
+        .filter(F.col("arn") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    cand = short.join(
+        vectors.select(F.col("id").alias("neighbor_id"), F.col("e").alias("ce")),
+        "neighbor_id",
+    ).join(
+        F.broadcast(queries.select(F.col("qid").alias("query_id"), F.col("qe"))),
+        "query_id",
+    )
+    cos = F.round(_dot("qe", "ce", dim) / (_norm("qe", dim) * _norm("ce", dim)), 4)
     w_cos = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         cand.select("query_id", "neighbor_id", cos.alias("cos_sim"))

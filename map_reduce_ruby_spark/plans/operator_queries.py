@@ -820,7 +820,8 @@ _PQ_ORACLE = (
     "exact cosine reranks the shortlist (raw 4-bit ADC cannot separate "
     "fine within-cluster neighbors — measured recall 0.08 raw vs 0.84 "
     "reranked; bound in tests/test_ivf.py). In production PQ composes "
-    "with the IVF cell layout (candidates from probed cells only).",
+    "with the IVF cell layout (candidates from probed cells only) — that "
+    "composition is implemented and value-checked as knn_ivf_pq.",
     tags=("similarity", "ann", "quantization", "custom-operator"),
 )
 def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -839,6 +840,149 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_search(
         codes, books, queries, v, dim=_IVF_DIM, top_k=_PQ_TOPK, rerank=_PQ_RERANK
     )
+
+
+# --- composed IVF + PQ (IVFADC) ---------------------------------------------
+# The oracle composes the two existing independent rebuilds: the IVF k-means
+# CTE chain (cells + centroids) and the per-subspace PQ chain (codes + lookup
+# tables), then scores ONLY probed-cell members by ADC and reranks exactly —
+# value-checking the full FAISS IVFADC pipeline end-to-end.
+
+_IVF_PQ_ORACLE = (
+    f"""
+    WITH {IVF_AF_CTES},
+    q AS (SELECT id AS qid, e AS qe FROM v WHERE id < {_PQ_NQ}),"""
+    + ",".join(_pq_subspace_ctes(m) for m in range(_PQ_NSUB))
+    + f""",
+    codes AS (
+        SELECT f0.id, {', '.join(f'f{m}.code AS code{m}' for m in range(_PQ_NSUB))}
+        FROM f0 {' '.join(f'JOIN f{m} ON f0.id = f{m}.id' for m in range(1, _PQ_NSUB))}
+    ),
+    luts AS (
+        SELECT l0.qid, {', '.join(f'l{m}.lut AS lut{m}' for m in range(_PQ_NSUB))}
+        FROM l0 {' '.join(f'JOIN l{m} ON l0.qid = l{m}.qid' for m in range(1, _PQ_NSUB))}
+    ),
+    qd AS (
+        SELECT q.qid, c.cell, {_ivf_sqdist_sql('q.qe', 'c.ce')} AS d
+        FROM q CROSS JOIN c2 c
+    ),
+    probes AS (
+        SELECT qid, cell FROM (
+            SELECT qid, cell,
+                   row_number() OVER (PARTITION BY qid ORDER BY d, cell) AS rn
+            FROM qd
+        ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    scored AS (
+        SELECT p.qid AS query_id, a.id AS neighbor_id,
+               ROUND({' + '.join(f'l.lut{m}[c.code{m} + 1]' for m in range(_PQ_NSUB))},
+                     4) AS adc_dist
+        FROM probes p
+        JOIN af a ON a.cell = p.cell AND a.id <> p.qid
+        JOIN codes c ON c.id = a.id
+        JOIN luts l ON l.qid = p.qid
+    ),
+    short AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY adc_dist, neighbor_id) AS arn
+              FROM scored)
+        WHERE arn <= {_PQ_RERANK}
+    ),
+    rer AS (
+        SELECT s.query_id, s.neighbor_id,
+               ROUND(list_sum(list_transform(range(1, {_IVF_DIM + 1}),
+                         i -> qq.qe[i] * c.e[i]))
+                     / (sqrt(list_sum(list_transform(qq.qe, x -> x * x)))
+                        * sqrt(list_sum(list_transform(c.e, x -> x * x)))),
+                     4) AS cos_sim
+        FROM short s
+        JOIN q qq ON qq.qid = s.query_id
+        JOIN v c ON c.id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM rer)
+    WHERE rn <= {_IVF_TOPK}
+    """
+)
+
+
+@register(
+    "knn_ivf_pq",
+    oracle=_IVF_PQ_ORACLE,
+    doc="Composed IVF + PQ ANN — FAISS's IVFADC layout (Jegou et al. §V; "
+    "operators/pq.py ivf_pq_search): the session's IVF cell index and PQ "
+    "codebooks join into one (id, cell, codes) table, queries probe their "
+    "2 nearest cells, and ONLY probed-cell members are scored — by ADC "
+    "lookup-table sums over 8-byte codes, no per-pair vector math — then "
+    "exact cosine reranks the top-100 shortlist. This is the entry that "
+    "proves the claim knn_pq/knn_sq8 delegate: candidate generation is "
+    "bucketed (the scan reads probed cells' codes only, never the corpus "
+    "vectors), so the plan survives 100 TB where the standalone "
+    "compression demos are linear scans. The oracle composes the two "
+    "existing independent SQL rebuilds (full k-means cell chain + all 8 "
+    "subspace codebook chains) and re-derives probe selection, ADC "
+    "scoring within cells, and the rerank — the whole composed pipeline "
+    "is value-checked, and tests/test_ivf.py bounds recall@5 vs brute "
+    "force.",
+    tags=("similarity", "ann", "ivf", "quantization", "custom-operator"),
+)
+def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_ruby_spark.operators import ivf_pq_search
+
+    idx = ivf_pq_index_for(spark, sf_dir)
+    if idx is None:  # empty corpus: schema-stable empty result
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rn long"
+        )
+    indexed, centroids, books = idx
+    v = _ivf_vectors(spark, sf_dir)
+    queries = v.filter(F.col("id") < _PQ_NQ).select(
+        F.col("id").alias("qid"), F.col("e").alias("qe")
+    )
+    return ivf_pq_search(
+        indexed,
+        centroids,
+        books,
+        queries,
+        v,
+        dim=_IVF_DIM,
+        top_k=_IVF_TOPK,
+        nprobe=_IVF_NPROBE,
+        rerank=_PQ_RERANK,
+    )
+
+
+# Session memo of the composed (id, cell, codes) table — the persisted
+# IVF-PQ index in production; here built once per (session, sf) by joining
+# the two memoized component indexes and cached.
+_IVFPQ_INDEX_MEMO: dict = {}
+
+
+def ivf_pq_index_for(spark: SparkSession, sf_dir: str):
+    """(indexed(id, cell, code0..), centroids, codebooks) or None if empty."""
+    from map_reduce_ruby_spark.operators import build_ivf_pq_index
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVFPQ_INDEX_MEMO:
+        ivf = ivf_index_for(spark, sf_dir)
+        pq = pq_index_for(spark, sf_dir)
+        if ivf is None or pq is None:
+            return None
+        assignments, centroids = ivf
+        codes, books = pq
+        if len(_IVFPQ_INDEX_MEMO) > 8:
+            for cached, _c, _b in _IVFPQ_INDEX_MEMO.values():
+                cached.unpersist()
+            _IVFPQ_INDEX_MEMO.clear()
+        _IVFPQ_INDEX_MEMO[key] = (
+            build_ivf_pq_index(assignments, codes).cache(),
+            centroids,
+            books,
+        )
+    return _IVFPQ_INDEX_MEMO[key]
 
 
 # Session-scoped memo of the PQ index build — same rationale (and staleness

@@ -24,6 +24,7 @@ REPRESENTATIVE = [
     "events_json_props",
     "ntile_customer_spend_deciles_ranged",  # quantile collect -> None guard
     "knn_ivf",                              # empty corpus -> no index build
+    "knn_ivf_pq",                           # empty corpus -> no composed index
     "corpus_mixing_allocation",
     "dedup_incremental_minhash",
     "q21_waiting_orders",

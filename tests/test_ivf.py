@@ -94,6 +94,36 @@ def test_pq_recall_vs_bruteforce(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.6, recalls
 
 
+def _recall_vs_bruteforce(spark, sf_dir, entry_name):
+    exact = all_entries()["knn_bruteforce"].fn(spark, sf_dir).collect()
+    approx = all_entries()[entry_name].fn(spark, sf_dir).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    return sum(recalls) / len(recalls), recalls
+
+
+def test_ivf_pq_recall_vs_bruteforce(spark, sf_dir):
+    """Composed IVFADC (probe cells -> ADC on cell members -> exact rerank)
+    must not lose recall versus plain IVF on the same probes: the PQ
+    shortlist (top-100 per query) covers the probed cells' members at
+    these SFs, so the rerank recovers everything IVF's exact scan finds.
+    The floor matches the IVF bound — below it, the composition (index
+    join, in-cell ADC, or rerank) broke."""
+    mean_recall, recalls = _recall_vs_bruteforce(spark, sf_dir, "knn_ivf_pq")
+    assert mean_recall >= 0.4, (mean_recall, recalls)
+    # and the composed search can never BEAT its candidate generator: its
+    # results must be a subset of the probed cells, i.e. recall <= IVF's
+    ivf_recall, _ = _recall_vs_bruteforce(spark, sf_dir, "knn_ivf")
+    assert mean_recall <= ivf_recall + 1e-9, (mean_recall, ivf_recall)
+
+
 def test_pq_build_small_corpus(spark):
     """A non-empty corpus smaller than k must train a truncated codebook,
     not IndexError (build_ivf_index's range(len(centroids)) rule)."""

@@ -30,6 +30,7 @@ EXECUTING_ENTRIES = {
     "streaming_chunk_wordcount",  # writes chunk files + drains the stream
     "dedup_persisted_index",  # writes the bucketed band index at build time
     "knn_ivf",
+    "knn_ivf_pq",  # builds + joins the two component indexes at build time
     "dedup_clusters_cc",
     "dedup_clusters_cc_star",
     "dedup_cleaned_corpus",
@@ -54,11 +55,13 @@ ALLOWED_QUADRATIC = {
     "q22_dormant_rich_customers",
     # SQ8 scores the same |queries| x corpus layout as knn_bruteforce (the
     # quantization changes memory, not the candidate set); bucketed candidate
-    # generation is knn_lsh/knn_ivf's job.
+    # generation is knn_lsh/knn_ivf's job (and knn_ivf_pq composes it with
+    # quantized scoring — that entry IS audited, no BNLJ).
     "knn_sq8",
     # PQ's ADC stage reads the whole code table per query by design (it is
     # the compression demo; candidate bucketing is the IVF layer's job) —
-    # and it reads 8-byte codes, not vectors.
+    # and it reads 8-byte codes, not vectors. knn_ivf_pq is the composed,
+    # fully-bucketed form and is NOT allow-listed.
     "knn_pq",
     # 1-row scalar crossJoins (vocab size / corpus bigram total) — the same
     # uncorrelated-scalar-subquery pattern as tfidf/q22 above: O(n), not
