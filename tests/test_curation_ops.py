@@ -95,11 +95,45 @@ def test_bpe_fold_merges_greedy_left_to_right(spark):
     assert _fold(spark, ["ca", "b"], "a", "b") == "ca b"
 
 
+def _fold_dispatch(spark, tokens: list[str], p: str, q: str) -> list[str]:
+    """Drive the PRODUCTION fold expression (vectorized p<>q branch,
+    sequential p=q branch) exactly as _bpe_learn applies it."""
+    from map_reduce_ruby_spark.plans.text_queries import _bpe_fold_expr
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(tokens, p, q)], "toks array<string>, p string, q string")
+    return df.select(F.expr(_bpe_fold_expr()).alias("out")).collect()[0].out
+
+
+def test_bpe_vectorized_fold_equals_sequential(spark):
+    """The p<>q fast path (per-position transform) must produce exactly the
+    sequential greedy fold's output on every adjacency shape, and the p=q
+    dispatch must keep run-overlap semantics."""
+    cases = [
+        (["a", "b", "a", "b"], "a", "b"),
+        (["a", "a", "b", "b"], "a", "b"),   # 'p p q' right-anchored match
+        (["a", "b", "b", "a"], "a", "b"),   # 'p q q' left-anchored match
+        (["x", "y"], "a", "b"),             # no match
+        (["ca", "b"], "a", "b"),            # whole-token match only
+        (["a", "b"], "a", "b"),             # doc collapses to one token
+        (["b", "b", "b"], "b", "b"),        # p=q run parity
+        (["b", "b", "b", "b"], "b", "b"),
+        (["a", "b", "b", "b", "a", "b"], "a", "b"),
+    ]
+    for toks, p, q in cases:
+        got = _fold_dispatch(spark, toks, p, q)
+        want = _fold(spark, toks, p, q).split(" ")
+        assert got == want, (toks, p, q, got, want)
+
+
 def test_bpe_steps_are_distinct_and_positive(spark, sf_dir):
     got = run(spark, sf_dir, "bpe_merge_steps").sort_values("step")
-    assert list(got.step) == [1, 2, 3]
+    assert list(got.step) == [1, 2, 3, 4, 5]
     assert (got.cnt > 0).all()
-    assert len({(r.p, r.q) for r in got.itertuples(index=False)}) == 3
+    # a merged pair is fully consumed by its round's greedy fold, so the
+    # same (p, q) can never win twice
+    assert len({(r.p, r.q) for r in got.itertuples(index=False)}) == 5
 
 
 # --- corpus_snapshot_diff ----------------------------------------------------
@@ -170,17 +204,12 @@ def test_bpe_survives_single_token_docs(spark):
     """A doc that collapses to ONE token after a merge round must not abort
     the next round's pair count (sequence(1, 0) is DESCENDING in Spark and
     element_at would throw under ANSI mode) — regression for the CASE guard
-    in _bpe_pairs_sql."""
-    from map_reduce_ruby_spark.plans.text_queries import _bpe_sql
+    in _bpe_learn's pair index."""
+    from map_reduce_ruby_spark.plans.text_queries import _bpe_learn
 
     rows = [(0, "a b"), (1, "a b"), (2, "a b c d")]
-    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
-        "documents"
-    )
-    try:
-        got = {r.step: (r.p, r.q) for r in spark.sql(_bpe_sql("spark")).collect()}
-    finally:
-        spark.catalog.dropTempView("documents")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.step: (r.p, r.q) for r in _bpe_learn(spark, docs, steps=3).collect()}
     # round 1 merges (a, b) everywhere; docs 0/1 become the single token
     # 'a+b' and must simply drop out of round 2's pair counting
     assert got[1] == ("a", "b")

@@ -41,6 +41,7 @@ EXECUTING_ENTRIES = {
     "ntile_customer_spend_deciles_ranged",  # collects 9 quantile boundaries at build time
 
     "dedup_ngram_jaccard",  # localCheckpoints its shingle set at build time
+    "bpe_merge_steps",  # localCheckpoints each merge round's token table
 }
 
 # The brute-force KNN baseline is DELIBERATELY all-pairs (it is the recall
@@ -69,10 +70,6 @@ ALLOWED_QUADRATIC = {
     "text_bigram_lm_score",
     "text_pmi_collocations",
     "text_bm25_search",
-    # Each BPE round feeds the learned merge pair into the corpus-wide fold
-    # through a 1-row broadcast cross join (scalar-subquery pattern, O(n)
-    # per round — the same shape as tfidf/q22's single-row crossJoins).
-    "bpe_merge_steps",
 }
 
 
