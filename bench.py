@@ -140,7 +140,22 @@ def main() -> int:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # The one-line record also lands in a file: a driver that tails stdout
+    # once lost the headline line to interleaved JVM noise (BENCH_r03's tail
+    # was clipped mid-record). stdout stays the contract; the file is the
+    # durable copy ($BENCH_OUT, default BENCH_LAST.json beside this script).
+    path = os.environ.get(
+        "BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"),
+    )
+    try:
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(line + "\n")
+    except OSError as e:
+        print(f"warning: could not write {path}: {e}", file=sys.stderr)
+    sys.stdout.flush()
+    print(line, flush=True)
     return 0
 
 

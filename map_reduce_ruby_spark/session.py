@@ -47,6 +47,9 @@ def get_spark(
         # loader derive a microsecond timestamp (sources/tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # No \r progress bars on stderr: they glue onto stdout lines in
+        # captured logs and once clipped the bench's one-line JSON record.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     spark = builder.getOrCreate()
