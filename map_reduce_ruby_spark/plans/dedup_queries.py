@@ -56,10 +56,17 @@ def _shingles(tok_col):
 
 
 # DuckDB twin (1-based list indexing; range(a, b) is end-exclusive like
-# F.sequence is end-inclusive — offsets adjusted accordingly).
-_SHINGLES_SQL = f"""
-    list_distinct(list_transform(range(1, len({_TOKENS_SQL}) - 1),
-        i -> {_TOKENS_SQL}[i] || ' ' || {_TOKENS_SQL}[i+1] || ' ' || {_TOKENS_SQL}[i+2]))
+# F.sequence is end-inclusive — offsets adjusted accordingly). Defined over
+# a PRE-PROJECTED ``toks`` column, never inline over the tokenization
+# expression: DuckDB evaluates a lambda body per element, so an inlined
+# tokenization would re-split the document 3x per shingle — O(shingles x
+# tokens) regex work per doc, the exact oracle-side twin of the engine's
+# lambda-CSE hazard. Call sites project
+# ``(SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)`` first.
+_DOC_TOKS_SQL = f"(SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)"
+_SHINGLES_SQL = """
+    list_distinct(list_transform(range(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
 """
 
 # --- MinHash spec ------------------------------------------------------------
@@ -206,8 +213,8 @@ def _bands_for_docs(docs: DataFrame) -> DataFrame:
 _LSH_PAIRS_SQL = f"""
     WITH hs AS (
         SELECT doc_id, {_base_hashes_sql(_SHINGLES_SQL)} AS hashes
-        FROM documents
-        WHERE len({_TOKENS_SQL}) >= 3
+        FROM {_DOC_TOKS_SQL}
+        WHERE len(toks) >= 3
     ),
     sig AS (
         SELECT doc_id, {', '.join(f'{e} AS mh{i}' for i, e in enumerate(_minhash_sig_sql('hashes')))}
@@ -340,7 +347,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                unnest(list_transform({_SHINGLES_SQL}, s -> {h32_sql('s')}))
                    AS shingle
-        FROM documents WHERE len({_TOKENS_SQL}) >= 3
+        FROM {_DOC_TOKS_SQL} WHERE len(toks) >= 3
     ),
     sh AS (
         SELECT doc_id, shingle FROM (
@@ -645,8 +652,8 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INCR_MINHASH_ORACLE = f"""
     WITH hs AS (
         SELECT doc_id, {{base}} AS hashes
-        FROM documents
-        WHERE len({_TOKENS_SQL}) >= 3
+        FROM {_DOC_TOKS_SQL}
+        WHERE len(toks) >= 3
     ),
     sig AS (
         SELECT doc_id, {{sig_cols}}
