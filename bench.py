@@ -95,6 +95,8 @@ HEADLINE = [
     "window_rank_breadth",
     "lateral_topk_customers",
     "bpe_merge_steps",
+    "text_bpe_encode",
+    "text_winnowing_fingerprint",
     "graph_triangle_count",
     "stats_moments_corr",
     "events_gap_fill_ffill",

@@ -33,6 +33,8 @@ REPRESENTATIVE = [
     "doc_chunk_overlap",            # sequence/explode over empty
     "events_gap_fill_ffill",        # spine from empty min/max bounds
     "bpe_merge_steps",              # LIMIT-1 argmax over empty pair counts
+    "text_bpe_encode",              # empty trainer -> empty encode join
+    "text_winnowing_fingerprint",   # window mins over zero qualifying docs
     "multimodal_frame_energy",      # mapInPandas over zero batches
     "graph_triangle_count",         # empty edge set -> empty graph
     "stats_moments_corr",           # no groups -> no divisions

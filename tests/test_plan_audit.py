@@ -42,6 +42,7 @@ EXECUTING_ENTRIES = {
 
     "dedup_ngram_jaccard",  # localCheckpoints its shingle set at build time
     "bpe_merge_steps",  # localCheckpoints each merge round's token table
+    "text_bpe_encode",  # same checkpointed trainer + final encode fold
 }
 
 # The brute-force KNN baseline is DELIBERATELY all-pairs (it is the recall
