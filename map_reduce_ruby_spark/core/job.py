@@ -264,10 +264,15 @@ class Job:
             # ids and in-partition sort order carry through to the writer,
             # which emits chunk-<pid>.jsonl per task (TaskContext.partitionId)
             # and reports (partition, file, rows) in its commit message.
+            from map_reduce_ruby_spark.sources.storage import pickle_backend
+
             rows = result.map(lambda kv: (canon(kv[0]), canon(kv[1])))
+            # the backend resolved above (driver-side registry) rides to the
+            # writer's worker processes as a cloudpickle option — see
+            # sources/storage.py pickle_backend
             spark.createDataFrame(rows, CHUNK_SCHEMA).write.format("mr_chunks").mode(
                 "append"
-            ).save(out_dir)
+            ).option("backend_pickle", pickle_backend(backend)).save(out_dir)
             manifest = json.loads(backend.read_text(manifest_uri))
             return {
                 int(e["partition"]): join_uri(out_dir, e["file"])

@@ -192,14 +192,28 @@ MANIFEST_NAME = "_MANIFEST.json"
 
 class _ChunkWriter(DataSourceWriter):
     def __init__(self, options: dict):
+        from map_reduce_ruby_spark.sources.storage import (
+            storage_for,
+            unpickle_backend,
+        )
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("mr_chunks sink requires a path")
+        # The storage backend arrives RESOLVED, as a cloudpickle blob in
+        # the options (Job.shuffle_to_files resolves it on the driver,
+        # where the registry lives, and sets the option): writer init and
+        # write tasks both run in separate Python worker processes, so
+        # neither can consult the driver's registry. A plain
+        # df.write.format("mr_chunks") without the option still works for
+        # local/file:// paths via the default registry entries.
+        blob = options.get("backend_pickle")
+        self._backend = unpickle_backend(blob) if blob else storage_for(self.path)
 
     def write(self, iterator) -> _ChunkCommit:
         from pyspark import TaskContext
 
-        from map_reduce_ruby_spark.sources.storage import join_uri, storage_for
+        from map_reduce_ruby_spark.sources.storage import join_uri
 
         pid = TaskContext.get().partitionId()
         name = f"chunk-{pid:05d}.jsonl"
@@ -218,18 +232,17 @@ class _ChunkWriter(DataSourceWriter):
                 # also only emits files for non-empty partitions,
                 # lib/map_reduce/mapper.rb:100-121)
                 return _ChunkCommit(pid, None, 0)
-            backend = storage_for(self.path)
-            backend.makedirs(self.path)
-            backend.put_file_atomic(scratch, join_uri(self.path, name))
+            self._backend.makedirs(self.path)
+            self._backend.put_file_atomic(scratch, join_uri(self.path, name))
             return _ChunkCommit(pid, name, rows)
         finally:
             if os.path.exists(scratch):
                 os.unlink(scratch)
 
     def commit(self, messages) -> None:
-        from map_reduce_ruby_spark.sources.storage import join_uri, storage_for
+        from map_reduce_ruby_spark.sources.storage import join_uri
 
-        backend = storage_for(self.path)
+        backend = self._backend
         backend.makedirs(self.path)
         # _MANIFEST.json: the authoritative partition->file map, built from
         # the tasks' commit messages (no listing). Describes THIS write; the

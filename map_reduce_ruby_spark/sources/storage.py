@@ -88,16 +88,59 @@ class LocalStorage:
         os.replace(tmp, dst)
 
 
+class PrefixMappedStorage(LocalStorage):
+    """A backend that maps ``scheme://rest`` onto ``<root>/rest`` on a
+    locally-reachable filesystem, exercising the FULL object-store dispatch
+    path (scheme resolution, driver-side registration, pickling into the
+    executor-side writer, atomic publish) without a real object store —
+    the test double for an s3/gcs backend, and a usable backend in its own
+    right for a mounted bucket (s3fs/goofys-style mounts)."""
+
+    def __init__(self, scheme: str, root: str):
+        self.scheme = scheme.lower()
+        self.root = root
+
+    def _p(self, uri: str) -> str:  # type: ignore[override]
+        prefix = f"{self.scheme}://"
+        if not uri.lower().startswith(prefix):
+            raise ValueError(f"{uri!r} is not a {prefix} URI")
+        return os.path.join(self.root, uri[len(prefix):])
+
+
 _BACKENDS: dict[str, object] = {"": LocalStorage(), "file": LocalStorage()}
 
 
 def register_storage_backend(scheme: str, backend: object) -> None:
-    """Make ``scheme://`` URIs usable by the chunk writer/handoff. The
-    backend object must provide the five operations in the module
-    docstring. Registration is process-local: do it on the driver before
-    building the job AND ship it to executors (a module-level call in a
-    file on ``spark.submit.pyFiles`` is the usual route)."""
+    """Make ``scheme://`` URIs usable by the chunk handoff. The backend
+    object must provide the five operations in the module docstring and be
+    PICKLABLE: registration happens on the driver only —
+    ``Job.shuffle_to_files`` resolves the backend here and ships it to the
+    writer's worker processes as a cloudpickle option (pickle_backend), so
+    no other process ever needs registry setup (an s3 client wrapper
+    implements ``__reduce__`` to reconnect lazily on the worker)."""
     _BACKENDS[scheme.lower()] = backend
+
+
+def pickle_backend(backend: object) -> str:
+    """Serialize a backend for transport inside DataSource options (which
+    are string-only). PySpark 4 initializes Python data source writers in
+    a SEPARATE Python worker process, so a driver-side registry is not
+    visible there — the resolved backend rides along as a cloudpickle
+    blob instead, and no process beyond the driver ever needs
+    register_storage_backend to have run."""
+    import base64
+
+    from pyspark import cloudpickle
+
+    return base64.b64encode(cloudpickle.dumps(backend)).decode("ascii")
+
+
+def unpickle_backend(blob: str) -> object:
+    import base64
+
+    from pyspark import cloudpickle
+
+    return cloudpickle.loads(base64.b64decode(blob.encode("ascii")))
 
 
 def storage_for(uri: str):

@@ -301,6 +301,43 @@ def test_shared_storage_handoff_accepts_file_uri(spark, tmp_path):
     ), names
 
 
+def test_shared_storage_handoff_through_registered_backend(spark, tmp_path):
+    """The object-store dispatch path end-to-end WITHOUT a real object
+    store: a PrefixMappedStorage backend registered driver-side for scheme
+    'mock' must carry the whole handoff — scheme resolution, pickling into
+    executor write tasks, atomic publish, commit-message manifest — and
+    the files must land under the backend's root, addressed only by
+    mock:// URIs."""
+    from map_reduce_ruby_spark.core.job import Job
+    from map_reduce_ruby_spark.sources.storage import (
+        PrefixMappedStorage,
+        register_storage_backend,
+    )
+
+    root = str(tmp_path / "fake_store")
+    register_storage_backend("mock", PrefixMappedStorage("mock", root))
+
+    def map_fn(text):
+        for w in text.split():
+            yield w, 1
+
+    job = Job(map_fn=map_fn, reduce_fn=lambda k, a, b: a + b, num_partitions=3)
+    pmap = job.shuffle_to_files(
+        spark, ["u v", "u w"], "mock://bucket/gen1", shared_storage=True
+    )
+    assert pmap and all(p.startswith("mock://bucket/gen1/") for p in pmap.values())
+    merged = {}
+    for uri in pmap.values():
+        local = os.path.join(root, uri[len("mock://"):])
+        for k, v in read_chunk(local):
+            merged[k] = v
+    assert merged == {"u": 2, "v": 1, "w": 1}
+    assert os.path.exists(os.path.join(root, "bucket/gen1/_MANIFEST.json"))
+    # generation guard works through the backend too
+    with pytest.raises(ValueError, match="fresh generation"):
+        job.shuffle_to_files(spark, ["x"], "mock://bucket/gen1", shared_storage=True)
+
+
 def test_schema_evolution_merge_on_read(spark, sf_dir, tmp_path):
     """Schema evolution: a v2 writer adds a column; mergeSchema=true unifies
     generations on read (v1 rows null-filled), and column pruning still
