@@ -301,6 +301,28 @@ def test_shared_storage_handoff_accepts_file_uri(spark, tmp_path):
     ), names
 
 
+def test_shared_storage_stable_no_reduce_order(spark, tmp_path):
+    """stable=True must survive the shared-storage writer: equal-key
+    duplicates keep input order in the published chunk bytes (the
+    reference's FIFO merge), since the narrow RDD->rows map and the
+    per-task file write both preserve in-partition order."""
+    import json as _json
+
+    from map_reduce_ruby_spark.core.job import Job
+
+    def map_fn(i):
+        yield "dup", f"v{i}"
+
+    job = Job(map_fn=map_fn, reduce_fn=None, num_partitions=2)
+    out = str(tmp_path / "stable_shared")
+    pmap = job.shuffle_to_files(
+        spark, list(range(6)), out, shared_storage=True, stable=True
+    )
+    [path] = pmap.values()
+    values = [_json.loads(l)[1] for l in open(path)]
+    assert values == [f"v{i}" for i in range(6)], values
+
+
 def test_shared_storage_handoff_through_registered_backend(spark, tmp_path):
     """The object-store dispatch path end-to-end WITHOUT a real object
     store: a PrefixMappedStorage backend registered driver-side for scheme
