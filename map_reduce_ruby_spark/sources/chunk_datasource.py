@@ -264,6 +264,28 @@ class _ChunkWriter(DataSourceWriter):
         # on it to distinguish a completed write from a killed-mid-flight one
         backend.write_text_atomic(join_uri(self.path, "_SUCCESS"), "")
 
+    def abort(self, messages) -> None:
+        # BEST-EFFORT unpublish of chunks that successful tasks already
+        # placed before the job failed. Spark only delivers the commit
+        # messages it had recorded when the job aborted — a task that
+        # published its file moments before the failure may not be in the
+        # list (observed in local mode), so strays CAN survive abort.
+        # That is why _MANIFEST.json is the authoritative path map and
+        # _SUCCESS gates consumers: a stray chunk file never enters
+        # either. delete() is an optional backend operation; backends
+        # without it skip cleanup entirely.
+        from map_reduce_ruby_spark.sources.storage import join_uri
+
+        delete = getattr(self._backend, "delete", None)
+        if delete is None:
+            return
+        for m in messages:
+            if m is not None and getattr(m, "filename", None):
+                try:
+                    delete(join_uri(self.path, m.filename))
+                except OSError:
+                    pass
+
 
 class ChunkDataSource(DataSource):
     """format("mr_chunks"): reference chunk files <-> DataFrame."""

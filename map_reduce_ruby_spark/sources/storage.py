@@ -19,6 +19,9 @@ A backend is any object with five small operations::
     write_text_atomic(uri, text)       # readers never see a partial file
     put_file_atomic(local_path, uri)   # publish a finished local file
 
+plus an optional ``delete(uri)`` used by the writer's abort cleanup
+(backends without it simply skip unpublishing on job failure).
+
 The local backend (plain paths and ``file://`` URIs; NFS mounts count — a
 mounted path IS shared storage) ships here. An object-store deployment
 registers its client at session start::
@@ -75,6 +78,12 @@ class LocalStorage:
         with open(tmp, "w", encoding="utf-8") as f:
             f.write(text)
         os.replace(tmp, path)
+
+    def delete(self, uri: str) -> None:
+        """Optional operation (used by the writer's abort cleanup)."""
+        p = self._p(uri)
+        if os.path.exists(p):
+            os.unlink(p)
 
     def put_file_atomic(self, local_path: str, uri: str) -> None:
         # land under a '.'-prefixed temp name (invisible to the chunk

@@ -301,6 +301,50 @@ def test_shared_storage_handoff_accepts_file_uri(spark, tmp_path):
     ), names
 
 
+def test_chunk_writer_abort_leaves_no_committed_generation(spark, tmp_path):
+    """A failed write job must never look committed: no manifest, no
+    success marker — and a retry into the same directory publishes a clean
+    generation whose manifest ignores any stray from the failed attempt.
+    (Unpublishing the strays themselves is best-effort only: Spark may
+    abort before recording a just-committed task's message, so abort()
+    cannot be guaranteed to see every published file.)"""
+    import json as _json
+
+    from map_reduce_ruby_spark.sources import register_chunk_source
+    from map_reduce_ruby_spark.sources.chunk_datasource import _ChunkCommit, _ChunkWriter
+
+    register_chunk_source(spark)
+    out = tmp_path / "aborted"
+
+    def rows(idx, it):
+        if idx == 1:
+            raise RuntimeError("boom")
+        yield ('"a"', "1")
+
+    rdd = spark.sparkContext.parallelize(range(2), 2).mapPartitionsWithIndex(
+        lambda idx, it: rows(idx, it)
+    )
+    df = spark.createDataFrame(rdd, "key_json string, value_json string")
+    with pytest.raises(Exception):
+        df.write.format("mr_chunks").mode("append").save(str(out))
+    leftovers = sorted(os.listdir(out)) if out.exists() else []
+    assert "_MANIFEST.json" not in leftovers and "_SUCCESS" not in leftovers
+
+    # retry into the SAME dir: manifest reflects only the new generation
+    ok = spark.createDataFrame(
+        [('"x"', "1")], "key_json string, value_json string"
+    ).coalesce(1)
+    ok.write.format("mr_chunks").mode("append").save(str(out))
+    man = _json.loads((out / "_MANIFEST.json").read_text())
+    assert [e["file"] for e in man["files"]] == ["chunk-00000.jsonl"]
+
+    # the abort cleanup itself, driven directly with a delivered message
+    stray = out / "chunk-00042.jsonl"
+    stray.write_text('["s",1]\n')
+    _ChunkWriter({"path": str(out)}).abort([_ChunkCommit(42, "chunk-00042.jsonl", 1), None])
+    assert not stray.exists()
+
+
 def test_shared_storage_stable_no_reduce_order(spark, tmp_path):
     """stable=True must survive the shared-storage writer: equal-key
     duplicates keep input order in the published chunk bytes (the
