@@ -605,7 +605,12 @@ _SH_HAMMING_SQL = f"""
     "at least one intact band, so the banded equi-self-join generates a "
     "COMPLETE candidate set for hamming <= 2; exact bit_count(XOR) filters "
     "false candidates. Same LSH-banding scale shape as MinHash: shuffle on "
-    "(band_idx, band_val) buckets, never all-pairs.",
+    "(band_idx, band_val) buckets, never all-pairs. SCALE PARAMETER: 8-bit "
+    "bands give 256 buckets — adequate through sf0.1, SATURATED at 50k+ "
+    "docs (sf1 measured: avg bucket ~195, candidate volume ~bucket^2 per "
+    "band). Production widens the signature/bands with corpus size (e.g. "
+    "64-bit sig, 4x16-bit bands = 65k buckets) — the knob is a constant, "
+    "the plan shape is unchanged.",
     tags=("dedup", "simhash", "lsh"),
 )
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -20,6 +20,14 @@ from map_reduce_ruby_spark.sources import load_table
 
 _REVENUE_SQL = "l_extendedprice * (1 - l_discount)"
 
+# Exact integer-cents factors (the fixture's measures are 2-decimal by
+# construction; ROUND() of a value within 1e-9 of an integer has no
+# rounding boundary to land on). DuckDB sums BIGINT into int128, matching
+# Spark's decimal(38,0) sum exactly at any scale.
+_EP_C_SQL = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+_DISC_C_SQL = "CAST(ROUND(l_discount * 100) AS BIGINT)"
+_TAX_C_SQL = "CAST(ROUND(l_tax * 100) AS BIGINT)"
+
 
 def _revenue() -> "F.Column":
     # Built lazily: constructing a Column requires an active SparkContext,
@@ -33,8 +41,10 @@ def _revenue() -> "F.Column":
     SELECT l_returnflag, l_linestatus,
            {dsum_sql('l_quantity', 'sum_qty')},
            {dsum_sql('l_extendedprice', 'sum_base_price')},
-           {dsum_sql(_REVENUE_SQL, 'sum_disc_price')},
-           {dsum_sql(_REVENUE_SQL + ' * (1 + l_tax)', 'sum_charge')},
+           CAST(SUM({_EP_C_SQL} * (100 - {_DISC_C_SQL})) AS DOUBLE)
+               / 10000.0 AS sum_disc_price,
+           CAST(SUM({_EP_C_SQL} * (100 - {_DISC_C_SQL}) * (100 + {_TAX_C_SQL}))
+                AS DOUBLE) / 1000000.0 AS sum_charge,
            {davg_sql('l_quantity', 'avg_qty')},
            {davg_sql('l_extendedprice', 'avg_price')},
            {davg_sql('l_discount', 'avg_disc')},
@@ -47,19 +57,31 @@ def _revenue() -> "F.Column":
     "Catalyst: partial HashAggregate before the shuffle (the reference's "
     "combiner, O4, for free); parquet filter pushdown on l_shipdate. "
     "Scale: group cardinality is tiny (6), so the shuffle carries only "
-    "partial aggregates — bottleneck is the scan, which prunes to 8 columns.",
+    "partial aggregates — bottleneck is the scan, which prunes to 8 columns. "
+    "The PRODUCT sums (disc_price, charge) run in exact integer cents "
+    "(measures are 2-decimal by construction): a double product cast to "
+    "DECIMAL rounds via Java's shortest-string repr on Spark but via the "
+    "full binary value in DuckDB, and at sf1 (6M rows) one row lands on "
+    "that boundary — integer factors have no boundary to land on. The "
+    "exact integer sum (decimal(38,0) / int128) casts to the same nearest "
+    "double on both engines at any scale.",
     tags=("aggregate",),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    tax_c = F.round(F.col("l_tax") * 100).cast("long")
+    disc_units = (ep_c * (100 - disc_c)).cast("decimal(38,0)")
+    charge_units = (ep_c * (100 - disc_c) * (100 + tax_c)).cast("decimal(38,0)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            dsum(_revenue(), "sum_disc_price"),
-            dsum(_revenue() * (1 + F.col("l_tax")), "sum_charge"),
+            (F.sum(disc_units).cast("double") / 10000.0).alias("sum_disc_price"),
+            (F.sum(charge_units).cast("double") / 1000000.0).alias("sum_charge"),
             davg("l_quantity", "avg_qty"),
             davg("l_extendedprice", "avg_price"),
             davg("l_discount", "avg_disc"),
