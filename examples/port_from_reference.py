@@ -103,6 +103,36 @@ def port_3_shared_storage(spark) -> dict:
     return dict(reduced.collect())
 
 
+def port_4_object_store(spark) -> dict:
+    """The reference's ACTUAL deployment story (reference README.md:60-84:
+    mappers upload partition files to S3, reducers download them), run
+    end-to-end: register a storage backend for the bucket scheme ONCE on
+    the driver, address everything by URI, and the partition->path map
+    comes back from the writer's commit-message manifest — no directory
+    listing anywhere. Here the 'object store' is a prefix-mapped local
+    backend; an s3 deployment swaps in its boto3 wrapper with the same
+    five operations."""
+    from map_reduce_ruby_spark.sources.storage import (
+        PrefixMappedStorage,
+        register_storage_backend,
+    )
+
+    root = tempfile.mkdtemp()
+    register_storage_backend("demo", PrefixMappedStorage("demo", root))
+    job = Job(
+        map_fn=lambda text: ((w, 1) for w in text.split()),
+        reduce_fn=lambda key, a, b: a + b,
+        num_partitions=4,
+    )
+    pmap = job.shuffle_to_files(
+        spark, TEXTS, "demo://bucket/wordcount/gen0", shared_storage=True
+    )
+    # "download" = resolve each URI through the backend, reference-style
+    local = [os.path.join(root, uri[len("demo://"):]) for uri in pmap.values()]
+    reduced = Job.reduce_files(spark, sorted(local), lambda k, a, b: a + b)
+    return dict(reduced.collect())
+
+
 def main() -> int:
     spark = get_spark(app_name="port_example", shuffle_partitions=4)
     expected = {
@@ -112,6 +142,7 @@ def main() -> int:
         ("compat facade", port_1_compat_facade),
         ("Job API", port_2_job_api),
         ("shared-storage chunks", port_3_shared_storage),
+        ("object-store handoff", port_4_object_store),
     ]:
         got = fn(spark)
         assert got == expected, (name, got)
