@@ -1085,7 +1085,15 @@ def _bpe_learn(
     ``(merges, tokens)`` where tokens is the fully-encoded (doc_id, toks)
     table — the train->apply loop text_bpe_encode drives."""
     toks = _tokens_spark(F.col("text"))
-    t = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") >= 2)
+    # t0 is read by round 1's fused top job AND (return_tokens) the encode
+    # stats — checkpoint it lazily so the parquet scan + tokenization run
+    # once, like every later round's table
+    t0 = (
+        docs.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+        .localCheckpoint(eager=False)
+    )
+    t = t0
     # CASE guard: a doc can collapse to ONE token after a merge round, and
     # sequence(1, 0) is the DESCENDING [1, 0] — element_at(toks, 2)/(, 0)
     # would abort under ANSI mode.
@@ -1127,7 +1135,10 @@ def _bpe_learn(
     out = tops[0]
     for more in tops[1:]:
         out = out.unionByName(more)
-    return (out, t) if return_tokens else out
+    # return_tokens: (merges, fully-encoded tokens, the ORIGINAL tokenized
+    # table) — t0 rides along so the encode entry's before/after stats
+    # reuse the materialized tokenization instead of re-splitting the corpus
+    return (out, t, t0) if return_tokens else out
 
 
 @register(
@@ -1212,11 +1223,12 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         if len(_BPE_ENCODE_MEMO) > 8:
             _BPE_ENCODE_MEMO.clear()  # checkpointed RDDs are GC-managed
         _BPE_ENCODE_MEMO[key] = _bpe_learn(spark, docs, return_tokens=True)
-    _, encoded = _BPE_ENCODE_MEMO[key]
-    toks = _tokens_spark(F.col("text"))
-    before = docs.select(
-        "doc_id", "source", F.size(toks).alias("n_before")
-    ).where(F.col("n_before") >= 2)
+    _, encoded, t0 = _BPE_ENCODE_MEMO[key]
+    # n_before from the trainer's MATERIALIZED tokenization (t0 checkpoint);
+    # source arrives via a 2-column pruned parquet scan, not a re-split
+    before = t0.select("doc_id", F.size("toks").alias("n_before")).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
     after = encoded.select("doc_id", F.size("toks").alias("n_after"))
     return (
         before.join(after, "doc_id")
@@ -1281,15 +1293,27 @@ _WINNOW_W = 4  # window size over 3-gram hashes
 )
 def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    from map_reduce_ruby_spark.functions import h32
+
     toked = docs.select("doc_id", _tokens_spark(F.col("text")).alias("toks")).where(
         F.size("toks") - 2 >= _WINNOW_W
     )
+    # gram hashes via the SHARED h32 helper (functions/hashes.py — the one
+    # definition of the engine/oracle hash contract); toks is a projected
+    # column, so element_at inside the lambda re-reads a materialized array
+    # (CSE-safe)
     grams = toked.select(
         "doc_id",
-        F.expr(
-            "transform(sequence(1, size(toks) - 2), i -> "
-            + _H32_GRAM_EXPR
-            + ")"
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: h32(
+                F.concat_ws(
+                    " ",
+                    F.element_at("toks", i),
+                    F.element_at("toks", i + 1),
+                    F.element_at("toks", i + 2),
+                )
+            ),
         ).alias("g"),
     )
     w = _WINNOW_W
@@ -1309,15 +1333,6 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fp_sum"
         ),
     )
-
-
-# Spark-side 3-gram h32 inside the transform lambda (toks is a projected
-# column, so element_at re-reads a materialized array — CSE-safe).
-_H32_GRAM_EXPR = (
-    "CAST(conv(substring(md5(concat_ws(' ', element_at(toks, i),"
-    " element_at(toks, i + 1), element_at(toks, i + 2))), 1, 8), 16, 10)"
-    " AS BIGINT)"
-)
 
 
 # --- Approximate top-k terms (datasketches) ----------------------------------

@@ -66,6 +66,21 @@ class _ChunkReader(DataSourceReader):
             raise ValueError("mr_chunks source requires a path")
 
     def partitions(self):
+        # A directory holding a committed generation (manifest present) is
+        # read FROM ITS MANIFEST, not from a listing: a failed earlier
+        # attempt can leave stray chunk files abort() never saw (its commit
+        # message may not have reached the driver), and a listing would
+        # interleave those strays into the committed generation. Manifest-
+        # less directories (hand-built chunk sets, reference-produced
+        # uploads, streaming drop dirs) keep the listing behavior.
+        base = self.path[len("file://"):] if self.path.startswith("file://") else self.path
+        manifest = os.path.join(base, MANIFEST_NAME)
+        if os.path.isdir(base) and os.path.isfile(manifest):
+            with open(manifest, encoding="utf-8") as f:
+                files = [
+                    os.path.join(base, e["file"]) for e in json.load(f)["files"]
+                ]
+            return [_ChunkFilePartition(p) for p in sorted(files)]
         return [_ChunkFilePartition(p) for p in _resolve_files(self.path)]
 
     def read(self, partition: _ChunkFilePartition) -> Iterator[tuple]:

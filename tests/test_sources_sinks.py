@@ -301,6 +301,33 @@ def test_shared_storage_handoff_accepts_file_uri(spark, tmp_path):
     ), names
 
 
+def test_chunk_batch_read_prefers_manifest_over_listing(spark, tmp_path):
+    """A committed generation is read from its manifest: a stray chunk file
+    left by an aborted earlier attempt (abort() may never see its commit
+    message) must NOT be interleaved into the batch read; a manifest-less
+    directory keeps the listing behavior."""
+    from map_reduce_ruby_spark.sources import register_chunk_source
+
+    register_chunk_source(spark)
+    d = tmp_path / "gen"
+    d.mkdir()
+    src = spark.createDataFrame(
+        [('"live"', "1")], "key_json string, value_json string"
+    ).coalesce(1)
+    src.write.format("mr_chunks").mode("append").save(str(d))
+    # plant a stray from a hypothetical failed attempt AFTER the commit
+    (d / "chunk-00042.jsonl").write_text('["stray",9]\n')
+    rows = {r.key_json for r in spark.read.format("mr_chunks").load(str(d)).collect()}
+    assert rows == {'"live"'}, rows
+    # manifest-less dir: listing includes everything
+    d2 = tmp_path / "plain"
+    d2.mkdir()
+    (d2 / "a.jsonl").write_text('["x",1]\n')
+    (d2 / "b.jsonl").write_text('["y",2]\n')
+    rows2 = {r.key_json for r in spark.read.format("mr_chunks").load(str(d2)).collect()}
+    assert rows2 == {'"x"', '"y"'}
+
+
 def test_chunk_writer_abort_leaves_no_committed_generation(spark, tmp_path):
     """A failed write job must never look committed: no manifest, no
     success marker — and a retry into the same directory publishes a clean
