@@ -57,6 +57,7 @@ HEADLINE = [
     "multimodal_decode_stats",
     "multimodal_resize",
     "multimodal_frame_energy",
+    "multimodal_phash_dedup",
     "q6_forecast_revenue",
     "q8_market_share",
     "q10_returned_items",

@@ -20,6 +20,7 @@ from map_reduce_ruby_spark.operators.multimodal import (
     attach_fake_media,
     decode_media,
     extract_features,
+    phash_media,
     resize_media,
     sample_frames,
     MEDIA_SCHEMA,
@@ -28,6 +29,7 @@ from map_reduce_ruby_spark.operators.multimodal import (
 
 __all__ = [
     "asof_join",
+    "phash_media",
     "connected_components",
     "connected_components_star",
     "exclusive_prefix_sum",

@@ -259,3 +259,61 @@ def frame_energy(media: DataFrame, frame_len: int = 64) -> DataFrame:
             )
 
     return media.mapInPandas(energies, FRAME_ENERGY_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("phash", T.StringType(), False),  # 16 hex chars (64 bits)
+    ]
+)
+
+_PHASH_ROWS, _PHASH_COLS = 8, 9  # 8x9 grid -> 8 comparisons per row = 64 bits
+
+
+def phash_media(media: DataFrame) -> DataFrame:
+    """Difference-hash (dHash) perceptual fingerprint over the payload bytes.
+
+    The payload is bucketed into an 8x9 intensity grid (byte j belongs to
+    cell ``j * 72 // n`` — the same integer mapping the oracle re-derives
+    from hex nibbles in SQL, and deliberately NOT np.add.reduceat, whose
+    repeated-index semantics differ from an empty-bucket sum for payloads
+    shorter than 72 bytes); each of the 8 rows yields 8 left>right
+    comparisons, packed LSB-first into one byte, and the 8 row bytes hex-
+    concatenate into a 64-bit hash string (strings sidestep int64 sign
+    overflow identically on both engines). Identical payloads share a hash;
+    payloads differing by small local edits usually do too — which is what
+    makes dHash the standard cheap first tier of image dedup. A real pixel
+    dHash replaces the byte grid with a decoded 9x8 grayscale thumbnail;
+    the Spark plumbing (Arrow batches, hash-groupBy families) is identical.
+    """
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_cells = _PHASH_ROWS * _PHASH_COLS
+        for pdf in batches:
+            doc_ids, mtypes, out = [], [], []
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = len(arr)
+                if n == 0:
+                    continue
+                seg = (np.arange(n, dtype=np.int64) * n_cells) // n
+                sums = np.bincount(seg, weights=arr, minlength=n_cells)
+                grid = sums.reshape(_PHASH_ROWS, _PHASH_COLS)
+                bits = grid[:, :-1] > grid[:, 1:]  # 8x8 comparisons
+                row_bytes = (bits * (1 << np.arange(8))).sum(axis=1).astype(int)
+                doc_ids.append(doc_id)
+                mtypes.append(mt)
+                out.append("".join(f"{b:02x}" for b in row_bytes))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "media_type": pd.Series(mtypes, dtype="object"),
+                    "phash": pd.Series(out, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(hashes, PHASH_SCHEMA)

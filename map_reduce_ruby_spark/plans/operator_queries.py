@@ -1089,6 +1089,83 @@ def multimodal_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_phash_dedup",
+    oracle="""
+    WITH hx AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS media_type,
+               hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, media_type,
+               CAST(((i.i - 1) * 72) // n AS BIGINT) AS k,
+               ('0x' || substr(h, 2*i.i - 1, 2))::BIGINT AS byte
+        FROM hx, UNNEST(range(1, n + 1)) AS i(i)
+        WHERE n > 0
+    ),
+    sums AS (
+        SELECT doc_id, media_type, k, SUM(byte) AS s
+        FROM segs GROUP BY doc_id, media_type, k
+    ),
+    spine AS (
+        SELECT DISTINCT doc_id, media_type, g.k
+        FROM sums, (SELECT UNNEST(range(0, 72)) AS k) g
+    ),
+    grid AS (
+        SELECT sp.doc_id, sp.media_type, sp.k, COALESCE(su.s, 0) AS s
+        FROM spine sp LEFT JOIN sums su
+          ON su.doc_id = sp.doc_id AND su.k = sp.k
+    ),
+    bits AS (
+        SELECT a.doc_id, a.media_type, a.k // 9 AS r,
+               SUM(CASE WHEN a.s > b.s
+                        THEN 1 << CAST(a.k % 9 AS INT) ELSE 0 END) AS row_byte
+        FROM grid a JOIN grid b
+          ON b.doc_id = a.doc_id AND b.k = a.k + 1
+        WHERE a.k % 9 < 8
+        GROUP BY a.doc_id, a.media_type, a.k // 9
+    ),
+    ph AS (
+        SELECT doc_id, media_type,
+               string_agg(lpad(lower(hex(row_byte)), 2, '0'), '' ORDER BY r)
+                   AS phash
+        FROM bits GROUP BY doc_id, media_type
+    )
+    SELECT media_type, phash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM ph GROUP BY media_type, phash
+    """,
+    doc="Perceptual-hash (dHash) dedup over MULTIMODAL payloads — the "
+    "cross-family composition: opaque binary payloads (operators/"
+    "multimodal.py plumbing, Arrow batches via mapInPandas) are bucketed "
+    "into an 8x9 intensity grid, each row's 8 left>right comparisons pack "
+    "into a byte, and the 8 row bytes form a 64-bit hex fingerprint; "
+    "hash-groupBy then yields duplicate families exactly like "
+    "dedup_exact/dedup_simhash — one skew-free shuffle on a uniform key. "
+    "This is image dedup's standard cheap first tier; a real pixel dHash "
+    "swaps the byte grid for a decoded 9x8 grayscale thumbnail behind the "
+    "same operator. The DuckDB oracle re-derives the grid from hex "
+    "nibbles (the multimodal_frame_energy pattern), the comparisons via a "
+    "k->k+1 self-join, and the hex packing in SQL — the whole perceptual "
+    "pipeline is value-checked, not just row-counted.",
+    tags=("multimodal", "dedup", "custom-operator", "extension"),
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_ruby_spark.operators import attach_fake_media, phash_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    ph = phash_media(attach_fake_media(docs))
+    return ph.groupBy("media_type", "phash").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
     "cogroup_order_reconcile",
     oracle="""
     WITH o AS (

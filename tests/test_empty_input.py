@@ -36,6 +36,7 @@ REPRESENTATIVE = [
     "text_bpe_encode",              # empty trainer -> empty encode join
     "text_winnowing_fingerprint",   # window mins over zero qualifying docs
     "multimodal_frame_energy",      # mapInPandas over zero batches
+    "multimodal_phash_dedup",       # perceptual hash over zero payloads
     "graph_triangle_count",         # empty edge set -> empty graph
     "stats_moments_corr",           # no groups -> no divisions
     "mv_incremental_refresh",       # full-outer merge of two empty MVs

@@ -102,3 +102,41 @@ def test_frame_energy_exact_vs_python(media, spark, sf_dir):
             lo, hi = row.frame_idx * 64, min((row.frame_idx + 1) * 64, n)
             assert row.frame_n == hi - lo
             assert row.sum_sq == sum(v * v for v in b[lo:hi]), (doc_id, row.frame_idx)
+
+
+def test_phash_known_values_and_python_twin(media, spark):
+    """dHash pinned two ways: a hand-computed fixture (bytes [10, 20] fall
+    in grid cells 0 and 36 -> rows 0 and 4 each pack bit 0) and a full
+    python re-derivation over the real payloads."""
+    from map_reduce_ruby_spark.operators import phash_media
+    from map_reduce_ruby_spark.operators.multimodal import MEDIA_SCHEMA
+
+    import hashlib
+
+    payload = bytes([10, 20])
+    tiny = spark.createDataFrame(
+        [(0, "image", "fake", payload, 2, hashlib.md5(payload).hexdigest())],
+        MEDIA_SCHEMA,
+    )
+    [r] = phash_media(tiny).collect()
+    assert r.phash == "0100000001000000", r.phash
+
+    got = {r.doc_id: r.phash for r in phash_media(media).collect()}
+    payloads = {
+        r.doc_id: bytes(r.payload) for r in media.select("doc_id", "payload").collect()
+    }
+    for doc_id, b in payloads.items():
+        arr = np.frombuffer(b, dtype=np.uint8)
+        n = len(arr)
+        sums = np.bincount((np.arange(n) * 72) // n, weights=arr, minlength=72)
+        grid = sums.reshape(8, 9)
+        bits = grid[:, :-1] > grid[:, 1:]
+        expect = "".join(
+            f"{int((row * (1 << np.arange(8))).sum()):02x}" for row in bits
+        )
+        assert got[doc_id] == expect, doc_id
+    # identical payloads must share a hash (the dedup family invariant)
+    by_payload = {}
+    for doc_id, b in payloads.items():
+        by_payload.setdefault(b, set()).add(got[doc_id])
+    assert all(len(hs) == 1 for hs in by_payload.values())
