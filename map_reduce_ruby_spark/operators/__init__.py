@@ -29,7 +29,6 @@ from map_reduce_ruby_spark.operators.multimodal import (
 
 __all__ = [
     "asof_join",
-    "phash_media",
     "connected_components",
     "connected_components_star",
     "exclusive_prefix_sum",
@@ -50,6 +49,7 @@ __all__ = [
     "extract_features",
     "resize_media",
     "sample_frames",
+    "phash_media",
     "MEDIA_SCHEMA",
     "FEATURE_DIM",
 ]

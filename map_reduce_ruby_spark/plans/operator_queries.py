@@ -1111,8 +1111,9 @@ def multimodal_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM segs GROUP BY doc_id, media_type, k
     ),
     spine AS (
-        SELECT DISTINCT doc_id, media_type, g.k
-        FROM sums, (SELECT UNNEST(range(0, 72)) AS k) g
+        SELECT doc_id, media_type, g.k
+        FROM hx, (SELECT UNNEST(range(0, 72)) AS k) g
+        WHERE n > 0
     ),
     grid AS (
         SELECT sp.doc_id, sp.media_type, sp.k, COALESCE(su.s, 0) AS s

@@ -114,12 +114,32 @@ def test_phash_known_values_and_python_twin(media, spark):
     import hashlib
 
     payload = bytes([10, 20])
+    md5 = hashlib.md5(payload).hexdigest()
     tiny = spark.createDataFrame(
-        [(0, "image", "fake", payload, 2, hashlib.md5(payload).hexdigest())],
+        # doc 7 carries the IDENTICAL payload: the dedup-family invariant
+        # (shared hash -> one family, MIN doc_id keeper) is exercised on a
+        # REAL duplicate, not vacuously (the parquet fixtures' texts are
+        # all distinct)
+        [
+            (0, "image", "fake", payload, 2, md5),
+            (7, "image", "fake", payload, 2, md5),
+            (1, "audio", "fake", bytes([0, 10]), 2, hashlib.md5(bytes([0, 10])).hexdigest()),
+        ],
         MEDIA_SCHEMA,
     )
-    [r] = phash_media(tiny).collect()
-    assert r.phash == "0100000001000000", r.phash
+    hashed = phash_media(tiny)
+    by_doc = {r.doc_id: r.phash for r in hashed.collect()}
+    assert by_doc[0] == "0100000001000000", by_doc
+    assert by_doc[7] == by_doc[0]  # identical payloads share the hash
+    # a zero first byte kills row 0's comparison: different hash
+    assert by_doc[1] == "0000000001000000", by_doc
+    fam = (
+        hashed.groupBy("phash")
+        .agg(F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .collect()
+    )
+    assert [(r.keep, r.n) for r in fam] == [(0, 2)]
 
     got = {r.doc_id: r.phash for r in phash_media(media).collect()}
     payloads = {
