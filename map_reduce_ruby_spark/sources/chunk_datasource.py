@@ -260,8 +260,21 @@ class _ChunkWriter(DataSourceWriter):
         backend = self._backend
         backend.makedirs(self.path)
         # _MANIFEST.json: the authoritative partition->file map, built from
-        # the tasks' commit messages (no listing). Describes THIS write; the
-        # shared-storage handoff enforces one generation per directory.
+        # the tasks' commit messages (no listing). Describes THIS write —
+        # one generation per directory. Enforce that HERE, not just in
+        # Job.shuffle_to_files: batch readers prefer the manifest over a
+        # listing, so overwriting an existing manifest (e.g. a direct
+        # df.write append to the same directory) would silently drop the
+        # first generation's chunk files from every subsequent read even
+        # though they remain on disk.
+        manifest_uri = join_uri(self.path, MANIFEST_NAME)
+        if backend.exists(manifest_uri):
+            raise RuntimeError(
+                f"chunk directory {self.path!r} already holds a _MANIFEST.json: "
+                "the mr_chunks format is one write-generation per directory "
+                "(appending would shadow the prior generation's files in "
+                "manifest-based reads). Write to a fresh directory."
+            )
         files = sorted(
             (
                 {"partition": int(m.partition_id), "file": m.filename, "rows": int(m.rows)}

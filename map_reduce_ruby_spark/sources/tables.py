@@ -110,6 +110,15 @@ def table_fingerprint(sf_dir: str, name: str = "documents") -> str:
             if not f.startswith((".", "_"))
         )
     )
+    if not files:
+        # A path-only tag would resurrect exactly the stale-cache failure
+        # this fingerprint exists to prevent (caller fingerprints before
+        # the fixture exists, then the fixture lands, and the cache key
+        # never changes) — refuse instead.
+        raise FileNotFoundError(
+            f"table_fingerprint({sf_dir!r}, {name!r}): no data files under "
+            f"{path!r}; generate the fixture before fingerprinting"
+        )
     for f in files:
         st = os.stat(f)
         parts.append(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")

@@ -237,7 +237,7 @@ def test_shuffle_to_files_shared_storage_guards(spark, tmp_path):
     job = Job(map_fn=map_fn, reduce_fn=lambda k, a, b: a + b, num_partitions=2)
 
     with pytest.raises(ValueError, match="no storage backend registered"):
-        job.shuffle_to_files(spark, ["a"], "s3://bucket/chunks", shared_storage=True)
+        job.shuffle_to_files(spark, ["a"], "gs://bucket/chunks", shared_storage=True)
 
     out = str(tmp_path / "gen0")
     job.shuffle_to_files(spark, ["a b"], out, shared_storage=True)
@@ -429,6 +429,119 @@ def test_shared_storage_handoff_through_registered_backend(spark, tmp_path):
     # generation guard works through the backend too
     with pytest.raises(ValueError, match="fresh generation"):
         job.shuffle_to_files(spark, ["x"], "mock://bucket/gen1", shared_storage=True)
+
+
+def test_s3_storage_backend_end_to_end(spark, tmp_path):
+    """The SHIPPED S3 backend (sources/storage.py S3Storage) carries the
+    reference's actual deployment story (reference README.md:60-67,78-84 —
+    mappers upload partition files to S3, reducers download them) end to
+    end: scheme resolution for s3:// URIs, lazy client reconnection inside
+    the executor-side writer (the live client never crosses the pickle
+    boundary — __reduce__ ships constructor args only), single-PUT atomic
+    publish, manifest commit, and reducer read-back. boto3 is absent in
+    this container, so the injected client is the file-backed
+    S3FileClientDouble implementing the same narrow boto3 surface."""
+    import functools
+
+    from map_reduce_ruby_spark.core.job import Job
+    from map_reduce_ruby_spark.sources.storage import (
+        S3FileClientDouble,
+        S3Storage,
+        _BACKENDS,
+        register_storage_backend,
+    )
+
+    root = str(tmp_path / "s3root")
+    prior = _BACKENDS.get("s3")
+    register_storage_backend(
+        "s3",
+        S3Storage(client_factory=functools.partial(S3FileClientDouble, root)),
+    )
+    try:
+
+        def map_fn(text):
+            for w in text.split():
+                yield w, 1
+
+        job = Job(map_fn=map_fn, reduce_fn=lambda k, a, b: a + b, num_partitions=3)
+        pmap = job.shuffle_to_files(
+            spark, ["s3 put s3", "put get"], "s3://bucket/gen1", shared_storage=True
+        )
+        assert pmap and all(p.startswith("s3://bucket/gen1/") for p in pmap.values())
+        merged = {}
+        for uri in pmap.values():
+            local = os.path.join(root, uri[len("s3://"):])
+            for k, v in read_chunk(local):
+                merged[k] = v
+        assert merged == {"s3": 2, "put": 2, "get": 1}
+        assert os.path.exists(os.path.join(root, "bucket/gen1/_MANIFEST.json"))
+        assert os.path.exists(os.path.join(root, "bucket/gen1/_SUCCESS"))
+        # no tmp litter: every staged object was atomically renamed
+        litter = [
+            f
+            for _, _, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".tmp")
+        ]
+        assert litter == []
+        # one-generation guard holds through the S3 backend too
+        with pytest.raises(ValueError, match="fresh generation"):
+            job.shuffle_to_files(spark, ["x"], "s3://bucket/gen1", shared_storage=True)
+    finally:
+        register_storage_backend("s3", prior)
+
+
+def test_s3_storage_unit_surface(tmp_path):
+    """S3Storage's five backend operations against the client double, plus
+    the URI validation and pickle-safety contracts a worker relies on."""
+    import functools
+    import pickle
+
+    from map_reduce_ruby_spark.sources.storage import S3FileClientDouble, S3Storage
+
+    st = S3Storage(
+        client_factory=functools.partial(S3FileClientDouble, str(tmp_path))
+    )
+    assert not st.exists("s3://b/k.txt")
+    st.write_text_atomic("s3://b/k.txt", "hello")
+    assert st.exists("s3://b/k.txt") and st.read_text("s3://b/k.txt") == "hello"
+
+    local = tmp_path / "payload.jsonl"
+    local.write_text('["a",1]\n')
+    st.put_file_atomic(str(local), "s3://b/dir/chunk-0.jsonl")
+    assert not local.exists(), "put_file_atomic consumes the local file"
+    assert st.read_text("s3://b/dir/chunk-0.jsonl") == '["a",1]\n'
+
+    st.delete("s3://b/k.txt")
+    assert not st.exists("s3://b/k.txt")
+
+    with pytest.raises(ValueError, match="s3://bucket/key"):
+        st._bk("s3://bucketonly")
+    with pytest.raises(ValueError, match="not an s3"):
+        st._bk("gs://b/k")
+
+    # pickling drops the live client: a worker reconnects lazily
+    st.read_text("s3://b/dir/chunk-0.jsonl")  # force client construction
+    clone = pickle.loads(pickle.dumps(st))
+    assert clone._client is None
+    assert clone.read_text("s3://b/dir/chunk-0.jsonl") == '["a",1]\n'
+
+
+def test_chunk_writer_refuses_second_generation_at_datasource_level(
+    spark, tmp_path
+):
+    """commit() itself must refuse a directory that already holds a
+    _MANIFEST.json — not just Job.shuffle_to_files: batch reads prefer the
+    manifest, so a direct df.write append would silently shadow the first
+    generation's chunk files for every later reader."""
+    df = spark.createDataFrame(
+        [('"k"', "1")], "key_json string, value_json string"
+    )
+    out = str(tmp_path / "gen")
+    df.write.format("mr_chunks").mode("append").save(out)
+    assert os.path.exists(os.path.join(out, "_MANIFEST.json"))
+    with pytest.raises(Exception, match="one write-generation per directory"):
+        df.write.format("mr_chunks").mode("append").save(out)
 
 
 def test_schema_evolution_merge_on_read(spark, sf_dir, tmp_path):
