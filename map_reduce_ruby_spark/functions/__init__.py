@@ -7,7 +7,7 @@ from map_reduce_ruby_spark.functions.exact import (
     cents_sum_sql,
     cents_sum_sql_double,
 )
-from map_reduce_ruby_spark.functions.hashes import h32, h32_sql
+from map_reduce_ruby_spark.functions.hashes import h32, h32_sql, h60, h60_sql
 
 __all__ = [
     "dsum",
@@ -19,4 +19,6 @@ __all__ = [
     "cents_sum_sql_double",
     "h32",
     "h32_sql",
+    "h60",
+    "h60_sql",
 ]

