@@ -99,10 +99,23 @@ def assign_cells(vectors: DataFrame, centroids: list[list[float]]) -> DataFrame:
 
 
 def build_ivf_index(
-    vectors: DataFrame, k: int = 16, iterations: int = 2
+    vectors: DataFrame, k: int = 16, iterations: int = 2,
+    train_per_centroid: int = 256,
 ) -> tuple[DataFrame, list[list[float]]]:
     """vectors: (id: long, e: array<double>). Returns (assignments(id, e, cell),
     centroids as a k x dim Python list). Deterministic end-to-end.
+
+    TRAINING SAMPLE: Lloyd iterations run over a deterministic strided
+    sample of ~``train_per_centroid * k`` vectors (FAISS's default trains
+    on 256 points per centroid), not the full corpus — at 100 TB a
+    full-corpus scan per k-means round is the build's dominant cost and
+    adds nothing to centroid quality. The stride is exact integer
+    arithmetic (``id % tstride = 0`` over contiguous ids), so an
+    independent engine (the DuckDB oracle) reproduces the same sample and
+    therefore the same centroids bit-for-bit. Corpora smaller than the
+    target train on everything (tstride clamps to 1 — small-SF results
+    are unchanged). Seeds and the FINAL assignment still cover the full
+    corpus.
 
     The corpus is cached for the build: the count, seed collect, and each
     Lloyd iteration are separate jobs that would otherwise re-scan and
@@ -117,9 +130,13 @@ def build_ivf_index(
     )
     centroids = [list(r.e) for r in seed_rows]
     dim = len(centroids[0])
+    tstride = max(1, n // (k * train_per_centroid))
+    train = (
+        vectors if tstride == 1 else vectors.filter(F.col("id") % tstride == 0)
+    )
 
     for _ in range(iterations):
-        assigned = assign_cells(vectors, centroids)
+        assigned = assign_cells(train, centroids)
         # Per-cell componentwise sums via posexplode -> (cell, pos) aggregate:
         # two expressions regardless of dim (a dim-wide agg column list made
         # every iteration's plan analysis the dominant cost). The shuffle

@@ -39,11 +39,19 @@ def _sub_expr(e: str, m: int, sub_dim: int) -> str:
 
 
 def build_pq_index(
-    vectors: DataFrame, dim: int, n_sub: int = 8, k: int = 16, iterations: int = 1
+    vectors: DataFrame, dim: int, n_sub: int = 8, k: int = 16, iterations: int = 1,
+    train_per_centroid: int = 256,
 ) -> tuple[DataFrame, list[list[list[float]]]]:
     """vectors: (id: long, e: array<double> of length dim). Returns
     (codes(id, code0..code{n_sub-1}), codebooks[m][k][sub_dim]).
-    Deterministic end-to-end (see module docstring)."""
+    Deterministic end-to-end (see module docstring).
+
+    Codebook Lloyd iterations train on a deterministic strided sample of
+    ~``train_per_centroid * k`` vectors (the build_ivf_index rule — FAISS
+    trains on ~256 points per centroid); the final ENCODE still covers
+    every vector. tstride clamps to 1 on small corpora, so small-SF
+    results are unchanged, and the stride is exact integer arithmetic the
+    SQL oracle mirrors."""
     sub = dim // n_sub
     vectors = vectors.cache()
     n = vectors.count()
@@ -55,9 +63,13 @@ def build_pq_index(
     books: list[list[list[float]]] = [
         [list(r.e[m * sub : (m + 1) * sub]) for r in seed_rows] for m in range(n_sub)
     ]
+    tstride = max(1, n // (k * train_per_centroid))
+    train = (
+        vectors if tstride == 1 else vectors.filter(F.col("id") % tstride == 0)
+    )
 
     for _ in range(iterations):
-        assigned = vectors.select(
+        assigned = train.select(
             "id",
             "e",
             *[

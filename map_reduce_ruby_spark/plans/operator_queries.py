@@ -268,8 +268,10 @@ def _ivf_sqdist_sql(e: str, c: str) -> str:
 
 
 def _ivf_iteration_sql(i: int) -> str:
-    """CTEs for Lloyd iteration i: assign a{i} against cs{i-1}, means m{i},
-    new centroid rows c{i} (empty cells keep c{i-1}'s centroid), list cs{i}."""
+    """CTEs for Lloyd iteration i: assign a{i} (over the training sample
+    tv, mirroring build_ivf_index's strided Lloyd sample) against cs{i-1},
+    means m{i}, new centroid rows c{i} (empty cells keep c{i-1}'s
+    centroid), list cs{i}."""
     p = i - 1
     return f"""
     a{i} AS (
@@ -277,7 +279,7 @@ def _ivf_iteration_sql(i: int) -> str:
         FROM (SELECT id, e,
                      list_transform((SELECT cs FROM cs{p}), c ->
                          {_ivf_sqdist_sql('e', 'c')}) AS d
-              FROM v)
+              FROM tv)
     ),
     m{i} AS (
         SELECT cell, pos,
@@ -307,6 +309,8 @@ IVF_AF_CTES = f"""
         FROM embeddings
     ),
     params AS (SELECT GREATEST(1, COUNT(*) // {_IVF_K}) AS stride FROM v),
+    tparams AS (SELECT GREATEST(1, COUNT(*) // {_IVF_K * 256}) AS tstride FROM v),
+    tv AS (SELECT id, e FROM v, tparams WHERE id % tstride = 0),
     c0 AS (
         SELECT CAST(id // stride AS BIGINT) AS cell, e AS ce
         FROM v, params
@@ -718,7 +722,7 @@ def _pq_subspace_ctes(m: int) -> str:
         FROM (SELECT id, sube,
                      list_transform((SELECT cs FROM cs{m}0), c ->
                          {_pq_sqdist_sql('sube', 'c')}) AS d
-              FROM (SELECT id, {_pq_sub_sql('e', m)} AS sube FROM v))
+              FROM (SELECT id, {_pq_sub_sql('e', m)} AS sube FROM tv))
     ),
     m{m}1 AS (
         SELECT cell, pos,
@@ -759,6 +763,8 @@ _PQ_ORACLE = (
         FROM embeddings
     ),
     params AS (SELECT GREATEST(1, COUNT(*) // {_PQ_K}) AS stride FROM v),
+    tparams AS (SELECT GREATEST(1, COUNT(*) // {_PQ_K * 256}) AS tstride FROM v),
+    tv AS (SELECT id, e FROM v, tparams WHERE id % tstride = 0),
     q AS (SELECT id AS qid, e AS qe FROM v WHERE id < {_PQ_NQ}),"""
     + ",".join(_pq_subspace_ctes(m) for m in range(_PQ_NSUB))
     + f""",
