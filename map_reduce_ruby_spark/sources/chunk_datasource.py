@@ -140,12 +140,29 @@ class _ChunkStreamReader(SimpleDataSourceStreamReader):
     This is the streaming face of the reference's Reducer#add_chunk flow
     (reference lib/map_reduce/reducer.rb:34-42): instead of registering
     chunks one call at a time, the engine watches the drop directory.
+
+    Backpressure: ``option("maxFilesPerTrigger", n)`` caps each
+    micro-batch at n files (the FileStreamSource knob, same name/meaning).
+    Without it, the FIRST batch against a large backlog is the whole
+    backlog — one giant micro-batch that holds the trigger (and any
+    downstream stateful operator's commit) hostage for the entire catch-up.
+    With it, catch-up is n files per trigger; the offset boundary advances
+    to the capped window's last file, so exactly-once replay across
+    restarts is unchanged mid-backlog.
     """
 
     def __init__(self, options: dict):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("mr_chunks stream requires a path")
+        mft = options.get("maxFilesPerTrigger") or options.get(
+            "maxfilespertrigger"  # DataSource options are case-lowered
+        )
+        self.max_files = int(mft) if mft is not None else None
+        if self.max_files is not None and self.max_files <= 0:
+            raise ValueError(
+                f"maxFilesPerTrigger must be a positive integer, got {mft!r}"
+            )
 
     def initialOffset(self) -> dict:
         return {"n": 0, "last": None}
@@ -176,11 +193,17 @@ class _ChunkStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         files = _resolve_files(self.path)
         self._validate(files, start)
+        lo = start["n"]
+        hi = (
+            len(files)
+            if self.max_files is None
+            else min(len(files), lo + self.max_files)
+        )
         end = {
-            "n": len(files),
-            "last": os.path.basename(files[-1]) if files else None,
+            "n": hi,
+            "last": os.path.basename(files[hi - 1]) if hi else None,
         }
-        return self._rows(files[start["n"] :]), end
+        return self._rows(files[lo:hi]), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
         files = _resolve_files(self.path)
