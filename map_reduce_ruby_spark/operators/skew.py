@@ -16,6 +16,26 @@ declared in the plan. For aggregates this cheap Spark's own partial
 aggregation usually suffices — salting matters when per-key state is large
 (collect_list-ish, large HLL sketches) or when AQE is unavailable; the
 operator exists so callers can opt in per query.
+
+DECISION RULE (proven plan-level in tests/test_aqe_skew.py, which drives a
+zipfian key through both paths and asserts SortMergeJoin(skew=true) fires):
+
+- JOIN skew, batch, sort-merge join  -> do nothing: AQE splits the
+  oversized shuffle partition at runtime (even mid-key, replicating the
+  other side's matching rows). This is the default remedy; it needs no
+  foresight about WHICH key is hot.
+- Aggregation skew                   -> salted_agg: AQE never splits a
+  groupBy key across tasks, so a hot key's aggregate state stays one
+  straggler without explicit two-stage salting.
+- JOIN skew where AQE can't act      -> salted_join: streaming joins,
+  broadcast-hash plans pinned by hints, or AQE disabled. Also when one
+  key is so hot a single post-split task would still exceed memory and
+  you want the split declared deterministically in the plan.
+- Caveat (plan-asserted in the test): a same-key aggregate DOWNSTREAM of
+  the join suppresses AQE's split — splitting would break the
+  co-partitioning the aggregate reuses, adding a shuffle AQE declines by
+  default. Set spark.sql.adaptive.forceOptimizeSkewedJoin=true to accept
+  that trade, or salt explicitly.
 """
 
 from __future__ import annotations
