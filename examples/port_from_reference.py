@@ -133,6 +133,49 @@ def port_4_object_store(spark) -> dict:
     return dict(reduced.collect())
 
 
+def port_5_s3(spark) -> dict:
+    """The same S3 story through the SHIPPED S3 backend (storage.S3Storage —
+    lazy boto3 client, single-PUT atomic publish, already registered for
+    s3:// URIs). In production this runs as-is against a real bucket once
+    boto3 + credentials exist; here the client is the file-backed
+    S3FileClientDouble implementing the same narrow boto3 surface, so the
+    entire mapper-upload -> manifest -> reducer-download flow (reference
+    README.md:55-91, worker for worker) executes through the real
+    S3Storage code paths with no network."""
+    import functools
+
+    from map_reduce_ruby_spark.sources.storage import (
+        S3FileClientDouble,
+        S3Storage,
+        register_storage_backend,
+    )
+
+    root = tempfile.mkdtemp()
+    register_storage_backend(
+        "s3", S3Storage(client_factory=functools.partial(S3FileClientDouble, root))
+    )
+    job = Job(
+        map_fn=lambda text: ((w, 1) for w in text.split()),  # mapper phase
+        reduce_fn=lambda key, a, b: a + b,
+        num_partitions=4,
+    )
+    # mappers "upload to S3": executor tasks publish chunks via the backend
+    pmap = job.shuffle_to_files(
+        spark, TEXTS, "s3://bucket/wordcount/gen0", shared_storage=True
+    )
+    # reducers "download from S3": resolve each chunk URI through the backend
+    store = S3Storage(client_factory=functools.partial(S3FileClientDouble, root))
+    dl_dir = tempfile.mkdtemp()
+    local = []
+    for uri in sorted(pmap.values()):
+        dst = os.path.join(dl_dir, os.path.basename(uri))
+        with open(dst, "w", encoding="utf-8") as f:
+            f.write(store.read_text(uri))
+        local.append(dst)
+    reduced = Job.reduce_files(spark, local, lambda k, a, b: a + b)
+    return dict(reduced.collect())
+
+
 def main() -> int:
     spark = get_spark(app_name="port_example", shuffle_partitions=4)
     expected = {
@@ -143,6 +186,7 @@ def main() -> int:
         ("Job API", port_2_job_api),
         ("shared-storage chunks", port_3_shared_storage),
         ("object-store handoff", port_4_object_store),
+        ("shipped s3 backend", port_5_s3),
     ]:
         got = fn(spark)
         assert got == expected, (name, got)

@@ -23,7 +23,7 @@ NUMERIC = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 STRINGS = [("l_returnflag", ["A", "N", "R"]), ("l_linestatus", ["O", "F"])]
 GROUPS = ["l_returnflag", "l_linestatus", "l_suppkey % 7", "l_partkey % 5"]
 
-N_QUERIES = 44  # 11 arms x 4 runs each per seed
+N_QUERIES = 52  # 13 arms x 4 runs each per seed
 
 
 # (l_orderkey, l_linenumber) is NOT unique in the fixture; this 7-column
@@ -268,6 +268,101 @@ def _gen_lateral_query(rng: random.Random) -> str:
     )
 
 
+def _gen_hof_lambda_query(rng: random.Random) -> tuple[str, str]:
+    """HOF-lambda/array arm (two-dialect: the lambda function NAMES differ
+    per engine, so this arm returns a (spark_sql, duckdb_sql) pair built
+    from one seeded template — semantics identical, names translated).
+    Exercises the documented hazard class: computed arrays consumed by
+    transform/filter/aggregate lambdas (no CSE inside lambda bodies on
+    either engine), element access on sorted arrays, distinct counts."""
+    minlen = rng.randint(10, 200)
+    lmin = rng.randint(2, 7)
+    key = rng.choice(["lang", "source"])
+    # (spark expression, duckdb expression) pairs over toks = split(text,' ')
+    shapes = [
+        (
+            "CAST(SUM(size(filter(split(text, ' '), x -> length(x) >= "
+            f"{lmin}))) AS BIGINT)",
+            "CAST(SUM(len(list_filter(string_split(text, ' '), x -> "
+            f"length(x) >= {lmin}))) AS BIGINT)",
+        ),
+        (
+            "CAST(SUM(aggregate(transform(split(text, ' '), x -> length(x)), "
+            "0L, (a, x) -> a + x)) AS BIGINT)",
+            "CAST(SUM(list_sum(list_transform(string_split(text, ' '), "
+            "x -> length(x)))) AS BIGINT)",
+        ),
+        (
+            "CAST(SUM(array_max(transform(split(text, ' '), x -> length(x)))) "
+            "AS BIGINT)",
+            "CAST(SUM(list_max(list_transform(string_split(text, ' '), "
+            "x -> length(x)))) AS BIGINT)",
+        ),
+        (
+            "CAST(SUM(size(array_distinct(split(text, ' ')))) AS BIGINT)",
+            "CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS BIGINT)",
+        ),
+        (
+            # element access on a computed sorted array (1-based both sides:
+            # element_at vs DuckDB list indexing)
+            "COUNT(DISTINCT element_at(array_sort(split(text, ' ')), 1))",
+            "COUNT(DISTINCT (list_sort(string_split(text, ' ')))[1])",
+        ),
+    ]
+    s_expr, d_expr = rng.choice(shapes)
+    tpl = (
+        "SELECT {key}, COUNT(*) AS cnt, {expr} AS a0 "
+        "FROM documents WHERE length(text) >= {minlen} GROUP BY {key}"
+    )
+    return (
+        tpl.format(key=key, expr=s_expr, minlen=minlen),
+        tpl.format(key=key, expr=d_expr, minlen=minlen),
+    )
+
+
+def _gen_decimal_boundary_query(rng: random.Random) -> str:
+    """DECIMAL-boundary arm: money product-aggregates near the documented
+    double->DECIMAL rounding asymmetry (Spark casts via Java's
+    shortest-string repr + HALF_UP; DuckDB via the full binary value).
+    The integer-cents law: ROUND(measure*100) factors are exact small
+    integers, their products sum exactly in DECIMAL(38,0), and ONE final
+    division to double is identical on both engines — no boundary exists.
+    The arm generates 2- and 3-factor revenue shapes under varied
+    predicates/keys; any drift from the law is a divergence."""
+    q = round(rng.uniform(5, 45), 1)
+    key = rng.choice(["l_returnflag", "l_linestatus", "l_suppkey % 7"])
+    cents = {
+        "price": "CAST(ROUND(l_extendedprice * 100) AS BIGINT)",
+        "disc": "CAST(ROUND((1 - l_discount) * 100) AS BIGINT)",
+        "tax": "CAST(ROUND((1 + l_tax) * 100) AS BIGINT)",
+        "qty": "CAST(ROUND(l_quantity * 100) AS BIGINT)",
+    }
+    form = rng.choice(["two", "three", "qty_price"])
+    if form == "two":
+        prod = f"{cents['price']} * {cents['disc']}"
+        scale = "10000.0"
+    elif form == "three":
+        prod = f"{cents['price']} * {cents['disc']} * {cents['tax']}"
+        scale = "1000000.0"
+    else:
+        prod = f"{cents['qty']} * {cents['price']}"
+        scale = "10000.0"
+    return (
+        f"SELECT {key} AS g0, COUNT(*) AS cnt, "
+        f"CAST(COALESCE(SUM(CAST({prod} AS DECIMAL(38,0))), 0) AS DOUBLE) "
+        f"/ {scale} AS money "
+        f"FROM lineitem WHERE l_quantity < {q} GROUP BY {key}"
+    )
+
+
+def two_sided(gen_result) -> tuple[str, str]:
+    """Arms return either one shared-dialect SQL string or a
+    (spark_sql, duckdb_sql) pair; normalize to a pair."""
+    if isinstance(gen_result, tuple):
+        return gen_result
+    return gen_result, gen_result
+
+
 def _gen_query(rng: random.Random) -> str:
     preds = []
     for _ in range(rng.randint(1, 3)):
@@ -348,6 +443,8 @@ ARMS = [
     _gen_conditional_agg_query,
     _gen_date_query,
     _gen_lateral_query,
+    _gen_hof_lambda_query,
+    _gen_decimal_boundary_query,
 ]
 
 
@@ -356,10 +453,10 @@ def test_differential_sql_corpus(spark, oracle, views, seed):
     rng = random.Random(seed)
     failures = []
     for i in range(N_QUERIES):
-        sql = ARMS[i % len(ARMS)](rng)
-        spark_pdf = spark.sql(sql).toPandas()
-        oracle_pdf = oracle.sql(sql).df()
+        spark_sql, duck_sql = two_sided(ARMS[i % len(ARMS)](rng))
+        spark_pdf = spark.sql(spark_sql).toPandas()
+        oracle_pdf = oracle.sql(duck_sql).df()
         problems = compare(f"fuzz{i}", spark_pdf, oracle_pdf)
         if problems:
-            failures.append((sql, problems))
+            failures.append((spark_sql, problems))
     assert not failures, failures[:3]

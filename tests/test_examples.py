@@ -10,6 +10,25 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def test_port_from_reference_example():
+    """All five porting flows — compat facade, Job API, shared-storage
+    chunks, registered object-store backend, and the SHIPPED s3 backend
+    (mapper-upload -> manifest -> reducer-download via S3Storage with the
+    boto3-surface double) — must run end-to-end and agree on the totals."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "port_from_reference.py")],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    for marker in (
+        "compat facade", "Job API", "shared-storage chunks",
+        "object-store handoff", "shipped s3 backend",
+    ):
+        assert f"{marker}: OK" in out.stdout, out.stdout
+
+
 def test_pretraining_pipeline_example(sf_dir, tmp_path):
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "examples", "pretraining_pipeline.py"),

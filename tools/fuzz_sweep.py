@@ -40,16 +40,18 @@ def main() -> int:
     for seed in seeds:
         rng = random.Random(seed)
         for i in range(fz.N_QUERIES):
-            sql = fz.ARMS[i % len(fz.ARMS)](rng)
+            spark_sql, duck_sql = fz.two_sided(fz.ARMS[i % len(fz.ARMS)](rng))
             total += 1
             try:
                 problems = compare(
-                    f"s{seed}q{i}", spark.sql(sql).toPandas(), con.sql(sql).df()
+                    f"s{seed}q{i}",
+                    spark.sql(spark_sql).toPandas(),
+                    con.sql(duck_sql).df(),
                 )
             except Exception as e:  # engine exception = divergence too
                 problems = [f"exception: {e}"]
             if problems:
-                fails.append((seed, i, sql, problems))
+                fails.append((seed, i, spark_sql, problems))
         print(f"seed {seed}: done ({total} total, {len(fails)} failures)", flush=True)
 
     print(f"SWEEP: {total} queries, {len(fails)} divergences")
