@@ -8,7 +8,12 @@ from map_reduce_ruby_spark.operators.connected_components import (
 )
 from map_reduce_ruby_spark.operators.prefix_sum import exclusive_prefix_sum
 from map_reduce_ruby_spark.operators.range_join import range_join
-from map_reduce_ruby_spark.operators.ivf import build_ivf_index, ivf_search
+from map_reduce_ruby_spark.operators.ivf import (
+    adaptive_cell_count,
+    adaptive_nprobe,
+    build_ivf_index,
+    ivf_search,
+)
 from map_reduce_ruby_spark.operators.pq import (
     build_ivf_pq_index,
     build_pq_index,
@@ -33,6 +38,8 @@ __all__ = [
     "connected_components_star",
     "exclusive_prefix_sum",
     "range_join",
+    "adaptive_cell_count",
+    "adaptive_nprobe",
     "build_ivf_index",
     "ivf_search",
     "build_pq_index",

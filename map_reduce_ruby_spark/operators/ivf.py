@@ -39,6 +39,31 @@ from pyspark.sql import functions as F
 # NAMES, not Columns (see plans/similarity_queries.py for the same pattern).
 
 
+def adaptive_cell_count(n: int, kmin: int = 16, kmax: int = 1024) -> int:
+    """Scale-adaptive cell count: k = clamp(2^(floor(bitlen(n)/2)), kmin, kmax)
+    — the power-of-two ~sqrt(n), in exact integer arithmetic so an independent
+    engine derives the identical k from the same row count (DuckDB:
+    ``1 << (LENGTH(BIN(n)) // 2)``; no libm, no float boundary).
+
+    Why sqrt: assignment cost is n*k and within-cell pair cost (SemDeDup) is
+    ~n^2/k; k ~ sqrt(n) balances both at n^1.5 — a FIXED k leaves the pair
+    term O(n^2), the saturation cliff class the adaptive SimHash banding
+    removed. Above kmax (n > ~2^20) the literal centroid matrix should move
+    from a parsed SQL literal to a broadcast centroid table — the knob is the
+    centroid transport, the plan shape (narrow argmin assign + cell equi-join)
+    is unchanged."""
+    if n <= 0:
+        return kmin
+    return min(kmax, max(kmin, 1 << (n.bit_length() // 2)))
+
+
+def adaptive_nprobe(k: int) -> int:
+    """nprobe = max(2, k // 8): holds the probed-cell FRACTION (~1/8) constant
+    as k scales, so recall does not collapse when the corpus (and therefore k)
+    grows. DuckDB twin: ``GREATEST(2, k // 8)``."""
+    return max(2, k // 8)
+
+
 def _dot(a: str, b: str, dim: int) -> Column:
     return F.expr(
         " + ".join(
@@ -99,11 +124,13 @@ def assign_cells(vectors: DataFrame, centroids: list[list[float]]) -> DataFrame:
 
 
 def build_ivf_index(
-    vectors: DataFrame, k: int = 16, iterations: int = 2,
+    vectors: DataFrame, k: int | None = 16, iterations: int = 2,
     train_per_centroid: int = 256,
 ) -> tuple[DataFrame, list[list[float]]]:
     """vectors: (id: long, e: array<double>). Returns (assignments(id, e, cell),
     centroids as a k x dim Python list). Deterministic end-to-end.
+    ``k=None`` derives the scale-adaptive cell count from the corpus row
+    count (adaptive_cell_count — power-of-two ~sqrt(n)).
 
     TRAINING SAMPLE: Lloyd iterations run over a deterministic strided
     sample of ~``train_per_centroid * k`` vectors (FAISS's default trains
@@ -123,6 +150,8 @@ def build_ivf_index(
     (MLlib KMeans does the same)."""
     vectors = vectors.cache()
     n = vectors.count()
+    if k is None:
+        k = adaptive_cell_count(n)
     stride = max(1, n // k)
     init_ids = [i * stride for i in range(k)]
     seed_rows = (

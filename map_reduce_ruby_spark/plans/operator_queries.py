@@ -254,10 +254,24 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SQL. Strided seed ids, 2 Lloyd iterations, argmin ties -> lowest cell,
 # scaled-int64 centroid sums (see operators/ivf.py — integer addition makes
 # the update order-independent, so an independent engine CAN reproduce it),
-# nprobe=2 probe selection, exact-cosine rerank. Each iteration is one
+# adaptive-nprobe probe selection, exact-cosine rerank. Each iteration is one
 # assign/update CTE pair generated below.
 
-_IVF_K, _IVF_DIM, _IVF_NPROBE, _IVF_TOPK, _IVF_NQ = 16, 64, 2, 5, 10
+_IVF_DIM, _IVF_TOPK, _IVF_NQ = 64, 5, 10
+
+# Scale-adaptive cell count / probe width (operators/ivf.py
+# adaptive_cell_count / adaptive_nprobe): k = clamp(2^(bitlen(n)//2), 16,
+# 1024) ~ sqrt(n), nprobe = max(2, k//8). Both derive from COUNT(*) in exact
+# integer arithmetic — LENGTH(BIN(n)) is DuckDB's bit length — so the oracle
+# computes the identical (k, nprobe) pair with no libm boundary. A FIXED k
+# would leave SemDeDup's within-cell pair cost O(n^2/k): the same saturation
+# class the adaptive SimHash banding removed.
+_IVF_K_SQL = "(SELECT k FROM kp)"
+_IVF_NPROBE_SQL = "(SELECT GREATEST(2, k // 8) FROM kp)"
+_IVF_KP_CTE = (
+    "kp AS (SELECT LEAST(1024, GREATEST(16,"
+    " (CAST(1 AS BIGINT) << (LENGTH(BIN(COUNT(*))) // 2)))) AS k FROM v)"
+)
 
 
 def _ivf_sqdist_sql(e: str, c: str) -> str:
@@ -291,7 +305,7 @@ def _ivf_iteration_sql(i: int) -> str:
     ),
     c{i} AS (
         SELECT g.cell, COALESCE(mm.me, p.ce) AS ce
-        FROM (SELECT unnest(range(0, {_IVF_K})) AS cell) g
+        FROM (SELECT unnest(range(0, {_IVF_K_SQL})) AS cell) g
         LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS me
                    FROM m{i} GROUP BY cell) mm USING (cell)
         LEFT JOIN c{p} p USING (cell)
@@ -308,13 +322,15 @@ IVF_AF_CTES = f"""
         SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         FROM embeddings
     ),
-    params AS (SELECT GREATEST(1, COUNT(*) // {_IVF_K}) AS stride FROM v),
-    tparams AS (SELECT GREATEST(1, COUNT(*) // {_IVF_K * 256}) AS tstride FROM v),
+    {_IVF_KP_CTE},
+    params AS (SELECT GREATEST(1, COUNT(*) // {_IVF_K_SQL}) AS stride FROM v),
+    tparams AS (SELECT GREATEST(1, COUNT(*) // ({_IVF_K_SQL} * 256)) AS tstride
+                FROM v),
     tv AS (SELECT id, e FROM v, tparams WHERE id % tstride = 0),
     c0 AS (
         SELECT CAST(id // stride AS BIGINT) AS cell, e AS ce
         FROM v, params
-        WHERE id % stride = 0 AND id // stride < {_IVF_K}
+        WHERE id % stride = 0 AND id // stride < {_IVF_K_SQL}
     ),
     cs0 AS (SELECT list(ce ORDER BY cell) AS cs FROM c0),
     {_ivf_iteration_sql(1)},
@@ -339,7 +355,7 @@ _IVF_ORACLE = f"""
             SELECT qid, qe, cell,
                    row_number() OVER (PARTITION BY qid ORDER BY d, cell) AS rn
             FROM qd
-        ) WHERE rn <= {_IVF_NPROBE}
+        ) WHERE rn <= {_IVF_NPROBE_SQL}
     ),
     scored AS (
         SELECT p.qid AS query_id, a.id AS neighbor_id,
@@ -362,8 +378,10 @@ _IVF_ORACLE = f"""
     "knn_ivf",
     oracle=_IVF_ORACLE,
     doc="IVF (inverted-file) ANN (operators/ivf.py): deterministic k-means "
-    "over the embedding corpus (16 cells, 2 Lloyd iterations, every step a "
-    "DataFrame plan), then queries probe their 2 nearest cells and rank "
+    "over the embedding corpus (SCALE-ADAPTIVE cell count k ~ sqrt(n) — "
+    "adaptive_cell_count, 2 Lloyd iterations, every step a DataFrame plan), "
+    "then queries probe their nprobe = max(2, k/8) nearest cells (constant "
+    "probed fraction as k scales) and rank "
     "candidates by exact cosine. The FAISS IVF-flat layout re-expressed "
     "relationally: broadcast centroids, narrow assignment scan, candidate "
     "equi-join on cell id. The oracle rebuilds the whole pipeline — strided "
@@ -387,7 +405,11 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = v.filter(F.col("id") < 10).select(
         F.col("id").alias("qid"), F.col("e").alias("qe")
     )
-    return ivf_search(assignments, centroids, queries, top_k=5, nprobe=2)
+    from map_reduce_ruby_spark.operators import adaptive_nprobe
+
+    return ivf_search(
+        assignments, centroids, queries, top_k=5, nprobe=adaptive_nprobe(len(centroids))
+    )
 
 
 def _ivf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -422,7 +444,7 @@ def ivf_index_for(spark: SparkSession, sf_dir: str):
             # CacheManager (MEMORY_AND_DISK, LRU-evictable under pressure);
             # nothing referenced here to unpersist explicitly
             _IVF_INDEX_MEMO.clear()
-        _IVF_INDEX_MEMO[key] = build_ivf_index(v, k=_IVF_K, iterations=2)
+        _IVF_INDEX_MEMO[key] = build_ivf_index(v, k=None, iterations=2)
     return _IVF_INDEX_MEMO[key]
 
 
@@ -713,7 +735,7 @@ def _pq_subspace_ctes(m: int) -> str:
     return f"""
     s{m}0 AS (
         SELECT CAST(id // stride AS BIGINT) AS cell, {_pq_sub_sql('e', m)} AS ce
-        FROM v, params
+        FROM v, pqparams
         WHERE id % stride = 0 AND id // stride < {_PQ_K}
     ),
     cs{m}0 AS (SELECT list(ce ORDER BY cell) AS cs FROM s{m}0),
@@ -722,7 +744,7 @@ def _pq_subspace_ctes(m: int) -> str:
         FROM (SELECT id, sube,
                      list_transform((SELECT cs FROM cs{m}0), c ->
                          {_pq_sqdist_sql('sube', 'c')}) AS d
-              FROM (SELECT id, {_pq_sub_sql('e', m)} AS sube FROM tv))
+              FROM (SELECT id, {_pq_sub_sql('e', m)} AS sube FROM pqtv))
     ),
     m{m}1 AS (
         SELECT cell, pos,
@@ -762,9 +784,9 @@ _PQ_ORACLE = (
         SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         FROM embeddings
     ),
-    params AS (SELECT GREATEST(1, COUNT(*) // {_PQ_K}) AS stride FROM v),
-    tparams AS (SELECT GREATEST(1, COUNT(*) // {_PQ_K * 256}) AS tstride FROM v),
-    tv AS (SELECT id, e FROM v, tparams WHERE id % tstride = 0),
+    pqparams AS (SELECT GREATEST(1, COUNT(*) // {_PQ_K}) AS stride FROM v),
+    pqtparams AS (SELECT GREATEST(1, COUNT(*) // {_PQ_K * 256}) AS tstride FROM v),
+    pqtv AS (SELECT id, e FROM v, pqtparams WHERE id % tstride = 0),
     q AS (SELECT id AS qid, e AS qe FROM v WHERE id < {_PQ_NQ}),"""
     + ",".join(_pq_subspace_ctes(m) for m in range(_PQ_NSUB))
     + f""",
@@ -857,6 +879,9 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_PQ_ORACLE = (
     f"""
     WITH {IVF_AF_CTES},
+    pqparams AS (SELECT GREATEST(1, COUNT(*) // {_PQ_K}) AS stride FROM v),
+    pqtparams AS (SELECT GREATEST(1, COUNT(*) // {_PQ_K * 256}) AS tstride FROM v),
+    pqtv AS (SELECT id, e FROM v, pqtparams WHERE id % tstride = 0),
     q AS (SELECT id AS qid, e AS qe FROM v WHERE id < {_PQ_NQ}),"""
     + ",".join(_pq_subspace_ctes(m) for m in range(_PQ_NSUB))
     + f""",
@@ -877,7 +902,7 @@ _IVF_PQ_ORACLE = (
             SELECT qid, cell,
                    row_number() OVER (PARTITION BY qid ORDER BY d, cell) AS rn
             FROM qd
-        ) WHERE rn <= {_IVF_NPROBE}
+        ) WHERE rn <= {_IVF_NPROBE_SQL}
     ),
     scored AS (
         SELECT p.qid AS query_id, a.id AS neighbor_id,
@@ -921,7 +946,7 @@ _IVF_PQ_ORACLE = (
     doc="Composed IVF + PQ ANN — FAISS's IVFADC layout (Jegou et al. §V; "
     "operators/pq.py ivf_pq_search): the session's IVF cell index and PQ "
     "codebooks join into one (id, cell, codes) table, queries probe their "
-    "2 nearest cells, and ONLY probed-cell members are scored — by ADC "
+    "adaptive-nprobe nearest cells, and ONLY probed-cell members are scored — by ADC "
     "lookup-table sums over 8-byte codes, no per-pair vector math — then "
     "exact cosine reranks the top-100 shortlist. This is the entry that "
     "proves the claim knn_pq/knn_sq8 delegate: candidate generation is "
@@ -936,7 +961,7 @@ _IVF_PQ_ORACLE = (
     tags=("similarity", "ann", "ivf", "quantization", "custom-operator"),
 )
 def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from map_reduce_ruby_spark.operators import ivf_pq_search
+    from map_reduce_ruby_spark.operators import adaptive_nprobe, ivf_pq_search
 
     idx = ivf_pq_index_for(spark, sf_dir)
     if idx is None:  # empty corpus: schema-stable empty result
@@ -956,7 +981,7 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         v,
         dim=_IVF_DIM,
         top_k=_IVF_TOPK,
-        nprobe=_IVF_NPROBE,
+        nprobe=adaptive_nprobe(len(centroids)),
         rerank=_PQ_RERANK,
     )
 

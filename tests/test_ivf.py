@@ -138,3 +138,29 @@ def test_pq_build_small_corpus(spark):
     codes, books = build_pq_index(v, dim=16, n_sub=4, k=16, iterations=1)
     assert codes.count() == 5
     assert all(len(b) == 5 for b in books)  # 5 seeds < k=16
+
+
+def test_adaptive_cell_count_matches_sql_derivation():
+    """The Python k/nprobe derivation must equal the oracle's integer-SQL
+    twin (plans/operator_queries._IVF_KP_CTE: 1 << (LENGTH(BIN(n)) // 2),
+    clamped) for every corpus size, including the clamp boundaries — the
+    lockstep that keeps both engines building the identical index."""
+    import duckdb
+
+    from map_reduce_ruby_spark.operators import adaptive_cell_count, adaptive_nprobe
+
+    ns = [1, 2, 15, 16, 255, 256, 500, 2000, 20000, 60000, 2**20 - 1, 2**20, 2**24]
+    got = [
+        tuple(r)
+        for r in duckdb.sql(
+            "SELECT n, LEAST(1024, GREATEST(16,"
+            " (CAST(1 AS BIGINT) << (LENGTH(BIN(n)) // 2)))) AS k"
+            f" FROM (SELECT unnest({ns}) AS n)"
+        ).fetchall()
+    ]
+    for n, k_sql in got:
+        assert adaptive_cell_count(int(n)) == int(k_sql), (n, k_sql)
+        # nprobe never exceeds k and keeps the ~1/8 fraction
+        np = adaptive_nprobe(int(k_sql))
+        assert 2 <= np <= int(k_sql)
+        assert duckdb.sql(f"SELECT GREATEST(2, {int(k_sql)} // 8)").fetchone()[0] == np
