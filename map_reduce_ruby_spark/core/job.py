@@ -237,13 +237,18 @@ class Job:
 
             backend = storage_for(out_dir)  # raises for unregistered schemes
             manifest_uri = join_uri(out_dir, MANIFEST_NAME)
-            if backend.exists(manifest_uri):
+            # COMPLETED generation only (manifest + _SUCCESS): a manifest
+            # without the marker is a crashed half-commit, and rewriting it
+            # is the recovery path (mirrors _ChunkWriter's plan-time guard).
+            if backend.exists(manifest_uri) and backend.exists(
+                join_uri(out_dir, "_SUCCESS")
+            ):
                 raise ValueError(
-                    f"{out_dir!r} already holds a chunk generation "
-                    f"({MANIFEST_NAME} present) — the append-mode writer "
-                    "would interleave generations and the path map would "
-                    "return stale chunks; write each shuffle to a fresh "
-                    "generation directory"
+                    f"{out_dir!r} already holds a completed chunk generation "
+                    f"({MANIFEST_NAME} + _SUCCESS present) — the append-mode "
+                    "writer would interleave generations and the path map "
+                    "would return stale chunks; write each shuffle to a "
+                    "fresh generation directory"
                 )
         else:
             os.makedirs(out_dir, exist_ok=True)

@@ -440,9 +440,11 @@ def ivf_index_for(spark: SparkSession, sf_dir: str):
         if v.isEmpty():
             return None
         if len(_IVF_INDEX_MEMO) > 8:  # a handful of sf_dirs per session at most
-            # the build's vectors.cache() is plan-keyed in Spark's
-            # CacheManager (MEMORY_AND_DISK, LRU-evictable under pressure);
-            # nothing referenced here to unpersist explicitly
+            # build_ivf_index returns a .cache()'d assignments frame (the
+            # persisted-index stand-in): release it on eviction like the
+            # sibling memos, or the pinned entries outlive their dict slots
+            for cached_assignments, _c in _IVF_INDEX_MEMO.values():
+                cached_assignments.unpersist()
             _IVF_INDEX_MEMO.clear()
         _IVF_INDEX_MEMO[key] = build_ivf_index(v, k=None, iterations=2)
     return _IVF_INDEX_MEMO[key]
@@ -730,6 +732,15 @@ def _pq_sqdist_sql(a: str, b: str) -> str:
     )
 
 
+# PQ training-sample CTEs — shared by _PQ_ORACLE and _IVF_PQ_ORACLE so the
+# stride arithmetic stays in lockstep with build_pq_index's
+# (k * train_per_centroid) rule in ONE place; the pq prefix keeps these
+# decoupled from the IVF chain's (now adaptive) params/tv.
+PQ_PARAMS_CTES = f"""pqparams AS (SELECT GREATEST(1, COUNT(*) // {_PQ_K}) AS stride FROM v),
+    pqtparams AS (SELECT GREATEST(1, COUNT(*) // {_PQ_K * 256}) AS tstride FROM v),
+    pqtv AS (SELECT id, e FROM v, pqtparams WHERE id % tstride = 0)"""
+
+
 def _pq_subspace_ctes(m: int) -> str:
     """Seeds -> one Lloyd iteration -> final codebook for subspace m."""
     return f"""
@@ -784,9 +795,7 @@ _PQ_ORACLE = (
         SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         FROM embeddings
     ),
-    pqparams AS (SELECT GREATEST(1, COUNT(*) // {_PQ_K}) AS stride FROM v),
-    pqtparams AS (SELECT GREATEST(1, COUNT(*) // {_PQ_K * 256}) AS tstride FROM v),
-    pqtv AS (SELECT id, e FROM v, pqtparams WHERE id % tstride = 0),
+    {PQ_PARAMS_CTES},
     q AS (SELECT id AS qid, e AS qe FROM v WHERE id < {_PQ_NQ}),"""
     + ",".join(_pq_subspace_ctes(m) for m in range(_PQ_NSUB))
     + f""",
@@ -879,9 +888,7 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_PQ_ORACLE = (
     f"""
     WITH {IVF_AF_CTES},
-    pqparams AS (SELECT GREATEST(1, COUNT(*) // {_PQ_K}) AS stride FROM v),
-    pqtparams AS (SELECT GREATEST(1, COUNT(*) // {_PQ_K * 256}) AS tstride FROM v),
-    pqtv AS (SELECT id, e FROM v, pqtparams WHERE id % tstride = 0),
+    {PQ_PARAMS_CTES},
     q AS (SELECT id AS qid, e AS qe FROM v WHERE id < {_PQ_NQ}),"""
     + ",".join(_pq_subspace_ctes(m) for m in range(_PQ_NSUB))
     + f""",

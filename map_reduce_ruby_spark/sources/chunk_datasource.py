@@ -247,6 +247,30 @@ class _ChunkWriter(DataSourceWriter):
         # local/file:// paths via the default registry entries.
         blob = options.get("backend_pickle")
         self._backend = unpickle_backend(blob) if blob else storage_for(self.path)
+        # One COMPLETED write-generation per directory, enforced BEFORE any
+        # task runs: chunk filenames are deterministic (chunk-<pid>.jsonl),
+        # so a second write's tasks would os.replace the first generation's
+        # files before a commit()-time check could fire — the surviving
+        # gen-1 manifest would then silently serve gen-2 contents. Writer
+        # construction happens at plan time, ahead of task launch, so
+        # raising here keeps the existing generation untouched. A manifest
+        # WITHOUT _SUCCESS is a crashed half-commit: recovery overwrites are
+        # allowed (consumers never trusted it — they gate on _SUCCESS).
+        self._refuse_completed_generation()
+
+    def _refuse_completed_generation(self) -> None:
+        from map_reduce_ruby_spark.sources.storage import join_uri
+
+        if self._backend.exists(
+            join_uri(self.path, MANIFEST_NAME)
+        ) and self._backend.exists(join_uri(self.path, "_SUCCESS")):
+            raise RuntimeError(
+                f"chunk directory {self.path!r} already holds a completed "
+                "generation (_MANIFEST.json + _SUCCESS): the mr_chunks format "
+                "is one write-generation per directory (appending would "
+                "shadow the prior generation's files in manifest-based "
+                "reads). Write to a fresh directory."
+            )
 
     def write(self, iterator) -> _ChunkCommit:
         from pyspark import TaskContext
@@ -284,20 +308,13 @@ class _ChunkWriter(DataSourceWriter):
         backend.makedirs(self.path)
         # _MANIFEST.json: the authoritative partition->file map, built from
         # the tasks' commit messages (no listing). Describes THIS write —
-        # one generation per directory. Enforce that HERE, not just in
-        # Job.shuffle_to_files: batch readers prefer the manifest over a
-        # listing, so overwriting an existing manifest (e.g. a direct
-        # df.write append to the same directory) would silently drop the
-        # first generation's chunk files from every subsequent read even
-        # though they remain on disk.
-        manifest_uri = join_uri(self.path, MANIFEST_NAME)
-        if backend.exists(manifest_uri):
-            raise RuntimeError(
-                f"chunk directory {self.path!r} already holds a _MANIFEST.json: "
-                "the mr_chunks format is one write-generation per directory "
-                "(appending would shadow the prior generation's files in "
-                "manifest-based reads). Write to a fresh directory."
-            )
+        # one COMPLETED generation per directory. The primary guard runs at
+        # writer construction (before tasks — see __init__); re-checking
+        # here closes the window where a CONCURRENT writer completed a
+        # generation between our plan time and our commit. A manifest
+        # without _SUCCESS (crashed half-commit) is overwritten — that is
+        # the recovery path streaming fixtures rely on.
+        self._refuse_completed_generation()
         files = sorted(
             (
                 {"partition": int(m.partition_id), "file": m.filename, "rows": int(m.rows)}

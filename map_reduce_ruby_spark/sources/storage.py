@@ -84,9 +84,15 @@ class LocalStorage:
         tmp = os.path.join(
             os.path.dirname(path) or ".", _attempt_tmp_name(os.path.basename(path))
         )
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(text)
-        os.replace(tmp, path)
+        try:
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(text)
+            os.replace(tmp, path)
+        finally:
+            # per-attempt tmp names are never reused, so a failed attempt
+            # must reclaim its own staging file or it litters forever
+            if os.path.exists(tmp):
+                os.unlink(tmp)
 
     def delete(self, uri: str) -> None:
         """Optional operation (used by the writer's abort cleanup)."""
@@ -105,8 +111,14 @@ class LocalStorage:
         tmp = os.path.join(
             os.path.dirname(dst) or ".", _attempt_tmp_name(os.path.basename(dst))
         )
-        shutil.move(local_path, tmp)  # rename when same fs, copy+unlink across
-        os.replace(tmp, dst)
+        try:
+            shutil.move(local_path, tmp)  # rename same-fs, copy+unlink across
+            os.replace(tmp, dst)
+        finally:
+            # a failed attempt reclaims its own unique staging file (no
+            # later attempt reuses the name, so nothing else ever will)
+            if os.path.exists(tmp):
+                os.unlink(tmp)
 
 
 class PrefixMappedStorage(LocalStorage):
@@ -198,8 +210,29 @@ class S3Storage:
         try:
             self._c().head_object(Bucket=bucket, Key=key)
             return True
-        except Exception:
-            return False  # 404/NoSuchKey from boto3 or the injected double
+        except FileNotFoundError:
+            return False  # the injected double's missing-key signal
+        except Exception as e:
+            # ONLY a definite not-found maps to False. Credential, network,
+            # throttling, and import errors must propagate: exists() gates
+            # the one-generation-per-directory guards, and reading such a
+            # failure as "key absent" would wave an overwrite through —
+            # the exact stale-chunk corruption those guards exist to stop.
+            if self._is_not_found(e):
+                return False
+            raise
+
+    @staticmethod
+    def _is_not_found(e: Exception) -> bool:
+        """True iff ``e`` is botocore's 404/NoSuchKey ClientError shape
+        (checked structurally so the double and boto3-less envs need no
+        botocore import)."""
+        resp = getattr(e, "response", None)
+        if not isinstance(resp, dict):
+            return False
+        code = str(resp.get("Error", {}).get("Code", ""))
+        status = resp.get("ResponseMetadata", {}).get("HTTPStatusCode")
+        return code in ("404", "NoSuchKey", "NotFound") or status == 404
 
     def read_text(self, uri: str) -> str:
         bucket, key = self._bk(uri)
@@ -259,9 +292,13 @@ class S3FileClientDouble:
             os.path.dirname(dst), _attempt_tmp_name(os.path.basename(dst))
         )
         data = Body if isinstance(Body, (bytes, bytearray)) else Body.read()
-        with open(tmp, "wb") as f:
-            f.write(data)
-        os.replace(tmp, dst)  # mirror a PUT's all-or-nothing visibility
+        try:
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, dst)  # mirror a PUT's all-or-nothing visibility
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
 
     def upload_file(self, Filename: str, Bucket: str, Key: str) -> None:
         with open(Filename, "rb") as f:

@@ -4,6 +4,7 @@ the partitioned sink are first-class Spark surfaces, pinned by roundtrips."""
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -365,10 +366,17 @@ def test_chunk_writer_abort_leaves_no_committed_generation(spark, tmp_path):
     man = _json.loads((out / "_MANIFEST.json").read_text())
     assert [e["file"] for e in man["files"]] == ["chunk-00000.jsonl"]
 
-    # the abort cleanup itself, driven directly with a delivered message
-    stray = out / "chunk-00042.jsonl"
+    # the abort cleanup itself, driven directly with a delivered message.
+    # A separate dir: Spark's real abort path reuses the writer built at
+    # plan time (before any generation exists), but a DIRECT construction
+    # here would trip the plan-time completed-generation guard on `out`.
+    abort_dir = tmp_path / "abort_cleanup"
+    abort_dir.mkdir()
+    stray = abort_dir / "chunk-00042.jsonl"
     stray.write_text('["s",1]\n')
-    _ChunkWriter({"path": str(out)}).abort([_ChunkCommit(42, "chunk-00042.jsonl", 1), None])
+    _ChunkWriter({"path": str(abort_dir)}).abort(
+        [_ChunkCommit(42, "chunk-00042.jsonl", 1), None]
+    )
     assert not stray.exists()
 
 
@@ -530,18 +538,50 @@ def test_s3_storage_unit_surface(tmp_path):
 def test_chunk_writer_refuses_second_generation_at_datasource_level(
     spark, tmp_path
 ):
-    """commit() itself must refuse a directory that already holds a
-    _MANIFEST.json — not just Job.shuffle_to_files: batch reads prefer the
-    manifest, so a direct df.write append would silently shadow the first
-    generation's chunk files for every later reader."""
+    """The datasource itself must refuse a directory that already holds a
+    COMPLETED generation — not just Job.shuffle_to_files: batch reads prefer
+    the manifest, so a direct df.write append would silently shadow the
+    first generation's chunk files for every later reader. The guard fires
+    at writer construction (before any task runs): chunk filenames are
+    deterministic, so a commit()-time-only check would fire AFTER a second
+    write's tasks had already replaced the first generation's files — the
+    gen-1 manifest would then silently serve gen-2 contents. Refusal must
+    leave the first generation byte-identical."""
     df = spark.createDataFrame(
         [('"k"', "1")], "key_json string, value_json string"
     )
+    df2 = spark.createDataFrame(
+        [('"OTHER"', "999")], "key_json string, value_json string"
+    )
     out = str(tmp_path / "gen")
-    df.write.format("mr_chunks").mode("append").save(out)
+    df.coalesce(1).write.format("mr_chunks").mode("append").save(out)
     assert os.path.exists(os.path.join(out, "_MANIFEST.json"))
+    chunk = os.path.join(out, "chunk-00000.jsonl")
+    before = open(chunk, encoding="utf-8").read()
     with pytest.raises(Exception, match="one write-generation per directory"):
-        df.write.format("mr_chunks").mode("append").save(out)
+        df2.coalesce(1).write.format("mr_chunks").mode("append").save(out)
+    # the guard ran before tasks: gen-1's file was NOT clobbered by gen-2
+    assert open(chunk, encoding="utf-8").read() == before
+
+
+def test_chunk_writer_recovers_crashed_half_commit(spark, tmp_path):
+    """A _MANIFEST.json WITHOUT _SUCCESS is a crashed half-commit (the
+    commit writes the manifest first, the marker second): consumers never
+    trusted it, so a rewrite must be allowed — this is the self-healing
+    path streaming fixtures rely on. Only manifest + _SUCCESS together
+    block a second write."""
+    df = spark.createDataFrame(
+        [('"k"', "1")], "key_json string, value_json string"
+    )
+    out = str(tmp_path / "crashed")
+    df.coalesce(1).write.format("mr_chunks").mode("append").save(out)
+    os.remove(os.path.join(out, "_SUCCESS"))  # simulate dying mid-commit
+    df.coalesce(1).write.format("mr_chunks").mode("append").save(out)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    manifest = json.loads(
+        open(os.path.join(out, "_MANIFEST.json"), encoding="utf-8").read()
+    )
+    assert len(manifest["files"]) == 1
 
 
 def test_schema_evolution_merge_on_read(spark, sf_dir, tmp_path):
@@ -797,3 +837,70 @@ def test_chunk_stream_reader_replay_window(tmp_path):
 
     with pytest.raises(ValueError, match="offset violated"):
         reader.read(off2)
+
+
+def test_s3_exists_propagates_non_404_errors(tmp_path):
+    """exists() gates the one-generation guards, so only a definite
+    not-found may read as False; credential/network/import failures must
+    propagate or the guard would wave an overwrite through."""
+    import functools
+
+    from map_reduce_ruby_spark.sources.storage import S3FileClientDouble, S3Storage
+
+    class Forbidden(Exception):
+        def __init__(self):
+            super().__init__("403")
+            self.response = {
+                "Error": {"Code": "403"},
+                "ResponseMetadata": {"HTTPStatusCode": 403},
+            }
+
+    class NotFoundClientError(Exception):
+        def __init__(self):
+            super().__init__("404")
+            self.response = {
+                "Error": {"Code": "404"},
+                "ResponseMetadata": {"HTTPStatusCode": 404},
+            }
+
+    class FlakyClient(S3FileClientDouble):
+        mode = "forbidden"
+
+        def head_object(self, Bucket, Key):
+            if self.mode == "forbidden":
+                raise Forbidden()
+            raise NotFoundClientError()
+
+    st = S3Storage(client_factory=functools.partial(FlakyClient, str(tmp_path)))
+    with pytest.raises(Forbidden):
+        st.exists("s3://b/k")
+    FlakyClient.mode = "notfound"
+    st2 = S3Storage(client_factory=functools.partial(FlakyClient, str(tmp_path)))
+    assert st2.exists("s3://b/k") is False  # botocore 404 shape -> absent
+    # and the double's FileNotFoundError still reads as absent
+    st3 = S3Storage(
+        client_factory=functools.partial(S3FileClientDouble, str(tmp_path))
+    )
+    assert st3.exists("s3://b/missing") is False
+
+
+def test_atomic_writers_reclaim_tmp_on_failure(tmp_path):
+    """A failed atomic-write attempt must unlink its per-attempt staging
+    file: unique tmp names are never reused, so without reclamation every
+    retry would litter an invisible .tmp in the chunk directory."""
+    from map_reduce_ruby_spark.sources.storage import LocalStorage
+
+    class ExplodingStorage(LocalStorage):
+        def _p(self, uri):
+            return super()._p(uri)
+
+    st = LocalStorage()
+    dst = tmp_path / "sub" / "target.txt"
+    os.makedirs(dst.parent, exist_ok=True)
+    # write_text_atomic failure: make os.replace fail by pointing the
+    # destination at a directory
+    (tmp_path / "sub" / "isdir").mkdir()
+    with pytest.raises(OSError):
+        st.write_text_atomic(str(tmp_path / "sub" / "isdir"), "x")
+    leftovers = [p for p in os.listdir(tmp_path / "sub") if ".tmp" in p]
+    assert leftovers == [], leftovers
