@@ -45,6 +45,9 @@ REPRESENTATIVE = [
     "corpus_snapshot_diff",         # full outer over two empty gens
     "lateral_topk_customers",       # decorrelated lateral over empty dims
     "window_rank_breadth",          # nine window fns over empty partitions
+    # round-5 additions
+    "dedup_simhash_hamming",        # adaptive band width at n_docs = 0
+    "dedup_semantic_ivf",           # adaptive cell count over empty corpus
 ]
 
 
