@@ -687,6 +687,111 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The >2^18-docs continuation the adaptive-band docstring names: overlapping
+# CYCLIC windows over the same 60-bit signature. 6 tables; table t keys on
+# the 20 bits starting at offset 10*t (mod 60, so windows 4 and 5 wrap).
+# Every bit lies in exactly 2 windows (60 positions x 2 = 6 x 20), so a pair
+# differing in <= 2 bits invalidates at most 4 windows and shares >= 2 intact
+# ones — candidate generation is COMPLETE by the covering design, like the
+# disjoint-band pigeonhole but WITHOUT spending disjoint signature bits per
+# band: each table gets the full 2^20 buckets from the same 60 bits.
+_SH_BS_TABLES = 6   # covering design: every bit in exactly 2 of the 6 windows
+_SH_BS_BITS = 20    # window width -> 2^20 buckets per table
+_SH_BS_STEP = 10    # window t starts at bit 10*t (cyclic)
+
+_SH_BITSAMPLE_SQL = f"""
+    WITH sig AS ({_simhash_sig_sql(_SH_WIDTH)}),
+    tables AS (
+        SELECT doc_id, simhash, t.tab,
+               (((simhash >> ({_SH_BS_STEP} * t.tab))
+                 | ((simhash & ((1::BIGINT << ({_SH_BS_STEP} * t.tab)) - 1))
+                    << ({_SH_WIDTH} - {_SH_BS_STEP} * t.tab)))
+                & ((1::BIGINT << {_SH_BS_BITS}) - 1)) AS bucket
+        FROM sig, (SELECT UNNEST(range({_SH_BS_TABLES})) AS tab) t
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sig_a, b.simhash AS sig_b
+        FROM tables a JOIN tables b
+          ON a.tab = b.tab AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= {_HAMMING_MAX}
+"""
+
+
+@register(
+    "dedup_simhash_bitsample",
+    oracle=_SH_BITSAMPLE_SQL,
+    doc="The >2^18-docs continuation dedup_simhash_hamming's docstring "
+    "names, made concrete: k-of-n bit-sampled Hamming TABLES over the same "
+    "60-bit signature. 6 tables; table t keys on the 20-bit CYCLIC window "
+    "starting at bit 10t (windows 4-5 wrap around). Every signature bit "
+    "lies in exactly 2 windows (6 x 20 = 2 x 60), so a pair within hamming "
+    "2 invalidates at most 4 windows and always shares >= 2 intact ones — "
+    "completeness is a covering-design argument, as structural as the "
+    "disjoint-band pigeonhole, and the two entries must emit IDENTICAL "
+    "pair sets (pinned by tests/test_plans.py). Scale: where disjoint "
+    "bands cap at 60/3 = 20 bits and occupancy turns linear past ~2^18 "
+    "docs, overlapping windows give every table the full 2^20 buckets "
+    "from the same signature; more tables with a finer step extend the "
+    "same trade (tables x width >= 2 x bits keeps the hamming-2 proof). "
+    "Plan shape unchanged: explode 6 rows/doc, one shuffle on "
+    "(table, bucket), exact bit_count(XOR) verification.",
+    tags=("dedup", "simhash", "lsh"),
+)
+def dedup_simhash_bitsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _simhash_sig_df(spark, sf_dir, width=_SH_WIDTH)
+    lo_mask = [ (1 << (_SH_BS_STEP * t)) - 1 for t in range(_SH_BS_TABLES) ]
+    bucket_mask = (1 << _SH_BS_BITS) - 1
+    tables = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tab"),
+                        (
+                            F.shiftright("simhash", _SH_BS_STEP * t)
+                            .bitwiseOR(
+                                F.shiftleft(
+                                    F.col("simhash").bitwiseAND(lo_mask[t]),
+                                    _SH_WIDTH - _SH_BS_STEP * t,
+                                )
+                            )
+                            .bitwiseAND(bucket_mask)
+                        ).alias("bucket"),
+                    )
+                    for t in range(_SH_BS_TABLES)
+                ]
+            )
+        ).alias("w"),
+    ).select("doc_id", "simhash", "w.tab", "w.bucket")
+    a, b = tables.alias("a"), tables.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tab") == F.col("b.tab"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.filter(hamming <= _HAMMING_MAX).select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    )
+
+
 # Shared with dedup_persisted_index below: the persisted-index probe must
 # produce exactly what this in-query derivation produces.
 _INCR_MINHASH_ORACLE = f"""

@@ -47,6 +47,7 @@ REPRESENTATIVE = [
     "window_rank_breadth",          # nine window fns over empty partitions
     # round-5 additions
     "dedup_simhash_hamming",        # adaptive band width at n_docs = 0
+    "dedup_simhash_bitsample",      # cyclic-window tables over zero docs
     "dedup_semantic_ivf",           # adaptive cell count over empty corpus
 ]
 

@@ -245,3 +245,19 @@ def test_recursive_cte_surface(spark):
             SELECT COUNT(*) AS n FROM reach
             """
         ).collect()
+
+
+def test_simhash_bitsample_equals_banded_hamming(spark, sf_dir):
+    """Both complete candidate generators over the same 60-bit signature —
+    3 adaptive DISJOINT bands (pigeonhole) and 6 overlapping cyclic 20-bit
+    windows (covering design: every bit in exactly 2 windows, hamming<=2
+    kills at most 4) — must emit the IDENTICAL verified pair set: the exact
+    bit_count(XOR) filter makes candidate generation invisible whenever it
+    is complete. A divergence means one generator dropped a true pair."""
+    from map_reduce_ruby_spark.plans import all_entries
+
+    e = all_entries()
+    banded = set(map(tuple, e["dedup_simhash_hamming"].fn(spark, sf_dir).collect()))
+    sampled = set(map(tuple, e["dedup_simhash_bitsample"].fn(spark, sf_dir).collect()))
+    assert banded == sampled
+    assert len(banded) > 0  # non-vacuous: the fixture has near-dup families
