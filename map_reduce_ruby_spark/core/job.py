@@ -267,7 +267,8 @@ class Job:
             )
             # RDD -> (key_json, value_json) rows is a narrow map: partition
             # ids and in-partition sort order carry through to the writer,
-            # which emits chunk-<pid>.jsonl per task (TaskContext.partitionId)
+            # which emits chunk-<pid>-<writeid>.jsonl per task
+            # (TaskContext.partitionId + the writer's generation token)
             # and reports (partition, file, rows) in its commit message.
             from map_reduce_ruby_spark.sources.storage import pickle_backend
 

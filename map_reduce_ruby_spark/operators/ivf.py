@@ -206,8 +206,13 @@ def build_ivf_index(
     # k ~ sqrt(n) an uncached return recomputes n*k*dim ops on every
     # consumer action (measured: knn_ivf 4.8 s -> 33 s at sf1/k=128 when
     # left lazy). The cached frame IS the persisted IVF index a production
-    # pipeline stores; in-session it materializes once per build.
-    return assign_cells(vectors, centroids).cache(), centroids
+    # pipeline stores. It is materialized HERE (count) so the build-scoped
+    # input-vectors cache can be released before returning — otherwise
+    # every distinct corpus pins its vector cache for the whole session.
+    assignments = assign_cells(vectors, centroids).cache()
+    assignments.count()
+    vectors.unpersist()
+    return assignments, centroids
 
 
 def probe_cells_expr(

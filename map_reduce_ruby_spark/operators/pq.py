@@ -124,13 +124,19 @@ def build_pq_index(
             for m in range(n_sub)
         ]
 
+    # Cache + materialize the codes here (the build_ivf_index rule) so the
+    # build-scoped input-vectors cache can be released before returning —
+    # the returned frame is the persisted index artifact, the vectors cache
+    # was only ever build plumbing.
     codes = vectors.select(
         "id",
         *[
             _cell_expr(F.expr(_sub_expr("e", m, sub)), books[m]).alias(f"code{m}")
             for m in range(n_sub)
         ],
-    )
+    ).cache()
+    codes.count()
+    vectors.unpersist()
     return codes, books
 
 

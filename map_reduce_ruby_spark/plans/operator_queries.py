@@ -1046,7 +1046,8 @@ def pq_index_for(spark: SparkSession, sf_dir: str):
         codes, books = build_pq_index(
             v, dim=_IVF_DIM, n_sub=_PQ_NSUB, k=_PQ_K, iterations=1
         )
-        _PQ_INDEX_MEMO[key] = (codes.cache(), books)
+        # build_pq_index returns the codes already cached + materialized
+        _PQ_INDEX_MEMO[key] = (codes, books)
     return _PQ_INDEX_MEMO[key]
 
 

@@ -24,6 +24,7 @@ import glob as _glob
 import json
 import os
 import tempfile
+import uuid
 from typing import Iterator
 
 from pyspark.sql.datasource import (
@@ -70,12 +71,24 @@ class _ChunkReader(DataSourceReader):
         # read FROM ITS MANIFEST, not from a listing: a failed earlier
         # attempt can leave stray chunk files abort() never saw (its commit
         # message may not have reached the driver), and a listing would
-        # interleave those strays into the committed generation. Manifest-
-        # less directories (hand-built chunk sets, reference-produced
-        # uploads, streaming drop dirs) keep the listing behavior.
+        # interleave those strays into the committed generation. A manifest
+        # WITHOUT _SUCCESS is a crashed half-commit: its file list may be
+        # incomplete AND a recovery rewrite is allowed to swap the
+        # generation under us — refuse it loudly instead of planning from
+        # it. Manifest-less directories (hand-built chunk sets, reference-
+        # produced uploads, streaming drop dirs) keep the listing behavior.
         base = self.path[len("file://"):] if self.path.startswith("file://") else self.path
         manifest = os.path.join(base, MANIFEST_NAME)
         if os.path.isdir(base) and os.path.isfile(manifest):
+            if not os.path.isfile(os.path.join(base, "_SUCCESS")):
+                raise RuntimeError(
+                    f"chunk directory {self.path!r} holds a _MANIFEST.json "
+                    "without _SUCCESS — a crashed half-commit. Its manifest "
+                    "cannot be trusted (the write may be incomplete, and a "
+                    "recovery rewrite may replace the generation). Re-run "
+                    "the write (half-commits are overwritable) or delete "
+                    "the directory."
+                )
             with open(manifest, encoding="utf-8") as f:
                 files = [
                     os.path.join(base, e["file"]) for e in json.load(f)["files"]
@@ -132,9 +145,10 @@ class _ChunkStreamReader(SimpleDataSourceStreamReader):
     """Streaming reader: tail a directory of chunk files.
 
     Offset = {"n": k} — the first k files in lexicographic order are
-    committed. Contract (documented, matching the writer's chunk-%05d
-    naming): new files must sort AFTER already-ingested ones, which is how
-    a reference deployment's upload step names them. Each file is ingested
+    committed. Contract (documented, matching the writer's
+    chunk-%05d-<writeid> naming — within one write generation the pid
+    prefix dominates the sort): new files must sort AFTER already-ingested
+    ones, which is how a reference deployment's upload step names them. Each file is ingested
     exactly once; readBetweenOffsets replays a committed window for
     recovery, so restarts under a checkpoint neither skip nor duplicate.
     This is the streaming face of the reference's Reducer#add_chunk flow
@@ -155,14 +169,22 @@ class _ChunkStreamReader(SimpleDataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("mr_chunks stream requires a path")
-        mft = options.get("maxFilesPerTrigger") or options.get(
-            "maxfilespertrigger"  # DataSource options are case-lowered
-        )
-        self.max_files = int(mft) if mft is not None else None
-        if self.max_files is not None and self.max_files <= 0:
-            raise ValueError(
-                f"maxFilesPerTrigger must be a positive integer, got {mft!r}"
-            )
+        # single lookup with fallback (DataSource options are case-lowered;
+        # `get(A) or get(B)` would also silently drop a falsy value like "")
+        mft = options.get("maxfilespertrigger", options.get("maxFilesPerTrigger"))
+        if mft is None:
+            self.max_files = None
+        else:
+            try:
+                self.max_files = int(mft)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"maxFilesPerTrigger must be a positive integer, got {mft!r}"
+                ) from None
+            if self.max_files <= 0:
+                raise ValueError(
+                    f"maxFilesPerTrigger must be a positive integer, got {mft!r}"
+                )
 
     def initialOffset(self) -> dict:
         return {"n": 0, "last": None}
@@ -247,15 +269,21 @@ class _ChunkWriter(DataSourceWriter):
         # local/file:// paths via the default registry entries.
         blob = options.get("backend_pickle")
         self._backend = unpickle_backend(blob) if blob else storage_for(self.path)
+        # Generation token: chunk filenames embed a per-write id (minted
+        # once at plan time, shared by every task via pickling), so two
+        # writers racing on one directory can never os.replace each other's
+        # files — each generation's names are disjoint, and the manifest
+        # records which generation its file list belongs to. The loser of
+        # a race leaves strays with ITS token; manifest-based reads never
+        # see them.
+        self._write_id = uuid.uuid4().hex[:12]
         # One COMPLETED write-generation per directory, enforced BEFORE any
-        # task runs: chunk filenames are deterministic (chunk-<pid>.jsonl),
-        # so a second write's tasks would os.replace the first generation's
-        # files before a commit()-time check could fire — the surviving
-        # gen-1 manifest would then silently serve gen-2 contents. Writer
-        # construction happens at plan time, ahead of task launch, so
-        # raising here keeps the existing generation untouched. A manifest
-        # WITHOUT _SUCCESS is a crashed half-commit: recovery overwrites are
-        # allowed (consumers never trusted it — they gate on _SUCCESS).
+        # task runs. Writer construction happens at plan time, ahead of
+        # task launch, so raising here keeps the existing generation
+        # untouched (and saves the doomed job). A manifest WITHOUT _SUCCESS
+        # is a crashed half-commit: recovery overwrites are allowed
+        # (readers refuse half-commits — batch raises on manifest-sans-
+        # _SUCCESS, streaming fixtures gate on _SUCCESS).
         self._refuse_completed_generation()
 
     def _refuse_completed_generation(self) -> None:
@@ -278,7 +306,10 @@ class _ChunkWriter(DataSourceWriter):
         from map_reduce_ruby_spark.sources.storage import join_uri
 
         pid = TaskContext.get().partitionId()
-        name = f"chunk-{pid:05d}.jsonl"
+        # pid prefix first so lexicographic order within a generation is
+        # partition order (the streaming reader's increasing-names
+        # contract); the write-id suffix makes the name generation-unique.
+        name = f"chunk-{pid:05d}-{self._write_id}.jsonl"
         # Stream rows to executor-local scratch first, then publish the
         # finished file atomically through the storage backend — the same
         # shape an object-store upload takes (write local, one atomic PUT).
@@ -311,9 +342,10 @@ class _ChunkWriter(DataSourceWriter):
         # one COMPLETED generation per directory. The primary guard runs at
         # writer construction (before tasks — see __init__); re-checking
         # here closes the window where a CONCURRENT writer completed a
-        # generation between our plan time and our commit. A manifest
-        # without _SUCCESS (crashed half-commit) is overwritten — that is
-        # the recovery path streaming fixtures rely on.
+        # generation between our plan time and our commit: because chunk
+        # filenames are generation-unique (write-id suffix), the other
+        # writer's files are untouched by ours — losing this race leaves
+        # only our own strays, never a corrupted winner.
         self._refuse_completed_generation()
         files = sorted(
             (
@@ -323,7 +355,11 @@ class _ChunkWriter(DataSourceWriter):
             ),
             key=lambda e: e["partition"],
         )
-        manifest = {"format": "mr_chunks/1", "files": files}
+        manifest = {
+            "format": "mr_chunks/1",
+            "write_id": self._write_id,
+            "files": files,
+        }
         backend.write_text_atomic(
             join_uri(self.path, MANIFEST_NAME),
             json.dumps(manifest, separators=(",", ":")) + "\n",

@@ -329,6 +329,53 @@ def test_chunk_batch_read_prefers_manifest_over_listing(spark, tmp_path):
     assert rows2 == {'"x"', '"y"'}
 
 
+def test_chunk_batch_read_refuses_half_commit(spark, tmp_path):
+    """A directory with _MANIFEST.json but no _SUCCESS is a crashed
+    half-commit: the batch reader must refuse to plan from it (its file
+    list may be incomplete and a recovery rewrite may swap the generation
+    under the read) rather than silently trusting the manifest."""
+    from map_reduce_ruby_spark.sources import register_chunk_source
+
+    register_chunk_source(spark)
+    d = tmp_path / "half"
+    d.mkdir()
+    src = spark.createDataFrame(
+        [('"live"', "1")], "key_json string, value_json string"
+    ).coalesce(1)
+    src.write.format("mr_chunks").mode("append").save(str(d))
+    (d / "_SUCCESS").unlink()  # simulate the crash between manifest and marker
+    with pytest.raises(Exception, match="half-commit"):
+        spark.read.format("mr_chunks").load(str(d)).collect()
+
+
+def test_chunk_writes_are_generation_unique(spark, tmp_path):
+    """Chunk filenames embed the write generation's id (recorded in the
+    manifest), so a racing writer's tasks can never os.replace another
+    generation's files — the concurrent-writer guard at commit() detects
+    the race BEFORE any corruption, not after."""
+    import json as _json
+
+    from map_reduce_ruby_spark.sources import register_chunk_source
+
+    register_chunk_source(spark)
+
+    def write_gen(d):
+        spark.createDataFrame(
+            [('"k"', "1")], "key_json string, value_json string"
+        ).coalesce(1).write.format("mr_chunks").mode("append").save(str(d))
+        man = _json.loads((d / "_MANIFEST.json").read_text())
+        return man
+
+    d1, d2 = tmp_path / "g1", tmp_path / "g2"
+    m1, m2 = write_gen(d1), write_gen(d2)
+    # each manifest names its own generation, and the filenames carry it
+    assert m1["write_id"] != m2["write_id"]
+    for man, d in ((m1, d1), (m2, d2)):
+        for e in man["files"]:
+            assert man["write_id"] in e["file"]
+            assert (d / e["file"]).exists()
+
+
 def test_chunk_writer_abort_leaves_no_committed_generation(spark, tmp_path):
     """A failed write job must never look committed: no manifest, no
     success marker — and a retry into the same directory publishes a clean
@@ -364,7 +411,9 @@ def test_chunk_writer_abort_leaves_no_committed_generation(spark, tmp_path):
     ).coalesce(1)
     ok.write.format("mr_chunks").mode("append").save(str(out))
     man = _json.loads((out / "_MANIFEST.json").read_text())
-    assert [e["file"] for e in man["files"]] == ["chunk-00000.jsonl"]
+    files = [e["file"] for e in man["files"]]
+    # one file, partition 0, named with THIS generation's write-id suffix
+    assert len(files) == 1 and files[0] == f"chunk-00000-{man['write_id']}.jsonl"
 
     # the abort cleanup itself, driven directly with a delivered message.
     # A separate dir: Spark's real abort path reuses the writer built at
@@ -542,11 +591,9 @@ def test_chunk_writer_refuses_second_generation_at_datasource_level(
     COMPLETED generation — not just Job.shuffle_to_files: batch reads prefer
     the manifest, so a direct df.write append would silently shadow the
     first generation's chunk files for every later reader. The guard fires
-    at writer construction (before any task runs): chunk filenames are
-    deterministic, so a commit()-time-only check would fire AFTER a second
-    write's tasks had already replaced the first generation's files — the
-    gen-1 manifest would then silently serve gen-2 contents. Refusal must
-    leave the first generation byte-identical."""
+    at writer construction (before any task runs), and filenames are
+    generation-unique besides, so refusal must leave the first generation
+    byte-identical."""
     df = spark.createDataFrame(
         [('"k"', "1")], "key_json string, value_json string"
     )
@@ -556,7 +603,10 @@ def test_chunk_writer_refuses_second_generation_at_datasource_level(
     out = str(tmp_path / "gen")
     df.coalesce(1).write.format("mr_chunks").mode("append").save(out)
     assert os.path.exists(os.path.join(out, "_MANIFEST.json"))
-    chunk = os.path.join(out, "chunk-00000.jsonl")
+    man = json.loads(
+        open(os.path.join(out, "_MANIFEST.json"), encoding="utf-8").read()
+    )
+    chunk = os.path.join(out, man["files"][0]["file"])
     before = open(chunk, encoding="utf-8").read()
     with pytest.raises(Exception, match="one write-generation per directory"):
         df2.coalesce(1).write.format("mr_chunks").mode("append").save(out)
@@ -782,10 +832,19 @@ def test_chunk_stream_backlog_bounded_batches_exactly_once(spark, tmp_path):
 
 
 def test_chunk_stream_rejects_bad_max_files(tmp_path):
+    """Every malformed maxFilesPerTrigger value raises the descriptive
+    error — an empty string must not silently disable the cap, and a
+    non-numeric value must not surface as a bare int() ValueError."""
     from map_reduce_ruby_spark.sources.chunk_datasource import _ChunkStreamReader
 
-    with pytest.raises(ValueError, match="maxFilesPerTrigger"):
-        _ChunkStreamReader({"path": str(tmp_path), "maxfilespertrigger": "0"})
+    for bad in ("0", "-3", "", "ten", "1.5"):
+        with pytest.raises(ValueError, match="maxFilesPerTrigger"):
+            _ChunkStreamReader({"path": str(tmp_path), "maxfilespertrigger": bad})
+    # valid value parses; absent option means uncapped
+    assert _ChunkStreamReader(
+        {"path": str(tmp_path), "maxfilespertrigger": "7"}
+    ).max_files == 7
+    assert _ChunkStreamReader({"path": str(tmp_path)}).max_files is None
 
 
 def test_chunk_rows_iterator_is_lazy_and_copyable(tmp_path):
