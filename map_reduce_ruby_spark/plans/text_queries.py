@@ -956,30 +956,47 @@ def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- BPE merge induction -----------------------------------------------------
+# --- BPE merge induction (frequency-factored) -------------------------------
 #
-# The first N merges of byte-pair-encoding tokenizer training. Each round is
-# (adjacent-pair count) -> (argmax pair) -> (greedy left-to-right merge fold
-# over every document); the learned pair feeds the fold through a 1-row
-# broadcast cross join (no collect), and each round's token table and
-# learned pair are localCheckpoint()ed — the same lineage-truncation rule
-# the connected-components operator uses — so round s+1 folds the
-# MATERIALIZED round-s table instead of re-deriving the whole chain per
-# round (without the checkpoint, round N's lineage re-folds the corpus N
-# times and plan depth grows quadratically with merge count). The merge
-# fold is a higher-order aggregate() over the token array: the accumulator
-# is the already-merged prefix as a string, and a merged token "p+q" can
-# never equal p again, which is exactly the greedy non-overlap rule of BPE.
-# The reference has no tokenizer surface at all (user map code, SURVEY.md
-# §2.2).
+# The first N merges of byte-pair-encoding tokenizer training, trained the
+# way production tokenizer trainers train: over the WEIGHTED WORD-FREQUENCY
+# TABLE, not the corpus. One corpus pass builds (word, w = occurrence
+# count); every merge round then runs entirely on the distinct-word table —
+# adjacent CHARACTER-pair counts weighted by w (sum(w) over distinct words
+# == count over every corpus position, exactly), argmax pair, greedy
+# left-to-right merge fold of each distinct word's symbol array. Per-round
+# cost is O(|vocab| * word_len) — independent of corpus size — so merge
+# count stops being a corpus-pass multiplier: 50k merges at 100 TB cost
+# 50k passes over a few-million-row vocab table plus ONE corpus word-count,
+# instead of 50k corpus scans. The learned pair feeds the fold through a
+# 1-row broadcast cross join (no collect), and each round's table is
+# localCheckpoint()ed (the connected-components lineage rule) so plan depth
+# stays constant in merge count. The fold itself keeps BPE's greedy
+# non-overlap rule: a merged symbol "p+q" can never re-match p. The
+# reference has no tokenizer surface at all (user map code, SURVEY.md §2.2).
 
-_BPE_STEPS = 5
+_BPE_STEPS = 10
+
+# word -> its character-symbol array, identically on both engines
+_BPE_CHARS_SPARK = "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+_BPE_CHARS_SQL = "list_transform(range(1, len(word) + 1), i -> word[i:i])"
+
+# the weighted distinct-word table + its symbol arrays: the ONLY corpus
+# pass in training (shared CTE prefix of both oracles)
+_BPE_T0_SQL = f"""
+    wf AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS w
+        FROM (SELECT unnest({_TOKENS_SQL}) AS word FROM documents) u
+        GROUP BY word
+    ),
+    t0 AS (SELECT word, w, {_BPE_CHARS_SQL} AS toks FROM wf)"""
 
 
 def _bpe_pairs_sql(prev: str, s: int) -> str:
     return f"""
     pc{s} AS (
-        SELECT {prev}.toks[i.i] AS p, {prev}.toks[i.i + 1] AS q, COUNT(*) AS cnt
+        SELECT {prev}.toks[i.i] AS p, {prev}.toks[i.i + 1] AS q,
+               CAST(SUM({prev}.w) AS BIGINT) AS cnt
         FROM {prev}, UNNEST(range(1, len({prev}.toks))) AS i(i)
         GROUP BY 1, 2
     )"""
@@ -997,21 +1014,23 @@ def _bpe_case_sql(p: str, q: str, len_fn: str) -> str:
 
 
 def _bpe_fold_sql(prev: str, s: int) -> str:
-    # Greedy left-to-right merge of (tp.p, tp.q): fold tokens into a
-    # space-joined string, replacing a trailing p followed by q with "p+q".
+    # Greedy left-to-right merge of (tp.p, tp.q) over each distinct word's
+    # symbol array: fold symbols into a space-joined string, replacing a
+    # trailing p followed by q with "p+q". Weight w rides along untouched.
     body = _bpe_case_sql("tp.p", "tp.q", "len")
     return f"""
     t{s} AS (
-        SELECT doc_id,
+        SELECT word, w,
                string_split(list_reduce(toks, (acc, t) -> {body}), ' ') AS toks
         FROM {prev}, top{s} tp
     )"""
 
 
 def _bpe_sql() -> str:
-    """The DuckDB oracle: the whole N-round trainer as one CTE chain (an
-    independent engine needs no checkpointing — the chain is the spec)."""
-    ctes = []
+    """The DuckDB oracle: the whole N-round trainer as one CTE chain over
+    the word-frequency table (an independent engine needs no checkpointing —
+    the chain is the spec)."""
+    ctes = [_BPE_T0_SQL]
     for s in range(1, _BPE_STEPS + 1):
         ctes.append(_bpe_pairs_sql(f"t{s - 1}", s))
         ctes.append(
@@ -1024,11 +1043,7 @@ def _bpe_sql() -> str:
         f"SELECT {s} AS step, p, q, cnt FROM top{s}" for s in range(1, _BPE_STEPS + 1)
     )
     return f"""
-    WITH t0 AS (
-        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
-        WHERE len({_TOKENS_SQL}) >= 2
-    ),
-    {",".join(ctes)}
+    WITH {",".join(ctes)}
     SELECT CAST(step AS BIGINT) AS step, p, q, cnt FROM ({unions})
     """
 
@@ -1072,27 +1087,32 @@ def _bpe_learn(
     steps: int = _BPE_STEPS,
     return_tokens: bool = False,
 ):
-    """The Spark-side trainer: one checkpointed round per merge step.
+    """The Spark-side trainer: frequency-factored, one checkpointed round
+    per merge step — over the word-frequency table, never the corpus.
 
-    Per round: pair-count shuffle -> K=1 TakeOrdered argmax (checkpointed
-    1-row artifact) -> greedy fold of every document via a higher-order
-    aggregate(), the learned pair arriving through a 1-row broadcast cross
-    join -> localCheckpoint of the folded token table. Lineage never grows
-    past one round, so N merges cost N scans of the materialized previous
-    round — the constant-per-round profile a production BPE trainer has.
-    Returns (step, p, q, cnt), one row per learned merge; with
-    ``return_tokens=True`` the LAST merge is also applied and the result is
-    ``(merges, tokens)`` where tokens is the fully-encoded (doc_id, toks)
-    table — the train->apply loop text_bpe_encode drives."""
-    toks = _tokens_spark(F.col("text"))
-    # t0 is read by round 1's fused top job AND (return_tokens) the encode
-    # stats — checkpoint it lazily so the parquet scan + tokenization run
-    # once, like every later round's table
-    t0 = (
-        docs.select("doc_id", toks.alias("toks"))
-        .where(F.size("toks") >= 2)
-        .localCheckpoint(eager=False)
+    ONE corpus pass builds wf = (word, w) — the standard word-count shuffle.
+    Per round after that: weighted pair-count shuffle over the distinct-word
+    table -> K=1 TakeOrdered argmax (checkpointed 1-row artifact) -> greedy
+    fold of each distinct word's symbol array via a higher-order fold, the
+    learned pair arriving through a 1-row broadcast cross join ->
+    localCheckpoint of the folded vocab table. sum(w) over distinct words
+    equals count over every corpus position, so the learned merges are
+    identical to corpus-pass training — at O(|vocab|) per round instead of
+    O(corpus). Lineage never grows past one round, so plan depth is
+    constant in merge count. Returns (step, p, q, cnt), one row per learned
+    merge; with ``return_tokens=True`` the LAST merge is also applied and
+    the result is ``(merges, vocab)`` where vocab is the fully-encoded
+    (word, w, toks) table — the train->apply loop text_bpe_encode drives."""
+    wf = (
+        docs.select(F.explode(_tokens_spark(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("w"))
     )
+    # t0 is read by round 1's fused top job — checkpoint it lazily so the
+    # corpus word-count runs once, like every later round's table
+    t0 = wf.select(
+        "word", "w", F.expr(_BPE_CHARS_SPARK).alias("toks")
+    ).localCheckpoint(eager=False)
     t = t0
     # CASE guard: a doc can collapse to ONE token after a merge round, and
     # sequence(1, 0) is the DESCENDING [1, 0] — element_at(toks, 2)/(, 0)
@@ -1105,13 +1125,14 @@ def _bpe_learn(
     tops: list[DataFrame] = []
     for s in range(1, steps + 1):
         pairs = (
-            t.select("toks", F.explode(pair_idx).alias("i"))
+            t.select("w", "toks", F.explode(pair_idx).alias("i"))
             .select(
+                "w",
                 F.expr("element_at(toks, i)").alias("p"),
                 F.expr("element_at(toks, i + 1)").alias("q"),
             )
             .groupBy("p", "q")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(F.sum("w").alias("cnt"))
         )
         top = (
             pairs.orderBy(F.desc("cnt"), F.asc("p"), F.asc("q"))
@@ -1128,35 +1149,36 @@ def _bpe_learn(
         if s < steps or return_tokens:
             t = (
                 t.crossJoin(F.broadcast(top.select("p", "q")))
-                .select("doc_id", F.expr(fold).alias("toks"))
+                .select("word", "w", F.expr(fold).alias("toks"))
                 .localCheckpoint(eager=False)  # persists inside the next
                 # round's top job (fold -> explode -> count in one pass)
             )
     out = tops[0]
     for more in tops[1:]:
         out = out.unionByName(more)
-    # return_tokens: (merges, fully-encoded tokens, the ORIGINAL tokenized
-    # table) — t0 rides along so the encode entry's before/after stats
-    # reuse the materialized tokenization instead of re-splitting the corpus
-    return (out, t, t0) if return_tokens else out
+    # return_tokens: (merges, the fully-encoded vocab table) — encoding the
+    # corpus is then a broadcast join against this few-row artifact
+    return (out, t) if return_tokens else out
 
 
 @register(
     "bpe_merge_steps",
     oracle=_bpe_sql(),
-    doc=f"Tokenizer induction: the first {_BPE_STEPS} BPE merges learned "
-    "over the corpus (_bpe_learn). Round = adjacent-pair count (explode + "
-    "groupBy — one shuffle on the pair key) -> argmax pair (K=1 TakeOrdered, "
-    "tie-broken cnt desc / p / q) -> greedy merge applied to every document "
-    "via a higher-order aggregate() fold, with the learned pair flowing "
-    "into the fold through a 1-row broadcast cross join (the scalar-"
-    "subquery pattern — O(n) per round, never quadratic, no collect of "
-    "corpus data). Each round's token table is localCheckpoint()ed (the "
-    "connected-components lineage rule), so round s+1 folds the "
-    "materialized round-s table exactly once — constant cost per round at "
-    "any merge count, the profile a production BPE trainer has. A merged "
-    "token 'p+q' can't re-match p, giving BPE's non-overlapping "
-    "left-to-right semantics for free.",
+    doc=f"Tokenizer induction, frequency-factored: the first {_BPE_STEPS} "
+    "character-level BPE merges learned over the WORD-FREQUENCY table "
+    "(_bpe_learn) — the shape production tokenizer trainers use. ONE corpus "
+    "pass builds (word, w); each round then runs on the distinct-word table "
+    "only: adjacent symbol-pair counts weighted by w (sum(w) == the count "
+    "over every corpus position, exactly) -> argmax pair (K=1 TakeOrdered, "
+    "tie-broken cnt desc / p / q) -> greedy merge of each word's symbol "
+    "array via a higher-order fold, the learned pair flowing in through a "
+    "1-row broadcast cross join (no collect). Per-round cost is "
+    "O(|vocab| * word_len), independent of corpus size — 50k merges at "
+    "100 TB cost 50k vocab-table passes plus one corpus word-count, not "
+    "50k corpus scans. Each round's vocab table is localCheckpoint()ed "
+    "(the connected-components lineage rule) so plan depth is constant in "
+    "merge count. A merged symbol 'p+q' can't re-match p, giving BPE's "
+    "non-overlapping left-to-right semantics for free.",
     tags=("text", "tokenizer", "iterative", "extension"),
 )
 def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1164,11 +1186,11 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_encode_sql() -> str:
-    """Oracle for the train->APPLY loop: the same CTE chain as _bpe_sql but
-    folding on every round including the last, then corpus compression
-    stats from t0 vs t{N}."""
+    """Oracle for the train->APPLY loop: the same factored CTE chain as
+    _bpe_sql but folding on every round including the last, then the corpus
+    re-encoded by joining its words against the encoded vocab table."""
     n = _BPE_STEPS
-    ctes = []
+    ctes = [_BPE_T0_SQL]
     for s in range(1, n + 1):
         ctes.append(_bpe_pairs_sql(f"t{s - 1}", s))
         ctes.append(
@@ -1177,70 +1199,82 @@ def _bpe_encode_sql() -> str:
         )
         ctes.append(_bpe_fold_sql(f"t{s - 1}", s))
     return f"""
-    WITH t0 AS (
-        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
-        WHERE len({_TOKENS_SQL}) >= 2
+    WITH {",".join(ctes)},
+    wt AS (
+        SELECT word,
+               CAST(length(word) AS BIGINT) AS n_before,
+               CAST(len(toks) AS BIGINT) AS n_after
+        FROM t{n}
     ),
-    {",".join(ctes)}
-    SELECT d.source,
+    corpus AS (
+        SELECT doc_id, source, unnest({_TOKENS_SQL}) AS word FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id, source,
+               SUM(wt.n_before) AS nb, SUM(wt.n_after) AS na
+        FROM corpus JOIN wt USING (word)
+        GROUP BY doc_id, source
+    )
+    SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(len(t0.toks)) AS BIGINT) AS tok_before,
-           CAST(SUM(len(t{n}.toks)) AS BIGINT) AS tok_after,
-           ROUND(CAST(SUM(len(t{n}.toks)) AS DOUBLE)
-                 / SUM(len(t0.toks)), 6) AS compression
-    FROM t0
-    JOIN t{n} USING (doc_id)
-    JOIN documents d USING (doc_id)
-    GROUP BY d.source
+           CAST(SUM(nb) AS BIGINT) AS tok_before,
+           CAST(SUM(na) AS BIGINT) AS tok_after,
+           ROUND(CAST(SUM(na) AS DOUBLE) / SUM(nb), 6) AS compression
+    FROM per_doc
+    GROUP BY source
     """
 
 
 @register(
     "text_bpe_encode",
     oracle=_bpe_encode_sql(),
-    doc=f"The tokenizer train->APPLY loop: the {_BPE_STEPS} merges learned "
-    "by bpe_merge_steps are applied to every document (same checkpointed "
-    "per-round fold, including the final round), and the encoded corpus is "
-    "summarized per source — docs, token counts before/after, compression "
-    "ratio. This is the production shape: a trained tokenizer is only "
-    "useful once the corpus is re-encoded with it, and the encode pass is "
-    "the expensive half at 100 TB (N narrow folds over the corpus, each "
-    "reading the previous round's materialized table once — no driver "
-    "loop, no collect). The oracle re-derives training AND encoding as "
-    "one CTE chain, so a hash match proves the applied merges equal the "
-    "learned merges end-to-end.",
+    doc=f"The tokenizer train->APPLY loop, frequency-factored: the "
+    f"{_BPE_STEPS} merges learned by bpe_merge_steps are applied — but "
+    "because training runs on the word-frequency table, each distinct word "
+    "is encoded exactly ONCE (same per-round fold, including the final "
+    "round) and the corpus is re-encoded by a broadcast join of its "
+    "exploded words against the tiny encoded-vocab artifact: zero "
+    "corpus-side exchange before the per-doc rollup. Output per source: "
+    "docs, symbol counts before (characters) / after (BPE tokens), "
+    "compression ratio. At 100 TB the corpus-side cost is one explode + "
+    "broadcast-hash-join + two-level partial agg — no per-merge corpus "
+    "work at all. The oracle re-derives training AND encoding as one "
+    "factored CTE chain, so a hash match proves the applied merges equal "
+    "the learned merges end-to-end.",
     tags=("text", "tokenizer", "iterative", "extension"),
 )
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # Session memo of the trained+encoded artifact (checkpointed frames stay
-    # valid for the session) — the production split: bpe_merge_steps
-    # benchmarks TRAINING, this entry benchmarks what reading a persisted
-    # tokenizer's encode output costs. Same memo rules as the IVF/PQ
+    # Session memo of the trained+encoded vocab artifact (checkpointed
+    # frames stay valid for the session) — the production split:
+    # bpe_merge_steps benchmarks TRAINING, this entry benchmarks encoding
+    # the corpus with a trained tokenizer. Same memo rules as the IVF/PQ
     # indexes (keyed by applicationId, bounded, cleared wholesale).
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BPE_ENCODE_MEMO:
         if len(_BPE_ENCODE_MEMO) > 8:
             _BPE_ENCODE_MEMO.clear()  # checkpointed RDDs are GC-managed
         _BPE_ENCODE_MEMO[key] = _bpe_learn(spark, docs, return_tokens=True)
-    _, encoded, t0 = _BPE_ENCODE_MEMO[key]
-    # n_before from the trainer's MATERIALIZED tokenization (t0 checkpoint);
-    # source arrives via a 2-column pruned parquet scan, not a re-split
-    before = t0.select("doc_id", F.size("toks").alias("n_before")).join(
-        docs.select("doc_id", "source"), "doc_id"
+    _, vocab = _BPE_ENCODE_MEMO[key]
+    # the encoded-vocab artifact: word -> (chars before, BPE tokens after)
+    wt = vocab.select(
+        "word",
+        F.length("word").cast("long").alias("n_before"),
+        F.size("toks").cast("long").alias("n_after"),
     )
-    after = encoded.select("doc_id", F.size("toks").alias("n_after"))
-    return (
-        before.join(after, "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_before").cast("long").alias("tok_before"),
-            F.sum("n_after").cast("long").alias("tok_after"),
-            F.round(
-                F.sum("n_after").cast("double") / F.sum("n_before"), 6
-            ).alias("compression"),
-        )
+    corpus = docs.select(
+        "doc_id", "source", F.explode(_tokens_spark(F.col("text"))).alias("word")
+    )
+    per_doc = (
+        corpus.join(F.broadcast(wt), "word")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("n_before").alias("nb"), F.sum("n_after").alias("na"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nb").cast("long").alias("tok_before"),
+        F.sum("na").cast("long").alias("tok_after"),
+        F.round(F.sum("na").cast("double") / F.sum("nb"), 6).alias("compression"),
     )
 
 

@@ -128,12 +128,14 @@ def test_bpe_vectorized_fold_equals_sequential(spark):
 
 
 def test_bpe_steps_are_distinct_and_positive(spark, sf_dir):
+    from map_reduce_ruby_spark.plans.text_queries import _BPE_STEPS
+
     got = run(spark, sf_dir, "bpe_merge_steps").sort_values("step")
-    assert list(got.step) == [1, 2, 3, 4, 5]
+    assert list(got.step) == list(range(1, _BPE_STEPS + 1))
     assert (got.cnt > 0).all()
     # a merged pair is fully consumed by its round's greedy fold, so the
     # same (p, q) can never win twice
-    assert len({(r.p, r.q) for r in got.itertuples(index=False)}) == 5
+    assert len({(r.p, r.q) for r in got.itertuples(index=False)}) == _BPE_STEPS
 
 
 # --- corpus_snapshot_diff ----------------------------------------------------
@@ -200,17 +202,24 @@ def test_mv_refresh_flags_only_delta_grains(spark, sf_dir):
         assert row.n_events == direct[(row.day_no, row.event_type)]
 
 
-def test_bpe_survives_single_token_docs(spark):
-    """A doc that collapses to ONE token after a merge round must not abort
-    the next round's pair count (sequence(1, 0) is DESCENDING in Spark and
-    element_at would throw under ANSI mode) — regression for the CASE guard
-    in _bpe_learn's pair index."""
+def test_bpe_survives_single_token_words(spark):
+    """A word that collapses to ONE symbol after a merge round must not
+    abort the next round's pair count (sequence(1, 0) is DESCENDING in
+    Spark and element_at would throw under ANSI mode) — regression for the
+    CASE guard in _bpe_learn's pair index. Also pins the frequency
+    weighting: 'ab' appears twice, so round 1's (a, b) count is 3 (2 from
+    the two 'ab' occurrences + 1 from 'abcd'), not the 2 distinct words."""
     from map_reduce_ruby_spark.plans.text_queries import _bpe_learn
 
-    rows = [(0, "a b"), (1, "a b"), (2, "a b c d")]
+    rows = [(0, "ab abcd"), (1, "ab")]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {r.step: (r.p, r.q) for r in _bpe_learn(spark, docs, steps=3).collect()}
-    # round 1 merges (a, b) everywhere; docs 0/1 become the single token
-    # 'a+b' and must simply drop out of round 2's pair counting
-    assert got[1] == ("a", "b")
-    assert len(got) == 3
+    got = {
+        r.step: (r.p, r.q, r.cnt) for r in _bpe_learn(spark, docs, steps=3).collect()
+    }
+    # round 1 merges (a, b) everywhere (weighted cnt 3); the word 'ab'
+    # becomes the single symbol 'a+b' and must simply drop out of round 2's
+    # pair counting. Round 2 ties (a+b, c) with (c, d) at cnt 1 -> the
+    # deterministic p-asc tie-break picks 'a+b' < 'c'.
+    assert got[1] == ("a", "b", 3)
+    assert got[2] == ("a+b", "c", 1)
+    assert got[3] == ("a+b+c", "d", 1)
