@@ -8,8 +8,10 @@ from map_reduce_ruby_spark.functions.exact import (
     cents_sum_sql_double,
 )
 from map_reduce_ruby_spark.functions.hashes import h32, h32_sql, h60, h60_sql
+from map_reduce_ruby_spark.functions.replay import literal_struct_array
 
 __all__ = [
+    "literal_struct_array",
     "dsum",
     "dsum_sql",
     "davg",

@@ -162,28 +162,43 @@ def pq_search(
        codes (measured recall 0.08 raw vs 0.84 reranked on the fixture).
 
     Returns (query_id, neighbor_id, cos_sim, rn)."""
+    from map_reduce_ruby_spark.functions import literal_struct_array
     from map_reduce_ruby_spark.operators.ivf import _dot, _norm
 
     n_sub = len(books)
     sub = dim // n_sub
-    luts = queries.select(
+    # Bounded artifact: |queries| rows of n_sub 16-entry lookup tables,
+    # collected once and replayed as a literal struct array exploded over
+    # the code scan — Scan -> Generate, no join operator (the former
+    # broadcast non-equi join planned a BroadcastNestedLoopJoin; see
+    # functions/replay.py). The ADC stage still only ever reads the
+    # n_sub-byte codes.
+    lut_rows = queries.select(
         F.col("qid").alias("query_id"),
         *[
             _dists_expr(F.expr(_sub_expr("qe", m, sub)), books[m]).alias(f"lut{m}")
             for m in range(n_sub)
         ],
-    )
+    ).collect()
+    if not lut_rows:
+        return codes.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rn long"
+        )
     adc = F.expr(
         " + ".join(
             f"element_at(lut{m}, CAST(code{m} + 1 AS INT))" for m in range(n_sub)
         )
     )
-    scored = codes.join(
-        F.broadcast(luts), F.col("id") != F.col("query_id")
-    ).select(
-        "query_id",
-        F.col("id").alias("neighbor_id"),
-        F.round(adc, 4).alias("adc_dist"),
+    scored = (
+        codes.select("*", F.explode(literal_struct_array(lut_rows)).alias("q"))
+        .select("*", "q.*")
+        .drop("q")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(adc, 4).alias("adc_dist"),
+        )
     )
     w_adc = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     short = (

@@ -425,55 +425,118 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic query-sample stride for the cosine recall harness:
+# stride = 1 while n <= 64, else 2^(bitlen(n) - 7), giving a sample of
+# 64..127 query vectors spread evenly over the id space at ANY corpus size
+# (exact integer arithmetic — LENGTH(BIN(n)) on both engines, no libm).
+_COS_SAMPLE_BITS = 7  # 2^7 = 128: sample size lands in [64, 127]
+
+
+def _cosine_sample_stride(n: int) -> int:
+    """Driver-side twin of the oracle's stride CTE (exact integers)."""
+    return 1 if n <= 64 else 1 << (n.bit_length() - _COS_SAMPLE_BITS)
+
+
+# Safe at module level: similarity_queries -> operator_queries -> catalog
+# only (no cycle back into this module).
+from map_reduce_ruby_spark.plans.similarity_queries import _BUCKET_SQL  # noqa: E402
+
+
 @register(
     "dedup_embedding_cosine",
-    oracle="""
+    oracle=f"""
     WITH v AS (
-        SELECT vec_id, label,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         FROM embeddings
     ),
-    norms AS (
-        SELECT vec_id, label, e,
-               sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+    sig AS (
+        SELECT vec_id, e,
+               sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
+               CAST({_BUCKET_SQL} AS BIGINT) AS bucket
         FROM v
-    )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    ),
+    st AS (
+        SELECT CASE WHEN COUNT(*) <= 64 THEN 1
+               ELSE CAST(1 AS BIGINT)
+                    << (LENGTH(BIN(COUNT(*))) - {_COS_SAMPLE_BITS}) END AS stride
+        FROM sig
+    ),
+    q AS (SELECT * FROM sig WHERE vec_id % (SELECT stride FROM st) = 0)
+    SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
            ROUND(list_sum(list_transform(range(1, 65),
-                 i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 4) AS cos_sim
-    FROM norms a JOIN norms b
-      ON a.label = b.label AND a.vec_id < b.vec_id
+                 i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm), 4) AS cos_sim,
+           CAST(CASE WHEN q.bucket = c.bucket THEN 1 ELSE 0 END AS BIGINT)
+               AS lsh_hit
+    FROM q JOIN sig c ON c.vec_id <> q.vec_id
     WHERE ROUND(list_sum(list_transform(range(1, 65),
-              i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 4) >= 0.75
+              i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm), 4) >= 0.35
     """,
-    doc="Embedding near-dup: cosine >= 0.75 within label blocks (blocked "
-    "brute force — the block key stands in for an ANN bucket; the unblocked "
-    "ANN path is similarity_queries.py). Dot products in sequential double "
-    "math on both engines, rounded to 4 decimals before thresholding.",
-    tags=("dedup", "embedding"),
+    doc="Embedding near-dup RECALL HARNESS (bounded, linear): a "
+    "deterministic stride sample of 64..127 query vectors (vec_id % "
+    "2^(bitlen(n)-7) = 0 — exact on both engines) is scored against the "
+    "FULL corpus with exact cosine, keeping pairs >= 0.35 (the fixture's "
+    "near-dup knee, matching dedup_embedding_lsh). This is the "
+    "ground truth an ANN path is graded against: lsh_hit marks whether the "
+    "random-hyperplane bucket (knn_lsh's signature) would have surfaced "
+    "the pair, so sum(lsh_hit)/count(*) IS the LSH candidate recall on "
+    "true near-dups. Plan: the sampled queries are a collected bounded "
+    "artifact (<= 127 rows, the knn_pandas_udf rule) replayed as a "
+    "LITERAL array exploded corpus-side — one parquet scan, no join at "
+    "all, O(|sample| * n) work at any scale. The former all-pairs "
+    "baseline lives on as a test-only assertion at sf0.001 "
+    "(tests/test_curation_ops.py) — the catalog itself ships zero "
+    "quadratic plans.",
+    tags=("dedup", "embedding", "recall-harness"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Unrolled vector math (shared with similarity_queries): higher-order
     # lambdas are interpreted per element, unrolled chains stay in codegen.
-    from map_reduce_ruby_spark.plans.similarity_queries import _dot, _norm
+    from map_reduce_ruby_spark.plans.similarity_queries import (
+        _bucket_spark,
+        _dot,
+        _norm,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id",
-        "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-    )
-    norms = v.withColumn("nrm", _norm("e"))
-    a, b = norms.alias("a"), norms.alias("b")
-    cos = F.round(_dot("a.e", "b.e") / (F.col("a.nrm") * F.col("b.nrm")), 4)
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+    ).select("vec_id", "e", _norm("e").alias("nrm"), _bucket_spark("e").alias("bucket"))
+    stride = _cosine_sample_stride(emb.count())  # parquet metadata count
+    # Bounded artifact: <= 127 query rows, replayed as a literal struct
+    # array exploded scan-side — no join operator (functions/replay.py).
+    qrows = (
+        v.filter(F.col("vec_id") % stride == 0)
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos_sim"),
+            F.col("vec_id").alias("qid"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+            F.col("bucket").alias("qb"),
         )
-        .filter(F.col("cos_sim") >= 0.75)
+        .collect()
+    )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "vec_a long, vec_b long, cos_sim double, lsh_hit long"
+        )
+    from map_reduce_ruby_spark.functions import literal_struct_array
+
+    scored = v.select(
+        F.col("vec_id").alias("vec_b"),
+        "e",
+        "nrm",
+        "bucket",
+        F.explode(literal_struct_array(qrows)).alias("q"),
+    ).filter(F.col("vec_b") != F.col("q.qid"))
+    cos = F.round(_dot("q.qe", "e") / (F.col("q.qnrm") * F.col("nrm")), 4)
+    return (
+        scored.select(
+            F.col("q.qid").alias("vec_a"),
+            "vec_b",
+            cos.alias("cos_sim"),
+            (F.col("q.qb") == F.col("bucket")).cast("long").alias("lsh_hit"),
+        )
+        .filter(F.col("cos_sim") >= 0.35)
     )
 
 

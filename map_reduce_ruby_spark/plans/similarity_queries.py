@@ -97,6 +97,8 @@ def _norm(c: str) -> Column:
     tags=("similarity", "knn"),
 )
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_ruby_spark.functions import literal_struct_array
+
     emb = load_table(spark, sf_dir, "embeddings")
     # NB: the vectors deliberately stay in ARRAY form here. Flattening to 64
     # primitive columns (the dedup_semantic_ivf trick) under this query's
@@ -108,16 +110,39 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = emb.select("vec_id", _as_double(F.col("embedding")).alias("e")).withColumn(
         "nrm", _norm("e")
     )
-    q = v.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qnrm")
+    # Bounded artifact: the 10 query vectors, replayed as a literal struct
+    # array exploded scan-side — Scan -> Generate, no join operator (see
+    # functions/replay.py; the former broadcast non-equi join planned a
+    # BroadcastNestedLoopJoin, indistinguishable from a quadratic join in
+    # the catalog plan audit).
+    qrows = (
+        v.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+        .collect()
     )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rn long"
+        )
     c = v.select(
         F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), F.col("nrm").alias("cnrm")
     )
-    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
-        "query_id",
-        "neighbor_id",
-        F.round(_dot("qe", "ce") / (F.col("qnrm") * F.col("cnrm")), 4).alias("cos_sim"),
+    scored = (
+        c.select(
+            "neighbor_id", "ce", "cnrm",
+            F.explode(literal_struct_array(qrows)).alias("q"),
+        )
+        .select("neighbor_id", "ce", "cnrm", "q.*")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot("qe", "ce") / (F.col("qnrm") * F.col("cnrm")), 4).alias("cos_sim"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -651,21 +676,34 @@ def knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cos_sq double, rn long"
         )
+    from map_reduce_ruby_spark.functions import literal_struct_array
+
     v, recon = built
-    q = v.filter(F.col("vec_id") < _N_QUERIES).select(
+    # Bounded artifact: 10 query rows (flattened dims + norm), replayed as
+    # a literal struct array exploded over the reconstructed corpus — no
+    # join operator (see functions/replay.py).
+    qrows = v.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         *[F.col(f"x{i}").alias(f"qx{i}") for i in range(1, _DIM + 1)],
     ).withColumn(
         "qnrm",
         F.expr("sqrt(" + " + ".join(f"(qx{i} * qx{i})" for i in range(1, _DIM + 1)) + ")"),
-    ).cache()
+    ).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sq double, rn long"
+        )
     dot = F.expr(" + ".join(f"(qx{i} * r{i})" for i in range(1, _DIM + 1)))
-    scored = recon.join(
-        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.round(dot / (F.col("qnrm") * F.col("rnrm")), 4).alias("cos_sq"),
+    scored = (
+        recon.select("*", F.explode(literal_struct_array(qrows)).alias("q"))
+        .select("*", "q.*")
+        .drop("q")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot / (F.col("qnrm") * F.col("rnrm")), 4).alias("cos_sq"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sq"), F.asc("neighbor_id"))
     return (

@@ -223,3 +223,45 @@ def test_bpe_survives_single_token_words(spark):
     assert got[1] == ("a", "b", 3)
     assert got[2] == ("a+b", "c", 1)
     assert got[3] == ("a+b+c", "d", 1)
+
+
+# --- dedup_embedding_cosine (bounded recall harness) -------------------------
+
+
+def test_cosine_harness_equals_allpairs_ground_truth(spark, sf_dir):
+    """The catalog entry is a LINEAR recall harness (stride-sampled queries
+    x full corpus). This test keeps the retired ALL-PAIRS baseline alive at
+    small SF: a numpy O(n^2) cosine matrix is the ground truth, and the
+    harness output must equal its restriction to the sampled query rows —
+    pairs, 4dp similarities, and LSH bucket-hit flags."""
+    import numpy as np
+    import pandas as pd
+
+    from map_reduce_ruby_spark.plans.dedup_queries import _cosine_sample_stride
+    from map_reduce_ruby_spark.plans.similarity_queries import _PLANES
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    E = np.array(emb.embedding.tolist(), dtype=np.float64)
+    ids = emb.vec_id.to_numpy()
+    nrm = np.linalg.norm(E, axis=1)
+    S = np.round((E / nrm[:, None]) @ (E / nrm[:, None]).T, 4)  # all-pairs
+    planes = np.array(_PLANES, dtype=np.float64)  # (n_planes, dim)
+    buckets = ((E @ planes.T) > 0).astype(np.int64) @ (1 << np.arange(len(planes)))
+
+    stride = _cosine_sample_stride(len(ids))
+    qmask = ids % stride == 0
+    expect = set()
+    for qi in np.nonzero(qmask)[0]:
+        for ci in range(len(ids)):
+            if ids[ci] != ids[qi] and S[qi, ci] >= 0.35:
+                expect.add(
+                    (ids[qi], ids[ci], S[qi, ci], int(buckets[qi] == buckets[ci]))
+                )
+
+    got = run(spark, sf_dir, "dedup_embedding_cosine")
+    got_set = {
+        (r.vec_a, r.vec_b, r.cos_sim, r.lsh_hit)
+        for r in got.itertuples(index=False)
+    }
+    assert got_set == expect
+    assert len(got) == len(expect)  # no duplicate pairs either

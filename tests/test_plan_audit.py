@@ -45,45 +45,77 @@ EXECUTING_ENTRIES = {
     "text_bpe_encode",  # same checkpointed trainer + final encode fold
 }
 
-# The brute-force KNN baseline is DELIBERATELY all-pairs (it is the recall
-# oracle for the ANN variants); its blocked cross join is the documented
-# exception. tfidf's and q22's single-row scalar crossJoins broadcast exactly
-# one row (O(n), not quadratic — Catalyst folds literal equi-keys away, so a
-# 1-row BNLJ is the only way to express an uncorrelated scalar subquery).
-ALLOWED_QUADRATIC = {
-    "knn_bruteforce",
-    "dedup_embedding_cosine",
-    "tfidf_top_terms",
-    "q22_dormant_rich_customers",
-    # SQ8 scores the same |queries| x corpus layout as knn_bruteforce (the
-    # quantization changes memory, not the candidate set); bucketed candidate
-    # generation is knn_lsh/knn_ivf's job (and knn_ivf_pq composes it with
-    # quantized scoring — that entry IS audited, no BNLJ).
-    "knn_sq8",
-    # PQ's ADC stage reads the whole code table per query by design (it is
-    # the compression demo; candidate bucketing is the IVF layer's job) —
-    # and it reads 8-byte codes, not vectors. knn_ivf_pq is the composed,
-    # fully-bucketed form and is NOT allow-listed.
-    "knn_pq",
-    # 1-row scalar crossJoins (vocab size / corpus bigram total) — the same
-    # uncorrelated-scalar-subquery pattern as tfidf/q22 above: O(n), not
-    # quadratic.
-    "text_bigram_lm_score",
-    "text_pmi_collocations",
-    "text_bm25_search",
+# There is NO quadratic allowlist: every catalog plan must be free of
+# CartesianProduct, and any BroadcastNestedLoopJoin must be STRUCTURALLY
+# 1-row on its build side (an uncorrelated scalar subquery — a global
+# HashAggregate with no grouping keys, or a LIMIT 1). Catalyst folds
+# literal equi-keys away, so a 1-row BNLJ is the only way to express a
+# scalar broadcast; O(n), not quadratic. The |queries| x corpus ANN scans
+# (knn_bruteforce/sq8/pq, dedup_embedding_cosine) that used to be
+# name-allowlisted now replay their bounded query artifact as a literal
+# exploded array (functions/replay.py) and plan NO join at all.
+#
+# Entries EXPECTED to carry a 1-row scalar broadcast — observed set must
+# equal this, so a new BNLJ is a conscious decision:
+ONE_ROW_BROADCAST = {
+    "tfidf_top_terms",              # |docs| scalar for idf
+    "q22_dormant_rich_customers",   # avg account balance scalar
+    "text_bigram_lm_score",         # corpus bigram total scalar
+    "text_pmi_collocations",        # corpus token total scalar
+    "text_bm25_search",             # avg doc length scalar
 }
+
+
+def _walk(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk(ch.apply(i))
+
+
+def _one_row_guaranteed(subtree: str) -> bool:
+    """The build side proves <=1 row structurally: a global aggregate
+    (HashAggregate/SortAggregate with no grouping keys) or LIMIT 1, with
+    nothing row-multiplying (join/generate/union/expand) ABOVE it."""
+    lines = subtree.splitlines()
+    markers = ("HashAggregate(keys=[]", "SortAggregate(key=[]", "GlobalLimit 1")
+    multiplying = ("Join", "Generate", "Union", "Expand", "CartesianProduct")
+    for i, line in enumerate(lines):
+        if any(m in line for m in markers):
+            return not any(any(k in above for k in multiplying) for above in lines[:i])
+    return False
 
 
 def test_no_quadratic_joins_in_catalog(spark, sf_dir):
     offenders = {}
+    observed_bnlj = set()
     for name, entry in sorted(all_entries().items()):
-        if name in ALLOWED_QUADRATIC:
+        plan_node = entry.fn(spark, sf_dir)._jdf.queryExecution().executedPlan()
+        plan = plan_node.toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = ["CartesianProduct"]
             continue
-        plan = entry.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        hits = [k for k in FORBIDDEN if k in plan]
-        if hits:
-            offenders[name] = hits
+        if "BroadcastNestedLoopJoin" not in plan:
+            continue
+        observed_bnlj.add(name)
+        for node in _walk(plan_node):
+            if node.nodeName() != "BroadcastNestedLoopJoin":
+                continue
+            build = (
+                node.right()
+                if "BuildRight" in node.buildSide().toString()
+                else node.left()
+            )
+            if not _one_row_guaranteed(build.toString()):
+                offenders.setdefault(name, []).append(
+                    "BroadcastNestedLoopJoin with multi-row build side"
+                )
     assert not offenders, offenders
+    # the scalar-broadcast census can't silently grow or rot
+    assert observed_bnlj == ONE_ROW_BROADCAST, (
+        observed_bnlj - ONE_ROW_BROADCAST,
+        ONE_ROW_BROADCAST - observed_bnlj,
+    )
 
 
 def test_executing_entries_set_is_not_stale():
