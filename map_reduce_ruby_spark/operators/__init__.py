@@ -8,6 +8,14 @@ from map_reduce_ruby_spark.operators.connected_components import (
 )
 from map_reduce_ruby_spark.operators.prefix_sum import exclusive_prefix_sum
 from map_reduce_ruby_spark.operators.range_join import range_join
+from map_reduce_ruby_spark.operators.ann_index import (
+    ivf_index_exists,
+    load_ivf_index,
+    load_pq_index,
+    pq_index_exists,
+    write_ivf_index,
+    write_pq_index,
+)
 from map_reduce_ruby_spark.operators.ivf import (
     adaptive_cell_count,
     adaptive_nprobe,
@@ -41,6 +49,12 @@ __all__ = [
     "adaptive_cell_count",
     "adaptive_nprobe",
     "build_ivf_index",
+    "ivf_index_exists",
+    "load_ivf_index",
+    "write_ivf_index",
+    "pq_index_exists",
+    "load_pq_index",
+    "write_pq_index",
     "ivf_search",
     "build_pq_index",
     "pq_search",

@@ -1,0 +1,131 @@
+"""Durable ANN index artifacts: the IVF/PQ family's persisted form.
+
+The MinHash near-dup path already has a real stored index
+(operators/dedup_index.py — bucketed band table; probe joins pay zero
+corpus-side exchange). This module gives the vector-ANN family the same
+property: ``build_ivf_index`` / ``build_pq_index`` train deterministically,
+and their outputs — cell assignments, centroids, PQ codes, codebooks — are
+materialized to parquet so a RESTARTED session (or another cluster) probes
+the stored index without retraining. A session-memoized ``.cache()`` was the
+round-5 stand-in; a restart retrained — this is the real thing, mirroring
+the reference's deploy story of persisting intermediate artifacts between
+phases (/root/reference/README.md:60-84, reducer.rb add_chunk ingest).
+
+Layout (all under one index root):
+
+    <root>/cells/cell=<c>/*.parquet   (id, e)   — PARTITIONED by cell id
+    <root>/centroids/*.parquet        (cell, ce)
+    <root>/pq_codes/*.parquet         (id, code0..code{n_sub-1})
+    <root>/pq_books/*.parquet         (m, code, cw)
+
+``cells`` is directory-PARTITIONED on the probe key rather than bucketed:
+an IVF probe touches ``nprobe``/k of the cells, and the probe join's
+broadcast side (queries x probed cells) drives DYNAMIC PARTITION PRUNING —
+the stored corpus scan reads ONLY the probed cells' files. Bucketing
+co-locates equi-join keys for shuffle-free big-big joins (the minhash band
+index's access pattern); partition pruning cuts IO for tiny-probe joins
+(this access pattern). At 100 TB with k = 1024 cells and nprobe = 128, a
+query batch reads ~1/8th of the corpus bytes instead of all of them.
+
+Determinism: the builders are bit-deterministic (strided seeds, scaled-int64
+centroid sums), so stored == rebuilt == the DuckDB oracle's SQL rebuild —
+the ``knn_ivf_persisted`` catalog entry is gated on the SAME composed oracle
+as ``knn_ivf``, proving the stored index interchangeable with the derived
+one. tests/test_ann_index.py adds the restart property: reload from disk,
+search, byte-equal results, no retrain (file mtimes untouched).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_ruby_spark.operators.ivf import build_ivf_index
+from map_reduce_ruby_spark.operators.pq import build_pq_index
+
+
+def ivf_index_exists(path: str) -> bool:
+    """Both components fully committed (parquet _SUCCESS markers)."""
+    return os.path.exists(os.path.join(path, "cells", "_SUCCESS")) and os.path.exists(
+        os.path.join(path, "centroids", "_SUCCESS")
+    )
+
+
+def write_ivf_index(
+    spark: SparkSession, vectors: DataFrame, path: str, k: int | None = None
+) -> None:
+    """Train (deterministic k-means, scale-adaptive k when ``k=None``) and
+    persist. Overwrite mode: rebuilding is an idempotent full refresh; an
+    incremental ingest appends new vectors' assignments into their cell
+    partitions without touching centroids (the IVF maintenance model —
+    centroids retrain only on scheduled rebuilds)."""
+    assignments, centroids = build_ivf_index(vectors, k=k, iterations=2)
+    (
+        assignments.write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(os.path.join(path, "cells"))
+    )
+    cdf = spark.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(centroids)], "cell long, ce array<double>"
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    # the durable table replaces the in-session cache the builder returned
+    assignments.unpersist()
+
+
+def load_ivf_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, list[list[float]]]:
+    """(assignments(id, e, cell), centroids) read from storage — no
+    training jobs, no corpus scan until a consumer runs. Centroids are the
+    bounded collected artifact (k x dim doubles) every probe embeds as
+    literals, exactly as the in-session build returns them."""
+    cells = spark.read.parquet(os.path.join(path, "cells")).select(
+        "id", "e", F.col("cell").cast("long").alias("cell")
+    )
+    crows = spark.read.parquet(os.path.join(path, "centroids")).orderBy("cell").collect()
+    centroids = [list(r.ce) for r in crows]
+    return cells, centroids
+
+
+def pq_index_exists(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "pq_codes", "_SUCCESS")) and os.path.exists(
+        os.path.join(path, "pq_books", "_SUCCESS")
+    )
+
+
+def write_pq_index(
+    spark: SparkSession,
+    vectors: DataFrame,
+    path: str,
+    dim: int,
+    n_sub: int = 8,
+    k: int = 16,
+) -> None:
+    """Train the per-subspace codebooks and persist codes + codebooks. The
+    codes table is the 8-bytes-per-vector artifact the ADC scan reads; the
+    codebooks are a bounded (n_sub x k x sub_dim) side table."""
+    codes, books = build_pq_index(vectors, dim=dim, n_sub=n_sub, k=k)
+    codes.write.mode("overwrite").parquet(os.path.join(path, "pq_codes"))
+    rows = [
+        (m, c, list(cw)) for m, book in enumerate(books) for c, cw in enumerate(book)
+    ]
+    bdf = spark.createDataFrame(rows, "m long, code long, cw array<double>")
+    bdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "pq_books"))
+    codes.unpersist()
+
+
+def load_pq_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """(codes(id, code0..), codebooks) read from storage, shaped exactly
+    like build_pq_index's return so pq_search/ivf_pq_search accept either."""
+    codes = spark.read.parquet(os.path.join(path, "pq_codes"))
+    brows = spark.read.parquet(os.path.join(path, "pq_books")).orderBy("m", "code").collect()
+    n_sub = max(int(r.m) for r in brows) + 1 if brows else 0
+    books: list[list[list[float]]] = [[] for _ in range(n_sub)]
+    for r in brows:
+        books[int(r.m)].append(list(r.cw))
+    return codes, books

@@ -412,6 +412,61 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_ivf_persisted",
+    # SAME oracle as knn_ivf: the stored index must be indistinguishable
+    # from the freshly trained one (the dedup_persisted_index rule).
+    oracle=_IVF_ORACLE,
+    doc="The DURABLE form of knn_ivf (operators/ann_index.py): the "
+    "deterministic k-means index — cell assignments PARTITIONED by cell "
+    "id, centroids as a side table — is materialized to parquet once, and "
+    "the search loads it from storage: no Lloyd jobs, no assignment scan, "
+    "no retrain on restart (tests/test_ann_index.py pins file mtimes "
+    "across a reload). Probing joins the bounded (query x probed-cell) "
+    "broadcast side against the stored cell layout, so dynamic partition "
+    "pruning reads ONLY the probed cells' files — at k=1024 / nprobe=128 "
+    "a query batch touches ~1/8th of the corpus bytes. Gated by the same "
+    "composed SQL rebuild as knn_ivf, proving stored == derived == "
+    "oracle. This closes the round-5 stand-in (a session-memoized cache "
+    "that retrained on restart) with the artifact the reference's "
+    "persist-between-phases deployment story implies "
+    "(/root/reference/README.md:60-84).",
+    tags=("similarity", "ann", "ivf", "persisted", "custom-operator"),
+)
+def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from map_reduce_ruby_spark.operators import (
+        adaptive_nprobe,
+        ivf_index_exists,
+        ivf_search,
+        load_ivf_index,
+        write_ivf_index,
+    )
+    from map_reduce_ruby_spark.sources.tables import table_fingerprint
+
+    v = _ivf_vectors(spark, sf_dir)
+    if v.isEmpty():
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rn long"
+        )
+    # Content-fingerprinted path (the dedup_persisted_index rule): a fresh
+    # process recomputes the same path; a regenerated fixture invalidates it.
+    tag = table_fingerprint(sf_dir, "embeddings")
+    path = os.path.join(tempfile.gettempdir(), f"ivf_idx_{tag}")
+    if not ivf_index_exists(path):
+        write_ivf_index(spark, v, path, k=None)
+    assignments, centroids = load_ivf_index(spark, path)
+    queries = v.filter(F.col("id") < _IVF_NQ).select(
+        F.col("id").alias("qid"), F.col("e").alias("qe")
+    )
+    return ivf_search(
+        assignments, centroids, queries, top_k=_IVF_TOPK,
+        nprobe=adaptive_nprobe(len(centroids)),
+    )
+
+
 def _ivf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(

@@ -55,6 +55,75 @@ def _resolve_files(path: str) -> list[str]:
     return [path]
 
 
+def _basename(uri: str) -> str:
+    return uri.rstrip("/").rsplit("/", 1)[-1]
+
+
+_HALF_COMMIT_MSG = (
+    "chunk directory {path!r} holds a _MANIFEST.json without _SUCCESS — a "
+    "crashed half-commit. Its manifest cannot be trusted (the write may be "
+    "incomplete, and a recovery rewrite may replace the generation). Re-run "
+    "the write (half-commits are overwritable) or delete the directory."
+)
+
+
+def _parse_chunk_lines(path: str, backend=None) -> Iterator[tuple]:
+    """One chunk file -> (key_json, value_json) rows; local open() or
+    backend.read_text for remote URIs."""
+    if backend is not None:
+        lines: Iterator[str] = iter(backend.read_text(path).splitlines())
+    else:
+        lines = open(path, encoding="utf-8")
+    try:
+        for line in lines:
+            if line.strip():
+                k, v = json.loads(line)
+                yield (_canon(k), _canon(v))
+    finally:
+        close = getattr(lines, "close", None)
+        if close is not None:
+            close()
+
+
+def _reader_backend(options: dict):
+    """(backend, is_remote) for a reader path: local paths (incl. file://
+    and globs) keep the direct-filesystem fast path; any other scheme goes
+    through the storage registry — resolved from the ``backend_pickle``
+    option when present (readers, like writers, may run in worker processes
+    where the driver's registry is invisible), else from the registry in
+    this process."""
+    from map_reduce_ruby_spark.sources.storage import (
+        storage_for,
+        unpickle_backend,
+        uri_scheme,
+    )
+
+    path = options.get("path", "")
+    if uri_scheme(path) in ("", "file"):
+        return None, False
+    blob = options.get("backend_pickle")
+    return (unpickle_backend(blob) if blob else storage_for(path)), True
+
+
+def _remote_files(backend, path: str) -> list[str]:
+    """Chunk files under a remote directory URI: backend listing + the same
+    '_'/'.'-prefix skip rule the local listing applies."""
+    from map_reduce_ruby_spark.sources.storage import join_uri
+
+    lister = getattr(backend, "list", None)
+    if lister is None:
+        raise ValueError(
+            f"storage backend for {path!r} has no list() operation — "
+            "chunk reads over a remote scheme need it (direct child file "
+            "names, sorted)"
+        )
+    return [
+        join_uri(path, n)
+        for n in sorted(lister(path))
+        if not n.startswith(("_", "."))
+    ]
+
+
 class _ChunkFilePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
@@ -65,6 +134,10 @@ class _ChunkReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("mr_chunks source requires a path")
+        # Remote schemes (s3://...) read through the storage backend; the
+        # reader instance (backend included) is pickled to the read workers,
+        # so S3-style backends must reconnect lazily (S3Storage.__reduce__).
+        self._backend, self._remote = _reader_backend(options)
 
     def partitions(self):
         # A directory holding a committed generation (manifest present) is
@@ -77,18 +150,13 @@ class _ChunkReader(DataSourceReader):
         # generation under us — refuse it loudly instead of planning from
         # it. Manifest-less directories (hand-built chunk sets, reference-
         # produced uploads, streaming drop dirs) keep the listing behavior.
+        if self._remote:
+            return self._remote_partitions()
         base = self.path[len("file://"):] if self.path.startswith("file://") else self.path
         manifest = os.path.join(base, MANIFEST_NAME)
         if os.path.isdir(base) and os.path.isfile(manifest):
             if not os.path.isfile(os.path.join(base, "_SUCCESS")):
-                raise RuntimeError(
-                    f"chunk directory {self.path!r} holds a _MANIFEST.json "
-                    "without _SUCCESS — a crashed half-commit. Its manifest "
-                    "cannot be trusted (the write may be incomplete, and a "
-                    "recovery rewrite may replace the generation). Re-run "
-                    "the write (half-commits are overwritable) or delete "
-                    "the directory."
-                )
+                raise RuntimeError(_HALF_COMMIT_MSG.format(path=self.path))
             with open(manifest, encoding="utf-8") as f:
                 files = [
                     os.path.join(base, e["file"]) for e in json.load(f)["files"]
@@ -96,12 +164,23 @@ class _ChunkReader(DataSourceReader):
             return [_ChunkFilePartition(p) for p in sorted(files)]
         return [_ChunkFilePartition(p) for p in _resolve_files(self.path)]
 
+    def _remote_partitions(self):
+        # Identical manifest policy, through the backend: manifest+_SUCCESS
+        # -> read the manifest's file list; manifest sans _SUCCESS -> refuse;
+        # no manifest -> backend listing.
+        from map_reduce_ruby_spark.sources.storage import join_uri
+
+        manifest_uri = join_uri(self.path, MANIFEST_NAME)
+        if self._backend.exists(manifest_uri):
+            if not self._backend.exists(join_uri(self.path, "_SUCCESS")):
+                raise RuntimeError(_HALF_COMMIT_MSG.format(path=self.path))
+            entries = json.loads(self._backend.read_text(manifest_uri))["files"]
+            files = [join_uri(self.path, e["file"]) for e in entries]
+            return [_ChunkFilePartition(p) for p in sorted(files)]
+        return [_ChunkFilePartition(p) for p in _remote_files(self._backend, self.path)]
+
     def read(self, partition: _ChunkFilePartition) -> Iterator[tuple]:
-        with open(partition.path, encoding="utf-8") as f:
-            for line in f:
-                if line.strip():
-                    k, v = json.loads(line)
-                    yield (_canon(k), _canon(v))
+        yield from _parse_chunk_lines(partition.path, self._backend if self._remote else None)
 
 
 class _ChunkRows:
@@ -117,12 +196,13 @@ class _ChunkRows:
     whole window in driver memory, and every cache copy replays the exact
     same window."""
 
-    def __init__(self, files: list[str]):
+    def __init__(self, files: list[str], backend=None):
         self._files = list(files)
+        self._backend = backend
         self._gen: Iterator[tuple] | None = None
 
     def __copy__(self) -> "_ChunkRows":
-        return _ChunkRows(self._files)
+        return _ChunkRows(self._files, self._backend)
 
     def __iter__(self) -> "_ChunkRows":
         return self
@@ -134,11 +214,7 @@ class _ChunkRows:
 
     def _generate(self) -> Iterator[tuple]:
         for path in self._files:
-            with open(path, encoding="utf-8") as f:
-                for line in f:
-                    if line.strip():
-                        k, v = json.loads(line)
-                        yield (_canon(k), _canon(v))
+            yield from _parse_chunk_lines(path, self._backend)
 
 
 class _ChunkStreamReader(SimpleDataSourceStreamReader):
@@ -169,6 +245,12 @@ class _ChunkStreamReader(SimpleDataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("mr_chunks stream requires a path")
+        # Remote drop prefixes (s3://bucket/chunks) tail through the storage
+        # backend — listing via backend.list, content via read_text — with
+        # the identical offset contract; closes the reference's
+        # add_chunk-from-object-store story (reducer.rb:34-42) for the
+        # streaming face.
+        self._backend, self._remote = _reader_backend(options)
         # single lookup with fallback (DataSource options are case-lowered;
         # `get(A) or get(B)` would also silently drop a falsy value like "")
         mft = options.get("maxfilespertrigger", options.get("maxFilesPerTrigger"))
@@ -199,21 +281,25 @@ class _ChunkStreamReader(SimpleDataSourceStreamReader):
         last = off.get("last")
         if n == 0 or last is None:
             return
-        if n > len(files) or os.path.basename(files[n - 1]) != last:
+        if n > len(files) or _basename(files[n - 1]) != last:
             raise ValueError(
                 f"mr_chunks stream offset violated: expected file #{n} to be "
                 f"{last!r} (committed boundary); directory now has "
-                f"{[os.path.basename(f) for f in files[:n]]} — a committed "
+                f"{[_basename(f) for f in files[:n]]} — a committed "
                 "chunk file was removed or a new file sorted before the "
                 "boundary (files must arrive with increasing names)"
             )
 
-    @staticmethod
-    def _rows(files: list[str]) -> "_ChunkRows":
-        return _ChunkRows(files)
+    def _rows(self, files: list[str]) -> "_ChunkRows":
+        return _ChunkRows(files, self._backend if self._remote else None)
+
+    def _files(self) -> list[str]:
+        if self._remote:
+            return _remote_files(self._backend, self.path)
+        return _resolve_files(self.path)
 
     def read(self, start: dict):
-        files = _resolve_files(self.path)
+        files = self._files()
         self._validate(files, start)
         lo = start["n"]
         hi = (
@@ -223,12 +309,12 @@ class _ChunkStreamReader(SimpleDataSourceStreamReader):
         )
         end = {
             "n": hi,
-            "last": os.path.basename(files[hi - 1]) if hi else None,
+            "last": _basename(files[hi - 1]) if hi else None,
         }
         return self._rows(files[lo:hi]), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        files = _resolve_files(self.path)
+        files = self._files()
         self._validate(files, end)
         return self._rows(files[start["n"] : end["n"]])
 

@@ -20,7 +20,12 @@ A backend is any object with five small operations::
     put_file_atomic(local_path, uri)   # publish a finished local file
 
 plus an optional ``delete(uri)`` used by the writer's abort cleanup
-(backends without it simply skip unpublishing on job failure).
+(backends without it simply skip unpublishing on job failure), and an
+optional ``list(dir_uri) -> list[str]`` (direct child file NAMES, sorted)
+that lets the chunk READERS — batch and streaming — resolve a directory
+through the backend, so a stream can tail an ``s3://`` drop prefix the same
+way it tails a local directory (the reference's add_chunk-from-object-store
+story, reducer.rb:34-42, for the streaming face).
 
 The local backend (plain paths and ``file://`` URIs; NFS mounts count — a
 mounted path IS shared storage) ships here. An object-store deployment
@@ -99,6 +104,16 @@ class LocalStorage:
         p = self._p(uri)
         if os.path.exists(p):
             os.unlink(p)
+
+    def list(self, uri: str) -> list[str]:
+        """Direct child file names, sorted (no filtering — the reader owns
+        the '_'/'.'-prefix skip rule so every backend lists identically)."""
+        p = self._p(uri)
+        if not os.path.isdir(p):
+            return []
+        return sorted(
+            n for n in os.listdir(p) if os.path.isfile(os.path.join(p, n))
+        )
 
     def put_file_atomic(self, local_path: str, uri: str) -> None:
         # land under a '.'-prefixed, per-attempt-unique temp name (invisible
@@ -256,6 +271,29 @@ class S3Storage:
         bucket, key = self._bk(uri)
         self._c().delete_object(Bucket=bucket, Key=key)
 
+    def list(self, uri: str) -> list[str]:
+        """Direct child object names under the prefix (Delimiter='/'), via
+        paginated ListObjectsV2 — the object-store face of a directory
+        listing. Names are returned relative to the prefix, sorted, so the
+        chunk readers treat every backend identically."""
+        bucket, key = self._bk(uri.rstrip("/"))
+        prefix = key + "/"
+        names: list[str] = []
+        token = None
+        while True:
+            kw = {"Bucket": bucket, "Prefix": prefix, "Delimiter": "/"}
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self._c().list_objects_v2(**kw)
+            for obj in resp.get("Contents", []):
+                name = obj["Key"][len(prefix):]
+                if name:  # skip the prefix marker object itself
+                    names.append(name)
+            if not resp.get("IsTruncated"):
+                break
+            token = resp.get("NextContinuationToken")
+        return sorted(names)
+
 
 class S3FileClientDouble:
     """A file-backed double of the narrow boto3 client surface ``S3Storage``
@@ -308,6 +346,19 @@ class S3FileClientDouble:
         p = self._p(Bucket, Key)
         if os.path.isfile(p):
             os.unlink(p)
+
+    def list_objects_v2(self, Bucket: str, Prefix: str = "", Delimiter: str = "/",
+                        ContinuationToken: str | None = None) -> dict:
+        """Direct children of the prefix, ListObjectsV2 response shape
+        (single page — IsTruncated False — which also exercises the
+        pagination loop's terminal branch)."""
+        d = self._p(Bucket, Prefix)
+        contents = []
+        if os.path.isdir(d):
+            for n in sorted(os.listdir(d)):
+                if os.path.isfile(os.path.join(d, n)):
+                    contents.append({"Key": Prefix + n})
+        return {"Contents": contents, "IsTruncated": False}
 
 
 _BACKENDS: dict[str, object] = {

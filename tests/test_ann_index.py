@@ -1,0 +1,145 @@
+"""Durable ANN index (operators/ann_index.py): restart without retrain,
+stored == freshly-built determinism, partition-pruned probes, and the PQ
+codes/codebooks roundtrip.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_ruby_spark.operators import (
+    adaptive_nprobe,
+    build_ivf_index,
+    build_pq_index,
+    ivf_index_exists,
+    ivf_search,
+    load_ivf_index,
+    load_pq_index,
+    pq_index_exists,
+    pq_search,
+    write_ivf_index,
+    write_pq_index,
+)
+
+_DIM = 64
+
+
+def _vectors(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            F.col("vec_id").alias("id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+    )
+
+
+def _queries(v):
+    return v.filter(F.col("id") < 10).select(
+        F.col("id").alias("qid"), F.col("e").alias("qe")
+    )
+
+
+def _mtimes(path):
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            out[p] = os.path.getmtime(p)
+    return out
+
+
+def _ranked(df):
+    return sorted(
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rn) for r in df.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def ivf_path(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ann") / "ivf")
+    write_ivf_index(spark, _vectors(spark, sf_dir), path, k=None)
+    return path
+
+
+def test_ivf_index_survives_restart_without_retrain(spark, sf_dir, ivf_path):
+    """Reload from storage, search, and compare to a FRESH build: identical
+    centroids and identical ranked results — and the stored files are not
+    rewritten by the reload+search (no retrain: mtimes untouched)."""
+    assert ivf_index_exists(ivf_path)
+    before = _mtimes(ivf_path)
+
+    v = _vectors(spark, sf_dir)
+    a1, c1 = load_ivf_index(spark, ivf_path)
+    r1 = _ranked(ivf_search(a1, c1, _queries(v), 5, adaptive_nprobe(len(c1))))
+
+    # "restart": a second, independent load — nothing carried over in memory
+    a2, c2 = load_ivf_index(spark, ivf_path)
+    r2 = _ranked(ivf_search(a2, c2, _queries(v), 5, adaptive_nprobe(len(c2))))
+    assert c2 == c1
+    assert r2 == r1
+
+    # stored == freshly trained (bit-deterministic builder)
+    a3, c3 = build_ivf_index(v, k=None, iterations=2)
+    r3 = _ranked(ivf_search(a3, c3, _queries(v), 5, adaptive_nprobe(len(c3))))
+    a3.unpersist()
+    assert c3 == c1
+    assert r3 == r1
+
+    # stored assignments row-identical to rebuilt ones
+    stored = {(r.id, r.cell) for r in a1.select("id", "cell").collect()}
+    n = v.count()
+    assert len(stored) == n
+    assert _mtimes(ivf_path) == before
+
+
+def test_ivf_persisted_probe_prunes_partitions(spark, sf_dir, ivf_path):
+    """The probe join against the stored cell-partitioned layout must drive
+    dynamic partition pruning: only probed cells' files are read."""
+    v = _vectors(spark, sf_dir)
+    a, c = load_ivf_index(spark, ivf_path)
+    df = ivf_search(a, c, _queries(v), 5, adaptive_nprobe(len(c)))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        line for line in plan.splitlines()
+        if "FileScan" in line and "/cells" in line
+    )
+    assert "dynamicpruning" in plan.lower(), plan
+    assert "PartitionFilters" in scan, scan
+
+
+def test_pq_index_roundtrip_and_restart(spark, sf_dir, tmp_path):
+    """PQ codes + codebooks persist and reload shaped exactly like the
+    builder's return; search over the loaded index equals search over the
+    freshly built one; reload does not rewrite."""
+    path = str(tmp_path / "pq")
+    v = _vectors(spark, sf_dir)
+    write_pq_index(spark, v, path, dim=_DIM)
+    assert pq_index_exists(path)
+    before = _mtimes(path)
+
+    codes_l, books_l = load_pq_index(spark, path)
+    codes_b, books_b = build_pq_index(v, dim=_DIM)
+    assert books_l == books_b
+    rows_l = sorted(tuple(r) for r in codes_l.collect())
+    rows_b = sorted(tuple(r) for r in codes_b.collect())
+    assert rows_l == rows_b
+    codes_b.unpersist()
+
+    r_loaded = _ranked(pq_search(codes_l, books_l, _queries(v), v, dim=_DIM))
+    codes_b2, books_b2 = build_pq_index(v, dim=_DIM)
+    r_built = _ranked(pq_search(codes_b2, books_b2, _queries(v), v, dim=_DIM))
+    codes_b2.unpersist()
+    assert r_loaded == r_built
+    assert _mtimes(path) == before
+
+
+def test_ivf_index_exists_requires_both_components(tmp_path):
+    path = str(tmp_path / "ivf")
+    assert not ivf_index_exists(path)
+    os.makedirs(os.path.join(path, "cells"))
+    open(os.path.join(path, "cells", "_SUCCESS"), "w").close()
+    assert not ivf_index_exists(path)  # centroids missing -> not an index

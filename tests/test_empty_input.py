@@ -49,6 +49,10 @@ REPRESENTATIVE = [
     "dedup_simhash_hamming",        # adaptive band width at n_docs = 0
     "dedup_simhash_bitsample",      # cyclic-window tables over zero docs
     "dedup_semantic_ivf",           # adaptive cell count over empty corpus
+    # round-6 additions
+    "knn_ivf_persisted",            # empty corpus -> no index write
+    "dedup_embedding_cosine",       # empty query sample -> schema-stable empty
+    "knn_bruteforce",               # literal-replay path with zero query rows
 ]
 
 

@@ -31,6 +31,7 @@ EXECUTING_ENTRIES = {
     "dedup_persisted_index",  # writes the bucketed band index at build time
     "knn_ivf",
     "knn_ivf_pq",  # builds + joins the two component indexes at build time
+    "knn_ivf_persisted",  # writes the durable IVF index at build time
     "dedup_clusters_cc",
     "dedup_clusters_cc_star",
     "dedup_cleaned_corpus",

@@ -963,3 +963,130 @@ def test_atomic_writers_reclaim_tmp_on_failure(tmp_path):
         st.write_text_atomic(str(tmp_path / "sub" / "isdir"), "x")
     leftovers = [p for p in os.listdir(tmp_path / "sub") if ".tmp" in p]
     assert leftovers == [], leftovers
+
+
+def test_chunk_stream_tails_s3_uri_exactly_once(spark, tmp_path):
+    """Streaming over OBJECT STORAGE: the mr_chunks stream tails an s3://
+    drop prefix through the scheme-dispatched backend (list via paginated
+    ListObjectsV2, content via get_object — exercised against the
+    file-backed S3 client double), preserving the exactly-once per-file
+    offset contract across a checkpoint restart (maxFilesPerTrigger
+    backpressure is pinned by the local backlog test; the knob is
+    path-agnostic).
+    Closes the reference's add_chunk-from-S3 story
+    (lib/map_reduce/reducer.rb:34-42, README.md:78-84) for the streaming
+    face."""
+    import functools
+    import json
+
+    from map_reduce_ruby_spark.sources.chunk_datasource import register_chunk_source
+    from map_reduce_ruby_spark.sources.storage import (
+        S3FileClientDouble,
+        S3Storage,
+        pickle_backend,
+    )
+
+    register_chunk_source(spark)
+    root = str(tmp_path / "s3root")
+    backend = S3Storage(client_factory=functools.partial(S3FileClientDouble, root))
+    blob = pickle_backend(backend)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def put_chunk(name, pairs):
+        backend.write_text_atomic(
+            f"s3://bucket/drop/{name}",
+            "".join(json.dumps([k, v], separators=(",", ":")) + "\n" for k, v in pairs),
+        )
+
+    def drain():
+        q = (
+            spark.readStream.format("mr_chunks")
+            .option("path", "s3://bucket/drop")
+            .option("backend_pickle", blob)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+    put_chunk("chunk-00000.jsonl", [["a", 1], ["b", 2]])
+    put_chunk("chunk-00001.jsonl", [["c", 3]])
+    # a _SUCCESS-style marker and a dot-file must be invisible to the tail
+    backend.write_text_atomic("s3://bucket/drop/_SUCCESS", "")
+    backend.write_text_atomic("s3://bucket/drop/.staging.tmp", "garbage")
+    first = drain()
+    assert first == sorted([('"a"', "1"), ('"b"', "2"), ('"c"', "3")])
+
+    # restart from the same checkpoint: only the NEW object is delivered
+    put_chunk("chunk-00002.jsonl", [["d", 4]])
+    second = drain()
+    assert second == sorted(
+        [('"a"', "1"), ('"b"', "2"), ('"c"', "3"), ('"d"', "4")]
+    )
+    assert len(second) == 4  # no duplicates: each object ingested once
+
+
+def test_chunk_batch_reads_s3_uri_via_manifest(spark, tmp_path):
+    """Batch mr_chunks reads resolve s3:// paths through the backend too:
+    a committed generation is read FROM ITS MANIFEST (strays invisible),
+    and a manifest without _SUCCESS is refused — the same policy as local
+    directories, now scheme-dispatched."""
+    import functools
+    import json
+
+    from map_reduce_ruby_spark.sources.chunk_datasource import register_chunk_source
+    from map_reduce_ruby_spark.sources.storage import (
+        S3FileClientDouble,
+        S3Storage,
+        pickle_backend,
+    )
+
+    register_chunk_source(spark)
+    root = str(tmp_path / "s3root")
+    backend = S3Storage(client_factory=functools.partial(S3FileClientDouble, root))
+    blob = pickle_backend(backend)
+
+    def read_df(path):
+        return (
+            spark.read.format("mr_chunks")
+            .option("backend_pickle", blob)
+            .load(path)
+        )
+
+    # manifest-less prefix: plain listing
+    backend.write_text_atomic(
+        "s3://bucket/plain/chunk-00000.jsonl", '["a",1]\n["b",2]\n'
+    )
+    assert {tuple(r) for r in read_df("s3://bucket/plain").collect()} == {
+        ('"a"', "1"),
+        ('"b"', "2"),
+    }
+
+    # committed generation: manifest is authoritative, strays invisible
+    backend.write_text_atomic("s3://bucket/gen/chunk-00000-aaa.jsonl", '["k",7]\n')
+    backend.write_text_atomic("s3://bucket/gen/chunk-99999-zzz.jsonl", '["stray",0]\n')
+    manifest = {
+        "format": "mr_chunks/1",
+        "write_id": "aaa",
+        "files": [{"partition": 0, "file": "chunk-00000-aaa.jsonl", "rows": 1}],
+    }
+    backend.write_text_atomic(
+        "s3://bucket/gen/_MANIFEST.json", json.dumps(manifest) + "\n"
+    )
+    backend.write_text_atomic("s3://bucket/gen/_SUCCESS", "")
+    assert [tuple(r) for r in read_df("s3://bucket/gen").collect()] == [('"k"', "7")]
+
+    # half-commit (manifest, no _SUCCESS) is refused loudly
+    backend.write_text_atomic("s3://bucket/half/chunk-00000-bbb.jsonl", '["x",1]\n')
+    backend.write_text_atomic(
+        "s3://bucket/half/_MANIFEST.json", json.dumps(manifest) + "\n"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="half-commit"):
+        read_df("s3://bucket/half").collect()
