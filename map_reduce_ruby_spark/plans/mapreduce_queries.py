@@ -42,18 +42,24 @@ from map_reduce_ruby_spark.sources import load_table
 )
 def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("text")
+    # Feed plain text lines, not Row objects — the reference README's map
+    # receives a line (truer to the ported job), and scalar feeding follows
+    # the mr_composite_key_agg rule. Measured neutral here (a 1-field Row
+    # pickles like its payload; the cost is the |tokens| pair shuffle),
+    # unlike the 2-field rollup where tuples cut sf1 time 9.4 -> 6.8 s.
     job = Job(
-        map_fn=lambda row: ((w, 1) for w in row.text.split()),
+        map_fn=lambda text: ((w, 1) for w in text.split()),
         reduce_fn=lambda key, a, b: a + b,
         num_partitions=16,
     )
+    lines = docs.rdd.map(lambda r: r[0])
     schema = T.StructType(
         [
             T.StructField("word", T.StringType(), False),
             T.StructField("cnt", T.LongType(), False),
         ]
     )
-    return spark.createDataFrame(job.run(spark, docs, sort_output=False), schema)
+    return spark.createDataFrame(job.run(spark, lines, sort_output=False), schema)
 
 
 @register(
@@ -118,12 +124,13 @@ def mr_composite_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mr_user_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    # plain tuples, not Rows (the mr_composite_key_agg rule)
     job = Job(
-        map_fn=lambda row: [(row.user_id, (1, int(round(row.value * 100))))],
+        map_fn=lambda t: [(t[0], (1, int(round(t[1] * 100))))],
         reduce_fn=lambda key, a, b: (a[0] + b[0], a[1] + b[1]),
         num_partitions=8,
     )
-    rows = job.run(spark, events, sort_output=False).map(
+    rows = job.run(spark, events.rdd.map(tuple), sort_output=False).map(
         lambda kv: (kv[0], kv[1][0], kv[1][1] / 100.0)
     )
     schema = T.StructType(
