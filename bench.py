@@ -42,6 +42,8 @@ HEADLINE = [
     "knn_sq8",
     "knn_pq",
     "knn_ivf_pq",
+    "knn_ivf_persisted",
+    "dedup_embedding_cosine",
     "text_quality_score",
     "text_repetition_filter",
     "sequence_pack_shards",
