@@ -711,3 +711,207 @@ def knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _K)
         .select("query_id", "neighbor_id", "cos_sq", "rn")
     )
+
+
+# --- Hybrid retrieval: dense + lexical arms fused by reciprocal-rank fusion.
+# The production retrieval-stack shape the catalog's two arms compose into:
+# BM25/lexical and ANN/dense each miss what the other catches, and RRF is
+# the standard score-free fusion (Cormack et al.) — rank reciprocals need no
+# cross-arm score calibration. Determinism rules: the dense arm rounds
+# cosine to 4dp before ranking (the knn_bruteforce rule); the lexical arm's
+# Jaccard is ONE division of exact integers (no float-sum pairing hazard at
+# all); RRF adds two reciprocals of exact integer ranks — bit-identical on
+# both engines, so ranking on the unrounded fusion score is safe to gate.
+_HY_NQ = 8  # doc_id/vec_id < 8 form the query set (bounded artifact)
+_HY_K = 20  # per-arm depth fed into fusion
+_HY_C = 60  # the standard RRF constant
+_HY_TOPK = 10
+
+# Token expressions duplicated from plans/text_queries (module-level import
+# would work — text_queries has no similarity import — but the two-line
+# duplication keeps this module's oracle fragments self-contained).
+_HY_TOKS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
+
+
+@register(
+    "docs_hybrid_rrf",
+    oracle=f"""
+    WITH tset AS (
+        SELECT DISTINCT doc_id, term
+        FROM (SELECT doc_id, unnest({_HY_TOKS_SQL}) AS term FROM documents)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM tset GROUP BY doc_id),
+    inter AS (
+        SELECT q.doc_id AS qid, c.doc_id AS cid, COUNT(*) AS inter
+        FROM tset q JOIN tset c ON q.term = c.term
+        WHERE q.doc_id < {_HY_NQ} AND c.doc_id <> q.doc_id
+        GROUP BY q.doc_id, c.doc_id
+    ),
+    lex AS (
+        SELECT qid, cid,
+               row_number() OVER (
+                   PARTITION BY qid
+                   ORDER BY CAST(i.inter AS DOUBLE)
+                            / (qs.n + cs.n - i.inter) DESC, cid
+               ) AS lex_rn
+        FROM inter i
+        JOIN sz qs ON qs.doc_id = i.qid
+        JOIN sz cs ON cs.doc_id = i.cid
+    ),
+    ltop AS (SELECT * FROM lex WHERE lex_rn <= {_HY_K}),
+    v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    ),
+    dense AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_sum(list_transform(range(1, 65),
+                            i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm), 4)
+                            DESC, c.vec_id
+               ) AS dense_rn
+        FROM v q JOIN v c ON q.vec_id < {_HY_NQ} AND c.vec_id <> q.vec_id
+    ),
+    dtop AS (SELECT * FROM dense WHERE dense_rn <= {_HY_K}),
+    fused AS (
+        SELECT COALESCE(d.qid, l.qid) AS query_id,
+               COALESCE(d.cid, l.cid) AS doc_id,
+               COALESCE(CAST(1 AS DOUBLE) / ({_HY_C} + d.dense_rn), 0)
+               + COALESCE(CAST(1 AS DOUBLE) / ({_HY_C} + l.lex_rn), 0) AS rrf,
+               COALESCE(d.dense_rn, -1) AS dense_rn,
+               COALESCE(l.lex_rn, -1) AS lex_rn
+        FROM dtop d FULL JOIN ltop l ON d.qid = l.qid AND d.cid = l.cid
+    )
+    SELECT query_id, doc_id, ROUND(rrf, 6) AS rrf,
+           CAST(fused_rank AS BIGINT) AS fused_rank,
+           CAST(dense_rn AS BIGINT) AS dense_rn,
+           CAST(lex_rn AS BIGINT) AS lex_rn
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS fused_rank
+          FROM fused)
+    WHERE fused_rank <= {_HY_TOPK}
+    """,
+    doc="Hybrid retrieval with reciprocal-rank fusion: for each of "
+    f"{_HY_NQ} query documents, a DENSE arm (exact cosine over the aligned "
+    "embedding, 4dp-rounded before ranking — the knn_bruteforce rule) and a "
+    f"LEXICAL arm (exact Jaccard over distinct token sets — one integer "
+    "division, no float-sum hazard) each rank their top-20 candidates; "
+    f"RRF fuses them as sum(1/({_HY_C}+rank)) over a full outer join of the "
+    "two rank lists (absent arm contributes 0, sentinel rank -1) and keeps "
+    "the top-10 per query. Scale: the query set is a bounded broadcast "
+    "artifact; the lexical arm is a posting-list equi-join (O(corpus "
+    "tokens), the inverted-index shape text_bm25_search documents) whose "
+    "rank<=k filter plans as WindowGroupLimit (no full per-query sort); "
+    "the dense arm is the scan-side literal replay of knn_bruteforce (at "
+    "corpus scale you'd swap in the knn_ivf_persisted index — same "
+    "(qid, cid, rank) contract); fusion joins two <=|Q|*k row sides. "
+    "RRF reciprocals divide exact integers, so ranking on the unrounded "
+    "fusion score is engine-deterministic.",
+    tags=("similarity", "retrieval", "hybrid", "extension"),
+)
+def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_ruby_spark.functions import literal_struct_array
+
+    out_schema = (
+        "query_id long, doc_id long, rrf double, fused_rank long, "
+        "dense_rn long, lex_rn long"
+    )
+    # Dense arm: identical construction to knn_bruteforce (array form, 4dp
+    # rounding, neighbor-id tie-break), depth _HY_K, query set vec_id < 8.
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", _as_double(F.col("embedding")).alias("e")).withColumn(
+        "nrm", _norm("e")
+    )
+    qrows = (
+        v.filter(F.col("vec_id") < _HY_NQ)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+        .collect()
+    )
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    c = v.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
+                 F.col("nrm").alias("cnrm"))
+    dscored = (
+        c.select("cid", "ce", "cnrm", F.explode(literal_struct_array(qrows)).alias("q"))
+        .select("cid", "ce", "cnrm", "q.*")
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid", "cid",
+            F.round(_dot("qe", "ce") / (F.col("qnrm") * F.col("cnrm")), 4).alias("cos"),
+        )
+    )
+    dw = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    dtop = (
+        dscored.withColumn("dense_rn", F.row_number().over(dw).cast("long"))
+        .filter(F.col("dense_rn") <= _HY_K)
+        .select("qid", "cid", "dense_rn")
+    )
+
+    # Lexical arm: distinct token sets -> posting-list equi-join on term
+    # (query side broadcast) -> exact integer Jaccard -> per-query rank.
+    docs = load_table(spark, sf_dir, "documents")
+    tset = (
+        docs.select("doc_id", F.explode(_hy_tokens(F.col("text"))).alias("term"))
+        .distinct()
+    )
+    sz = tset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    qset = tset.filter(F.col("doc_id") < _HY_NQ).withColumnRenamed("doc_id", "qid")
+    inter = (
+        F.broadcast(qset)
+        .join(tset.withColumnRenamed("doc_id", "cid"), "term")
+        .filter(F.col("cid") != F.col("qid"))
+        .groupBy("qid", "cid")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = (
+        inter.join(F.broadcast(sz.withColumnRenamed("doc_id", "qid")
+                               .withColumnRenamed("n", "qn")), "qid")
+        .join(sz.withColumnRenamed("doc_id", "cid").withColumnRenamed("n", "cn"), "cid")
+        .select(
+            "qid", "cid",
+            (F.col("inter").cast("double")
+             / (F.col("qn") + F.col("cn") - F.col("inter"))).alias("jac"),
+        )
+    )
+    lw = W.partitionBy("qid").orderBy(F.desc("jac"), F.asc("cid"))
+    ltop = (
+        jac.withColumn("lex_rn", F.row_number().over(lw).cast("long"))
+        .filter(F.col("lex_rn") <= _HY_K)
+        .select("qid", "cid", "lex_rn")
+    )
+
+    # RRF fusion: full outer on (qid, cid); reciprocals of exact integer
+    # ranks are bit-identical doubles, so the fused ordering needs no
+    # pre-round. Sentinel -1 for the absent arm (catalog no-NULL rule).
+    fused = (
+        dtop.join(ltop, ["qid", "cid"], "full_outer")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("doc_id"),
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(_HY_C) + F.col("dense_rn")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(_HY_C) + F.col("lex_rn")), F.lit(0.0))
+            ).alias("rrf"),
+            F.coalesce(F.col("dense_rn"), F.lit(-1)).cast("long").alias("dense_rn"),
+            F.coalesce(F.col("lex_rn"), F.lit(-1)).cast("long").alias("lex_rn"),
+        )
+    )
+    fw = W.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(fw).cast("long"))
+        .filter(F.col("fused_rank") <= _HY_TOPK)
+        .select("query_id", "doc_id", F.round("rrf", 6).alias("rrf"),
+                "fused_rank", "dense_rn", "lex_rn")
+    )
+
+
+def _hy_tokens(col) -> Column:
+    """Spark twin of ``_HY_TOKS_SQL`` (the plans/text_queries tokenizer)."""
+    return F.filter(F.split(col, r"\s+"), lambda w: w != "")

@@ -53,6 +53,7 @@ REPRESENTATIVE = [
     "knn_ivf_persisted",            # empty corpus -> no index write
     "dedup_embedding_cosine",       # empty query sample -> schema-stable empty
     "knn_bruteforce",               # literal-replay path with zero query rows
+    "docs_hybrid_rrf",              # both arms empty -> early schema return
 ]
 
 
