@@ -44,6 +44,7 @@ HEADLINE = [
     "knn_ivf_pq",
     "knn_ivf_persisted",
     "dedup_embedding_cosine",
+    "docs_hybrid_rrf",
     "text_quality_score",
     "text_repetition_filter",
     "sequence_pack_shards",
