@@ -37,7 +37,10 @@ search, byte-equal results, no retrain (file mtimes untouched).
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,11 +48,67 @@ from pyspark.sql import functions as F
 from map_reduce_ruby_spark.operators.ivf import build_ivf_index
 from map_reduce_ruby_spark.operators.pq import build_pq_index
 
+# Builder-version tokens, baked into every index's _META.json and checked at
+# load/exists time. /tmp-cached index roots outlive the process (the
+# knn_ivf_persisted entry keys its cache on fixture content), so WITHOUT a
+# version gate, a later change to build_ivf_index / adaptive_cell_count would
+# silently load an index built by OLD code and diverge from the oracle. Bump
+# on ANY change to the builder's algorithm or default parameters.
+IVF_INDEX_VERSION = 2
+PQ_INDEX_VERSION = 2
 
-def ivf_index_exists(path: str) -> bool:
-    """Both components fully committed (parquet _SUCCESS markers)."""
-    return os.path.exists(os.path.join(path, "cells", "_SUCCESS")) and os.path.exists(
-        os.path.join(path, "centroids", "_SUCCESS")
+_META_NAME = "_META.json"
+
+
+def _read_meta(path: str) -> dict | None:
+    try:
+        with open(os.path.join(path, _META_NAME), encoding="utf-8") as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _publish_atomic(tmp: str, path: str, valid) -> None:
+    """Atomically publish a fully-staged index directory: a reader can NEVER
+    observe a half-written index because the root appears in one rename.
+    Concurrent builders race safely — first complete publish wins, the loser
+    discards its staging dir. A pre-existing root that fails ``valid()``
+    (stale version, crashed legacy writer) is replaced."""
+    try:
+        os.rename(tmp, path)
+        return
+    except OSError:
+        pass
+    if os.path.isdir(path) and not valid(path):
+        shutil.rmtree(path, ignore_errors=True)
+        try:
+            os.rename(tmp, path)
+            return
+        except OSError:
+            pass
+    # a concurrent builder published a valid index between our checks — keep
+    # the winner, discard ours
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _ivf_meta(k: int | None) -> dict:
+    return {
+        "format": "ivf_index",
+        "version": IVF_INDEX_VERSION,
+        "k": "adaptive" if k is None else int(k),
+        "iterations": 2,
+    }
+
+
+def ivf_index_exists(path: str, k: int | None = None) -> bool:
+    """Fully committed (parquet _SUCCESS markers) AND built by the CURRENT
+    builder with the same parameters (_META.json match) — a content-keyed
+    cache hit on an index trained by older code or other params is a miss,
+    not a silent stale load."""
+    return (
+        os.path.exists(os.path.join(path, "cells", "_SUCCESS"))
+        and os.path.exists(os.path.join(path, "centroids", "_SUCCESS"))
+        and _read_meta(path) == _ivf_meta(k)
     )
 
 
@@ -57,22 +116,27 @@ def write_ivf_index(
     spark: SparkSession, vectors: DataFrame, path: str, k: int | None = None
 ) -> None:
     """Train (deterministic k-means, scale-adaptive k when ``k=None``) and
-    persist. Overwrite mode: rebuilding is an idempotent full refresh; an
-    incremental ingest appends new vectors' assignments into their cell
-    partitions without touching centroids (the IVF maintenance model —
-    centroids retrain only on scheduled rebuilds)."""
+    persist. The index is staged under a sibling temp root and published by
+    ONE atomic rename — concurrent or crashed builders can never expose a
+    torn index (the non-atomic two-directory overwrite this replaces
+    could). Rebuilding is an idempotent full refresh; ``append_ivf_batch``
+    is the incremental ingest path (assign-only, centroids untouched)."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
     assignments, centroids = build_ivf_index(vectors, k=k, iterations=2)
     (
         assignments.write.partitionBy("cell")
         .mode("overwrite")
-        .parquet(os.path.join(path, "cells"))
+        .parquet(os.path.join(tmp, "cells"))
     )
     cdf = spark.createDataFrame(
         [(i, list(c)) for i, c in enumerate(centroids)], "cell long, ce array<double>"
     )
-    cdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    cdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+    with open(os.path.join(tmp, _META_NAME), "w", encoding="utf-8") as f:
+        json.dump(_ivf_meta(k), f)
     # the durable table replaces the in-session cache the builder returned
     assignments.unpersist()
+    _publish_atomic(tmp, path, lambda p: ivf_index_exists(p, k))
 
 
 def load_ivf_index(
@@ -90,10 +154,32 @@ def load_ivf_index(
     return cells, centroids
 
 
-def pq_index_exists(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "pq_codes", "_SUCCESS")) and os.path.exists(
-        os.path.join(path, "pq_books", "_SUCCESS")
-    )
+def _pq_meta(dim: int, n_sub: int, k: int) -> dict:
+    return {
+        "format": "pq_index",
+        "version": PQ_INDEX_VERSION,
+        "dim": int(dim),
+        "n_sub": int(n_sub),
+        "k": int(k),
+    }
+
+
+def pq_index_exists(
+    path: str, dim: int | None = None, n_sub: int = 8, k: int = 16
+) -> bool:
+    """Committed AND current-version (same _META.json policy as IVF). With
+    ``dim=None`` the dim field is not compared (callers that only know the
+    path can still validate version/params)."""
+    if not (
+        os.path.exists(os.path.join(path, "pq_codes", "_SUCCESS"))
+        and os.path.exists(os.path.join(path, "pq_books", "_SUCCESS"))
+    ):
+        return False
+    meta = _read_meta(path)
+    if meta is None:
+        return False
+    expect = _pq_meta(meta.get("dim", -1) if dim is None else dim, n_sub, k)
+    return meta == expect
 
 
 def write_pq_index(
@@ -104,17 +190,22 @@ def write_pq_index(
     n_sub: int = 8,
     k: int = 16,
 ) -> None:
-    """Train the per-subspace codebooks and persist codes + codebooks. The
-    codes table is the 8-bytes-per-vector artifact the ADC scan reads; the
+    """Train the per-subspace codebooks and persist codes + codebooks (same
+    staged-build + atomic-rename publish as write_ivf_index). The codes
+    table is the 8-bytes-per-vector artifact the ADC scan reads; the
     codebooks are a bounded (n_sub x k x sub_dim) side table."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
     codes, books = build_pq_index(vectors, dim=dim, n_sub=n_sub, k=k)
-    codes.write.mode("overwrite").parquet(os.path.join(path, "pq_codes"))
+    codes.write.mode("overwrite").parquet(os.path.join(tmp, "pq_codes"))
     rows = [
         (m, c, list(cw)) for m, book in enumerate(books) for c, cw in enumerate(book)
     ]
     bdf = spark.createDataFrame(rows, "m long, code long, cw array<double>")
-    bdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "pq_books"))
+    bdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "pq_books"))
+    with open(os.path.join(tmp, _META_NAME), "w", encoding="utf-8") as f:
+        json.dump(_pq_meta(dim, n_sub, k), f)
     codes.unpersist()
+    _publish_atomic(tmp, path, lambda p: pq_index_exists(p, dim, n_sub, k))
 
 
 def load_pq_index(

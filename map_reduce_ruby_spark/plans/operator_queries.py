@@ -453,8 +453,16 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     # Content-fingerprinted path (the dedup_persisted_index rule): a fresh
     # process recomputes the same path; a regenerated fixture invalidates it.
+    # The builder version rides in the path too (and in the index's
+    # _META.json, checked by ivf_index_exists): /tmp outlives the process,
+    # so an index trained by OLDER builder code must be a cache MISS, never
+    # a silent oracle-divergent load.
+    from map_reduce_ruby_spark.operators.ann_index import IVF_INDEX_VERSION
+
     tag = table_fingerprint(sf_dir, "embeddings")
-    path = os.path.join(tempfile.gettempdir(), f"ivf_idx_{tag}")
+    path = os.path.join(
+        tempfile.gettempdir(), f"ivf_idx_v{IVF_INDEX_VERSION}_{tag}"
+    )
     if not ivf_index_exists(path):
         write_ivf_index(spark, v, path, k=None)
     assignments, centroids = load_ivf_index(spark, path)

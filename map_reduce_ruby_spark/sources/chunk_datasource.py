@@ -66,6 +66,30 @@ _HALF_COMMIT_MSG = (
     "the write (half-commits are overwritable) or delete the directory."
 )
 
+# commit() publishes the manifest and _SUCCESS as two separate atomic puts;
+# a reader that plans in the sub-millisecond window between them would see
+# manifest-without-_SUCCESS and (without this grace) misreport a HEALTHY
+# completing write as a crashed half-commit. A completing writer finishes
+# the second put in milliseconds; a crashed one never does — so re-checking
+# for a short bounded window separates the two cases without weakening the
+# crash diagnosis.
+_SUCCESS_GRACE_TRIES = 10
+_SUCCESS_GRACE_SLEEP = 0.05
+
+
+def _success_appears(exists) -> bool:
+    """Poll ``exists()`` (a zero-arg _SUCCESS probe) through the grace
+    window; True the moment the marker lands, False once the window is
+    exhausted (genuine half-commit)."""
+    import time
+
+    for attempt in range(_SUCCESS_GRACE_TRIES):
+        if exists():
+            return True
+        if attempt < _SUCCESS_GRACE_TRIES - 1:
+            time.sleep(_SUCCESS_GRACE_SLEEP)
+    return False
+
 
 def _parse_chunk_lines(path: str, backend=None) -> Iterator[tuple]:
     """One chunk file -> (key_json, value_json) rows; local open() or
@@ -155,7 +179,8 @@ class _ChunkReader(DataSourceReader):
         base = self.path[len("file://"):] if self.path.startswith("file://") else self.path
         manifest = os.path.join(base, MANIFEST_NAME)
         if os.path.isdir(base) and os.path.isfile(manifest):
-            if not os.path.isfile(os.path.join(base, "_SUCCESS")):
+            success = os.path.join(base, "_SUCCESS")
+            if not _success_appears(lambda: os.path.isfile(success)):
                 raise RuntimeError(_HALF_COMMIT_MSG.format(path=self.path))
             with open(manifest, encoding="utf-8") as f:
                 files = [
@@ -172,7 +197,8 @@ class _ChunkReader(DataSourceReader):
 
         manifest_uri = join_uri(self.path, MANIFEST_NAME)
         if self._backend.exists(manifest_uri):
-            if not self._backend.exists(join_uri(self.path, "_SUCCESS")):
+            success_uri = join_uri(self.path, "_SUCCESS")
+            if not _success_appears(lambda: self._backend.exists(success_uri)):
                 raise RuntimeError(_HALF_COMMIT_MSG.format(path=self.path))
             entries = json.loads(self._backend.read_text(manifest_uri))["files"]
             files = [join_uri(self.path, e["file"]) for e in entries]

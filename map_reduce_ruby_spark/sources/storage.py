@@ -208,12 +208,14 @@ class S3Storage:
         return self._client
 
     @staticmethod
-    def _bk(uri: str) -> tuple[str, str]:
+    def _bk(uri: str, allow_root: bool = False) -> tuple[str, str]:
         if not uri.lower().startswith("s3://"):
             raise ValueError(f"{uri!r} is not an s3:// URI")
         rest = uri[len("s3://"):]
         bucket, _, key = rest.partition("/")
-        if not bucket or not key:
+        # object ops need a key; list() may target the bucket root (empty
+        # key -> top-level prefix '')
+        if not bucket or (not key and not allow_root):
             raise ValueError(f"{uri!r} must be s3://bucket/key")
         return bucket, key
 
@@ -276,8 +278,10 @@ class S3Storage:
         paginated ListObjectsV2 — the object-store face of a directory
         listing. Names are returned relative to the prefix, sorted, so the
         chunk readers treat every backend identically."""
-        bucket, key = self._bk(uri.rstrip("/"))
-        prefix = key + "/"
+        bucket, key = self._bk(uri.rstrip("/"), allow_root=True)
+        # bucket-root URIs (s3://bucket) resolve to an empty key; the prefix
+        # must then be '' (top-level objects), not '/' (matches nothing)
+        prefix = key + "/" if key else ""
         names: list[str] = []
         token = None
         while True:

@@ -143,3 +143,52 @@ def test_ivf_index_exists_requires_both_components(tmp_path):
     os.makedirs(os.path.join(path, "cells"))
     open(os.path.join(path, "cells", "_SUCCESS"), "w").close()
     assert not ivf_index_exists(path)  # centroids missing -> not an index
+
+
+def test_ivf_index_version_gate_invalidates_stale_builds(ivf_path):
+    """A committed index trained by OLDER builder code (different _META.json
+    version) must be a cache MISS — /tmp-keyed roots outlive the process, so
+    without this gate a builder change would silently load stale output."""
+    import json
+
+    meta_path = os.path.join(ivf_path, "_META.json")
+    with open(meta_path, encoding="utf-8") as f:
+        meta = json.load(f)
+    assert ivf_index_exists(ivf_path)
+    try:
+        stale = dict(meta, version=meta["version"] - 1)
+        with open(meta_path, "w", encoding="utf-8") as f:
+            json.dump(stale, f)
+        assert not ivf_index_exists(ivf_path)
+        # missing meta entirely (legacy pre-version index) is also a miss
+        os.remove(meta_path)
+        assert not ivf_index_exists(ivf_path)
+        # and different build params are a miss too
+        with open(meta_path, "w", encoding="utf-8") as f:
+            json.dump(dict(meta, k=4), f)
+        assert not ivf_index_exists(ivf_path)
+    finally:
+        with open(meta_path, "w", encoding="utf-8") as f:
+            json.dump(meta, f)
+    assert ivf_index_exists(ivf_path)
+
+
+def test_ivf_write_publishes_atomically_and_cleans_staging(spark, sf_dir, tmp_path):
+    """The staged build leaves no .tmp-* sibling behind, and a pre-existing
+    INVALID root (crashed legacy writer) is replaced by the publish."""
+    root = tmp_path / "pub"
+    root.mkdir()
+    path = str(root / "ivf")
+    # plant an invalid root: committed-looking cells but no centroids/meta
+    os.makedirs(os.path.join(path, "cells"))
+    open(os.path.join(path, "cells", "_SUCCESS"), "w").close()
+    assert not ivf_index_exists(path)
+
+    write_ivf_index(spark, _vectors(spark, sf_dir), path, k=None)
+    assert ivf_index_exists(path)
+    # no staging residue next to the published root
+    assert [p.name for p in root.iterdir()] == ["ivf"]
+    # the planted invalid content is gone (replaced, not merged)
+    a, c = load_ivf_index(spark, path)
+    assert len(c) > 0
+    assert a.count() > 0
