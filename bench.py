@@ -116,10 +116,40 @@ HEADLINE = [
 ]
 
 
+def _loadavg_1m() -> float:
+    try:
+        return os.getloadavg()[0]
+    except OSError:  # platform without getloadavg
+        return -1.0
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("BENCH_RUNS", "3"))
     only = sys.argv[1:] or HEADLINE
+
+    # Load-aware recording (round-6 lesson: an ambient-load-contaminated
+    # record read 91.2 s where the idle truth was 66.6 s, and that stale
+    # number becomes the next round's regression baseline). Ambient 1-min
+    # load is sampled BEFORE the session starts; if the host is busy
+    # (> BENCH_BUSY_LOAD, default 25% of this machine's cores), wait up to
+    # BENCH_IDLE_WAIT_SEC (default 120 s) for it to drain. Whatever happens,
+    # the JSON line carries load_1m_start / load_1m_end / host_busy so a
+    # reader can see whether the record is trustworthy instead of guessing.
+    ncpu = os.cpu_count() or 1
+    busy_bar = float(os.environ.get("BENCH_BUSY_LOAD", str(ncpu * 0.25)))
+    load_start = _loadavg_1m()
+    waited = 0.0
+    wait_budget = float(os.environ.get("BENCH_IDLE_WAIT_SEC", "120"))
+    while load_start > busy_bar and waited < wait_budget:
+        print(
+            f"bench: host busy (load1m={load_start:.1f} > {busy_bar:.1f}), "
+            f"waiting... ({waited:.0f}/{wait_budget:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        waited += 15
+        load_start = _loadavg_1m()
 
     from map_reduce_ruby_spark.plans import all_entries
     from map_reduce_ruby_spark.session import get_spark
@@ -145,6 +175,12 @@ def main() -> int:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # provenance: was the host quiet when this record was taken?
+        # (bench's own local[32] run inflates load_1m_end — the trust
+        # signal is load_1m_start, sampled pre-session.)
+        "load_1m_start": round(load_start, 2),
+        "load_1m_end": round(_loadavg_1m(), 2),
+        "host_busy": bool(load_start > busy_bar),
     }
     line = json.dumps(out)
     # The one-line record also lands in a file: a driver that tails stdout

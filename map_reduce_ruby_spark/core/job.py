@@ -51,6 +51,70 @@ MapFn = Callable[[Any], Iterable[tuple[Any, Any]]]
 ReduceFn = Callable[[Any, Any, Any], Any]
 
 
+def _hashable(k: Any) -> Any:
+    """Dict-key form of a map/reduce key with grouping semantics identical
+    to SortKey's: Python's number equality already merges 1 and 1.0 (the
+    ruby_cmp normalization), strings hash natively, and (nested) arrays
+    become tuples comparing element-wise. Used in the Arrow path's combine
+    dicts because a SortKey construction PER PAIR dominates token-sized
+    workloads (measured: wordcount's map loop, ~28M pairs at sf1)."""
+    if isinstance(k, (list, tuple)):
+        return tuple(_hashable(x) for x in k)
+    return k
+
+
+def _kv_batch(pa, steers: list[int], ks: list[str], vs: list[str]):
+    return pa.record_batch(
+        [
+            pa.array(steers, pa.int32()),
+            pa.array(ks, pa.string()),
+            pa.array(vs, pa.string()),
+        ],
+        names=["steer", "k", "v"],
+    )
+
+
+# partition index -> a steering int whose Spark hash lands exactly there;
+# deterministic for a given Spark version (murmur3, seed 42), computed once
+# per num_partitions per process
+_STEER_CACHE: dict[int, list[int]] = {}
+
+
+def _steering_ids(spark: SparkSession, nparts: int) -> list[int]:
+    """For each target partition p in [0, nparts), an int32 ``x`` with
+    ``pmod(hash(x), nparts) == p`` under Spark's HashPartitioning.
+
+    ``repartition(n, col)`` places a row at ``pmod(murmur3(col), n)`` — it
+    cannot be told "put this row at index p" directly. Writing the
+    partitioner's pid through this lookup makes the post-shuffle partition
+    INDEX equal the pid, which is what lets the Arrow path keep the
+    reference's partition->file contract (manifest partition ids == the
+    SHA1 placement) while shuffling entirely in the JVM."""
+    cached = _STEER_CACHE.get(nparts)
+    if cached is not None:
+        return cached
+    from pyspark.sql import functions as F
+
+    found: dict[int, int] = {}
+    base = 0
+    while len(found) < nparts:
+        probe = (
+            spark.range(base, base + max(1024, 64 * nparts))
+            .select(
+                F.col("id").cast("int").alias("x"),
+                F.pmod(F.hash(F.col("id").cast("int")), F.lit(nparts)).alias("p"),
+            )
+            .collect()  # bounded artifact: <= a few thousand (x, p) ints
+        )
+        for r in probe:
+            if r.p not in found:
+                found[int(r.p)] = int(r.x)
+        base += max(1024, 64 * nparts)
+    ids = [found[p] for p in range(nparts)]
+    _STEER_CACHE[nparts] = ids
+    return ids
+
+
 class Job:
     """A map-reduce job over Spark.
 
@@ -158,6 +222,162 @@ class Job:
             )
         return out.map(lambda kv: (kv[0].key, kv[1]), preservesPartitioning=True)
 
+    # ------------------------------------------------------------ arrow run
+
+    def run_arrow(
+        self,
+        spark: SparkSession,
+        df: Any,
+        sort_output: bool = True,
+        combine_flush: int = 200_000,
+    ):
+        """Arrow-batched execution of the SAME user protocol over a DataFrame:
+        returns ``DataFrame(k string, v string)`` of canonical-JSON pairs,
+        key-sorted within each partition when ``sort_output`` and placed so
+        that partition INDEX == ``self.partitioner(key)`` exactly (see
+        ``_steering_ids``).
+
+        Same contract as ``run`` — user ``map_fn`` yields 0..n pairs per
+        input, optional binary fold with map-side combine, SHA1-placement —
+        but every transport leg is columnar: input rows arrive as Arrow
+        batches (no per-row pickle), the shuffle is Spark's Tungsten exchange
+        over two string columns (no Python-pickle shuffle), and the output
+        stays a DataFrame (no driver/createDataFrame pass). This is the fix
+        for the compat path's payload-linear decade ratios (SCALING.md: the
+        mr_* entries sat at 6-7x for 10x rows because every pair crossed the
+        Python-pickle boundary three times).
+
+        Differences from ``run``, all inherent to the wire format:
+        - input is a DataFrame; ``map_fn`` receives the row as a plain tuple
+          (or the bare value for single-column frames) — the cheapest
+          representation, per the mr_composite_key_agg rule;
+        - values must be JSON-representable (the reference's chunk wire
+          contract, lib/map_reduce/mapper.rb:115): the reduce-side fold sees
+          values after one canonical-JSON roundtrip (tuples arrive as lists);
+        - FIFO-stable no-reduce output (``stable=True``) is not offered here;
+          use ``run`` when byte-stable duplicate order matters.
+
+        Map-side combine is memory-bounded: the per-task accumulator flushes
+        every ``combine_flush`` distinct keys (partial combines are correct
+        under the associative+commutative contract and re-fold after the
+        shuffle), so a 100 TB input with high key cardinality cannot OOM the
+        Python worker.
+        """
+        import pyarrow as pa
+
+        map_fn, reduce_fn = self.map_fn, self.reduce_fn
+        part, nparts = self.partitioner, self.num_partitions
+        steer = _steering_ids(spark, nparts)
+        canon = lambda o: json.dumps(  # noqa: E731 — reference byte layout
+            o, separators=(",", ":"), ensure_ascii=False
+        )
+
+        def _rows(batch):
+            cols = [c.to_pylist() for c in batch.columns]
+            return iter(cols[0]) if len(cols) == 1 else zip(*cols)
+
+        def map_side(batches):
+            if reduce_fn is None:
+                steers: list[int] = []
+                ks: list[str] = []
+                vs: list[str] = []
+                for batch in batches:
+                    for t in _rows(batch):
+                        for k, v in map_fn(t):
+                            steers.append(steer[part(k)])
+                            ks.append(canon(k))
+                            vs.append(canon(v))
+                    if len(ks) >= combine_flush:
+                        yield _kv_batch(pa, steers, ks, vs)
+                        steers, ks, vs = [], [], []
+                if ks:
+                    yield _kv_batch(pa, steers, ks, vs)
+                return
+
+            # combine: dict keyed by the _hashable key form, whose grouping
+            # is identical to SortKey's (1 and 1.0 merge; arrays element-
+            # wise) at a fraction of the per-pair cost; the first-seen key
+            # representative carries to the output and to placement,
+            # matching run()'s reduceByKey behavior.
+            acc: dict[Any, Any] = {}
+            rep: dict[Any, Any] = {}
+
+            def drain():
+                steers = [steer[part(rep[hk])] for hk in acc]
+                ks = [canon(rep[hk]) for hk in acc]
+                vs = [canon(v) for v in acc.values()]
+                return _kv_batch(pa, steers, ks, vs)
+
+            for batch in batches:
+                for t in _rows(batch):
+                    for k, v in map_fn(t):
+                        hk = _hashable(k)
+                        if hk in acc:
+                            acc[hk] = reduce_fn(None, acc[hk], v)
+                        else:
+                            acc[hk] = v
+                            rep[hk] = k
+                if len(acc) >= combine_flush:
+                    yield drain()
+                    acc.clear()
+                    rep.clear()
+            if acc:
+                yield drain()
+
+        def reduce_side(batches):
+            if reduce_fn is None:
+                rows: list[tuple[SortKey, str, str]] = []
+                for batch in batches:
+                    kc = batch.column(1).to_pylist()
+                    vc = batch.column(2).to_pylist()
+                    rows.extend((SortKey(json.loads(kj)), kj, vj) for kj, vj in zip(kc, vc))
+                if sort_output:
+                    rows.sort(key=lambda r: r[0])
+                for i in range(0, len(rows), 65536):
+                    chunk = rows[i : i + 65536]
+                    yield pa.record_batch(
+                        [
+                            pa.array([r[1] for r in chunk], pa.string()),
+                            pa.array([r[2] for r in chunk], pa.string()),
+                        ],
+                        names=["k", "v"],
+                    )
+                return
+
+            acc: dict[Any, Any] = {}
+            rep: dict[Any, str] = {}
+            for batch in batches:
+                kc = batch.column(1).to_pylist()
+                vc = batch.column(2).to_pylist()
+                for kj, vj in zip(kc, vc):
+                    hk = _hashable(json.loads(kj))
+                    if hk in acc:
+                        acc[hk] = reduce_fn(None, acc[hk], json.loads(vj))
+                    else:
+                        acc[hk] = json.loads(vj)
+                        rep[hk] = kj
+            items = list(acc.items())
+            if sort_output:
+                # SortKey only here: once per DISTINCT key, not per pair
+                items.sort(key=lambda kv: SortKey(kv[0]))
+            for i in range(0, len(items), 65536):
+                chunk = items[i : i + 65536]
+                yield pa.record_batch(
+                    [
+                        pa.array([rep[hk] for hk, _ in chunk], pa.string()),
+                        pa.array([canon(v) for _, v in chunk], pa.string()),
+                    ],
+                    names=["k", "v"],
+                )
+
+        from pyspark.sql import functions as F
+
+        mapped = df.mapInArrow(map_side, schema="steer int, k string, v string")
+        # one JVM Tungsten exchange on the steering id; partition index ==
+        # partitioner(key) afterwards (O6 placement preserved end-to-end)
+        shuffled = mapped.repartition(nparts, F.col("steer"))
+        return shuffled.mapInArrow(reduce_side, schema="k string, v string")
+
     def run_with_key_in_reduce(self, spark: SparkSession, inputs: Any) -> RDD:
         """Variant for reduce functions that actually use the key argument.
 
@@ -198,6 +418,7 @@ class Job:
         out_dir: str,
         shared_storage: bool = False,
         stable: bool = False,
+        via_arrow: bool = False,
     ) -> dict[int, str]:
         """Materialize the shuffle as the reference's partition->file map
         (reference lib/map_reduce/mapper.rb:76-96 ``Mapper#shuffle``): one
@@ -231,7 +452,26 @@ class Job:
           listing — which is what makes the reference's S3 handoff story
           (reference README.md:60-67,78-84) work end-to-end on a real
           cluster.
+
+        ``via_arrow=True`` (requires ``shared_storage`` and a DataFrame
+        input; incompatible with ``stable``): the shuffle runs through
+        ``run_arrow`` — Arrow transport end-to-end, JVM Tungsten exchange,
+        no Python-pickle leg — and the writer receives already-canonical
+        (k, v) JSON strings. Steered placement keeps partition index ==
+        ``partitioner(key)``, so the manifest's partition ids and each
+        file's JSON-lines bytes are identical to the classic path's
+        (pinned by tests/test_sources_sinks.py).
         """
+        if via_arrow and not shared_storage:
+            raise ValueError("via_arrow requires shared_storage=True")
+        if via_arrow and stable:
+            raise ValueError(
+                "via_arrow does not offer FIFO-stable duplicate order; "
+                "use the classic path (via_arrow=False) when byte-stable "
+                "no-reduce output is required"
+            )
+        if via_arrow and not hasattr(inputs, "mapInArrow"):
+            raise TypeError("via_arrow requires a DataFrame input")
         if shared_storage:
             from map_reduce_ruby_spark.sources.storage import join_uri, storage_for
 
@@ -253,8 +493,6 @@ class Job:
         else:
             os.makedirs(out_dir, exist_ok=True)
 
-        result = self.run(spark, inputs, sort_output=True, stable=stable)
-
         if shared_storage:
             from map_reduce_ruby_spark.sources.chunk_datasource import (
                 CHUNK_SCHEMA,
@@ -262,28 +500,42 @@ class Job:
             )
 
             register_chunk_source(spark)
-            canon = lambda o: json.dumps(  # noqa: E731 — reference byte layout
-                o, separators=(",", ":"), ensure_ascii=False
-            )
-            # RDD -> (key_json, value_json) rows is a narrow map: partition
-            # ids and in-partition sort order carry through to the writer,
-            # which emits chunk-<pid>-<writeid>.jsonl per task
-            # (TaskContext.partitionId + the writer's generation token)
-            # and reports (partition, file, rows) in its commit message.
             from map_reduce_ruby_spark.sources.storage import pickle_backend
 
-            rows = result.map(lambda kv: (canon(kv[0]), canon(kv[1])))
+            if via_arrow:
+                # already canonical (k, v) JSON strings, key-sorted within
+                # partition, partition index == partitioner(key): feed the
+                # writer directly — no per-row Python canon pass at all
+                # (toDF renames to the writer's field names; narrow, no
+                # exchange)
+                kv_df = self.run_arrow(spark, inputs, sort_output=True).toDF(
+                    "key_json", "value_json"
+                )
+            else:
+                result = self.run(spark, inputs, sort_output=True, stable=stable)
+                canon = lambda o: json.dumps(  # noqa: E731 — reference byte layout
+                    o, separators=(",", ":"), ensure_ascii=False
+                )
+                # RDD -> (key_json, value_json) rows is a narrow map: partition
+                # ids and in-partition sort order carry through to the writer,
+                # which emits chunk-<pid>-<writeid>.jsonl per task
+                # (TaskContext.partitionId + the writer's generation token)
+                # and reports (partition, file, rows) in its commit message.
+                rows = result.map(lambda kv: (canon(kv[0]), canon(kv[1])))
+                kv_df = spark.createDataFrame(rows, CHUNK_SCHEMA)
             # the backend resolved above (driver-side registry) rides to the
             # writer's worker processes as a cloudpickle option — see
             # sources/storage.py pickle_backend
-            spark.createDataFrame(rows, CHUNK_SCHEMA).write.format("mr_chunks").mode(
-                "append"
-            ).option("backend_pickle", pickle_backend(backend)).save(out_dir)
+            kv_df.write.format("mr_chunks").mode("append").option(
+                "backend_pickle", pickle_backend(backend)
+            ).save(out_dir)
             manifest = json.loads(backend.read_text(manifest_uri))
             return {
                 int(e["partition"]): join_uri(out_dir, e["file"])
                 for e in manifest["files"]
             }
+
+        result = self.run(spark, inputs, sort_output=True, stable=stable)
 
         def write_partition(pid: int, it: Iterator[tuple[Any, Any]]) -> Iterator[tuple[int, str]]:
             path = os.path.join(out_dir, f"partition-{pid}.jsonl")

@@ -16,6 +16,7 @@ exactly order-independent and hash-match the oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from map_reduce_ruby_spark.core import Job, Md5Partitioner
@@ -34,32 +35,33 @@ from map_reduce_ruby_spark.sources import load_table
     GROUP BY word
     """,
     doc="The reference README's canonical job (map: text -> (word, 1); "
-    "reduce: +) run through the core Job engine: flatMap -> SHA1-placement "
-    "partitionBy -> reduceByKey with map-side combine -> sorted partitions. "
-    "Scale: combiner collapses per-task duplicates before the shuffle, so "
-    "shuffle volume is |distinct words per task|, not |tokens|.",
+    "reduce: +) run through the core Job engine's ARROW transport "
+    "(Job.run_arrow): the same generator map / binary fold / SHA1 "
+    "placement, but rows arrive in Arrow batches, the map-side combine "
+    "collapses per-task duplicates before ONE JVM Tungsten exchange, and "
+    "the output stays a DataFrame — no Python-pickle leg anywhere. The "
+    "classic RDD path (job.run) remains pinned by mr_composite_key_agg "
+    "and the tests; this entry carries the compat path's scale face "
+    "(SCALING.md: the pickle transport was the worst sf1 decade ratio).",
     tags=("mapreduce", "core"),
 )
 def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("text")
-    # Feed plain text lines, not Row objects — the reference README's map
-    # receives a line (truer to the ported job), and scalar feeding follows
-    # the mr_composite_key_agg rule. Measured neutral here (a 1-field Row
-    # pickles like its payload; the cost is the |tokens| pair shuffle),
-    # unlike the 2-field rollup where tuples cut sf1 time 9.4 -> 6.8 s.
     job = Job(
         map_fn=lambda text: ((w, 1) for w in text.split()),
         reduce_fn=lambda key, a, b: a + b,
         num_partitions=16,
     )
-    lines = docs.rdd.map(lambda r: r[0])
-    schema = T.StructType(
-        [
-            T.StructField("word", T.StringType(), False),
-            T.StructField("cnt", T.LongType(), False),
-        ]
+    kv = job.run_arrow(spark, docs, sort_output=False)
+    # decode the canonical-JSON wire pairs JVM-side: the key is a JSON
+    # string scalar, wrapped into a 1-array so from_json (struct/array-only)
+    # can unescape it
+    return kv.select(
+        F.from_json(
+            F.concat(F.lit("["), F.col("k"), F.lit("]")), "array<string>"
+        ).getItem(0).alias("word"),
+        F.col("v").cast("long").alias("cnt"),
     )
-    return spark.createDataFrame(job.run(spark, lines, sort_output=False), schema)
 
 
 @register(
@@ -119,28 +121,32 @@ def mr_composite_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Multi-chunk reduce over a high-fanout stream: many input slices per "
     "key (the reference's chunk_limit-cascade scenario) collapse to one "
-    "value per user via the associative fold.",
+    "value per user via the associative fold — over the Arrow transport "
+    "(Job.run_arrow): Arrow-batched input, map-side combine, one JVM "
+    "exchange, DataFrame output decoded JVM-side (from_json), no "
+    "Python-pickle leg.",
     tags=("mapreduce", "core"),
 )
 def mr_user_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select("user_id", "value")
-    # plain tuples, not Rows (the mr_composite_key_agg rule)
+    # map receives the row as a plain tuple (run_arrow contract)
     job = Job(
         map_fn=lambda t: [(t[0], (1, int(round(t[1] * 100))))],
         reduce_fn=lambda key, a, b: (a[0] + b[0], a[1] + b[1]),
         num_partitions=8,
     )
-    rows = job.run(spark, events.rdd.map(tuple), sort_output=False).map(
-        lambda kv: (kv[0], kv[1][0], kv[1][1] / 100.0)
+    kv = job.run_arrow(spark, events, sort_output=False)
+    # project the decoded array to a named column BEFORE element_at (the
+    # HOF/CSE rule from SKILL.md applies to from_json reuse as well)
+    vals = kv.select(
+        F.col("k").cast("long").alias("user_id"),
+        F.from_json("v", "array<bigint>").alias("nv"),
     )
-    schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType(), False),
-            T.StructField("n_events", T.LongType(), False),
-            T.StructField("total_value", T.DoubleType(), False),
-        ]
+    return vals.select(
+        "user_id",
+        F.element_at("nv", 1).alias("n_events"),
+        (F.element_at("nv", 2) / 100.0).alias("total_value"),
     )
-    return spark.createDataFrame(rows, schema)
 
 
 @register(
