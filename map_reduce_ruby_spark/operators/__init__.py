@@ -9,10 +9,12 @@ from map_reduce_ruby_spark.operators.connected_components import (
 from map_reduce_ruby_spark.operators.prefix_sum import exclusive_prefix_sum
 from map_reduce_ruby_spark.operators.range_join import range_join
 from map_reduce_ruby_spark.operators.ann_index import (
+    append_ivf_batch,
     ivf_index_exists,
     load_ivf_index,
     load_pq_index,
     pq_index_exists,
+    read_index_meta,
     write_ivf_index,
     write_pq_index,
 )
@@ -49,8 +51,10 @@ __all__ = [
     "adaptive_cell_count",
     "adaptive_nprobe",
     "build_ivf_index",
+    "append_ivf_batch",
     "ivf_index_exists",
     "load_ivf_index",
+    "read_index_meta",
     "write_ivf_index",
     "pq_index_exists",
     "load_pq_index",

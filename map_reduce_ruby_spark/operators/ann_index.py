@@ -100,15 +100,27 @@ def _ivf_meta(k: int | None) -> dict:
     }
 
 
+def read_index_meta(path: str) -> dict | None:
+    """The index's _META.json (version, build params, ingested batch count)
+    or None. ``batches`` counts committed ingests: 1 after write_ivf_index,
+    +1 per append_ivf_batch — callers caching an incrementally-maintained
+    index check it to detect a crashed half-append (parquet append commits
+    its files atomically, but the batch's MEMBERSHIP in the index is only
+    durable once the meta bump lands)."""
+    return _read_meta(path)
+
+
 def ivf_index_exists(path: str, k: int | None = None) -> bool:
     """Fully committed (parquet _SUCCESS markers) AND built by the CURRENT
     builder with the same parameters (_META.json match) — a content-keyed
     cache hit on an index trained by older code or other params is a miss,
     not a silent stale load."""
+    meta = _read_meta(path)
     return (
         os.path.exists(os.path.join(path, "cells", "_SUCCESS"))
         and os.path.exists(os.path.join(path, "centroids", "_SUCCESS"))
-        and _read_meta(path) == _ivf_meta(k)
+        and meta is not None
+        and {f: v for f, v in meta.items() if f != "batches"} == _ivf_meta(k)
     )
 
 
@@ -133,10 +145,50 @@ def write_ivf_index(
     )
     cdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
     with open(os.path.join(tmp, _META_NAME), "w", encoding="utf-8") as f:
-        json.dump(_ivf_meta(k), f)
+        json.dump(dict(_ivf_meta(k), batches=1), f)
     # the durable table replaces the in-session cache the builder returned
     assignments.unpersist()
     _publish_atomic(tmp, path, lambda p: ivf_index_exists(p, k))
+
+
+def append_ivf_batch(spark: SparkSession, vectors: DataFrame, path: str) -> None:
+    """Incremental ingest: assign a NEW batch to the STORED centroids and
+    append its rows into their cell partitions — no retrain, no corpus
+    rewrite. This is the IVF maintenance model (FAISS add-after-train;
+    centroids move only on scheduled full rebuilds) and the reference's
+    add_chunk-per-batch deploy story (reference lib/map_reduce/reducer.rb:
+    34-42) applied to the index artifact: each day's batch lands in the
+    standing structure, paying cost proportional to the BATCH.
+
+    Mechanics: one narrow assignment scan over the batch (literal-centroid
+    argmin, operators/ivf.py assign_cells — no join, no shuffle), then a
+    parquet append into the cell-partitioned layout: existing cell FILES
+    are never touched (pinned by an mtime test), the new files join their
+    cell directories and partition pruning covers old and new rows alike.
+    The meta's ``batches`` counter is bumped LAST (atomic rewrite): a
+    crashed append leaves the counter un-bumped, so a cache keyed on the
+    expected batch count refuses the torn state instead of silently
+    serving an index missing its newest batch."""
+    import uuid as _uuid
+
+    from map_reduce_ruby_spark.operators.ivf import assign_cells
+
+    meta = _read_meta(path)
+    if meta is None or not os.path.exists(os.path.join(path, "cells", "_SUCCESS")):
+        raise ValueError(f"{path!r} does not hold a committed IVF index")
+    crows = (
+        spark.read.parquet(os.path.join(path, "centroids")).orderBy("cell").collect()
+    )
+    centroids = [list(r.ce) for r in crows]
+    assign_cells(vectors, centroids).write.partitionBy("cell").mode("append").parquet(
+        os.path.join(path, "cells")
+    )
+    # commit point for the batch's membership: atomic meta rewrite
+    new_meta = dict(meta, batches=int(meta.get("batches", 1)) + 1)
+    tmp = os.path.join(path, f".{_META_NAME}.{_uuid.uuid4().hex}")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(new_meta, f)
+    os.replace(tmp, os.path.join(path, _META_NAME))
 
 
 def load_ivf_index(

@@ -51,6 +51,28 @@ def write_minhash_index(
     )
 
 
+def append_minhash_batch(docs: DataFrame, table: str, n_buckets: int = 16) -> None:
+    """Incremental index maintenance: sketch ONLY the new batch and append
+    its (doc_id, band_idx, band_hash) rows into the persisted band index —
+    the corpus is never re-sketched and its existing bucket files are never
+    rewritten (pinned by an mtime test). Appending with the SAME bucket
+    spec keeps the bucketed layout: new files join their band_hash buckets,
+    so probe joins stay corpus-shuffle-free over old and new rows alike.
+    Because banding has no trained state (unlike IVF centroids), the
+    incrementally-maintained index is EXACTLY the full rebuild — the
+    dedup_index_append catalog entry is gated on that equality."""
+    from map_reduce_ruby_spark.plans.dedup_queries import _bands_for_docs
+
+    (
+        _bands_for_docs(docs)
+        .write.bucketBy(n_buckets, "band_hash")
+        .sortBy("band_hash")
+        .mode("append")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def dedup_against_index(
     spark: SparkSession, batch: DataFrame, table: str
 ) -> DataFrame:

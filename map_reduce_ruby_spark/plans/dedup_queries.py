@@ -925,6 +925,52 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_index_append",
+    # SAME oracle as dedup_incremental_minhash: banding has no trained
+    # state, so the incrementally-maintained stored index (corpus-A written,
+    # batch-B appended) must be EXACTLY the full rebuild over A ∪ B — the
+    # probe against it hash-matches the derived-path oracle verbatim.
+    oracle=_INCR_MINHASH_ORACLE,
+    doc="INCREMENTAL MAINTENANCE of the persisted band index "
+    "(operators/dedup_index.py append_minhash_batch): the index is built "
+    "from corpus slice A (doc_id % 5 in 2..4), then slice B (doc_id % 5 = "
+    "1) is sketched alone and APPENDED into the bucketed layout — the "
+    "reference's add_chunk-per-batch deploy story (reducer.rb:34-42) "
+    "applied to the index artifact: A's bucket files are never rewritten "
+    "(mtime-pinned in tests/test_dedup_index.py), B pays cost proportional "
+    "to B, and the probe batch (doc_id % 5 = 0) joins the combined index "
+    "corpus-shuffle-free. Gated on the FULL-REBUILD oracle: appending must "
+    "be indistinguishable from re-sketching A ∪ B.",
+    tags=("dedup", "minhash", "lsh", "incremental", "persisted"),
+)
+def dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from map_reduce_ruby_spark.operators.dedup_index import (
+        append_minhash_batch,
+        dedup_against_index,
+        write_minhash_index,
+    )
+    from map_reduce_ruby_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_a = docs.filter(F.col("doc_id") % 5 >= 2)
+    batch_b = docs.filter(F.col("doc_id") % 5 == 1)
+    probe = docs.filter(F.col("doc_id") % 5 == 0)
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    table = f"mh_idx_append_{tag}"
+    path = os.path.join(tempfile.gettempdir(), f"mh_idx_append_{tag}")
+    # rebuilt per call (write A overwrite, append B): deterministic, and the
+    # append path itself is what this entry exists to exercise
+    write_minhash_index(corpus_a, table, path)
+    append_minhash_batch(batch_b, table)
+    return dedup_against_index(spark, probe, table)
+
+
+@register(
     "dedup_clusters_cc_star",
     oracle=f"""
     WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),

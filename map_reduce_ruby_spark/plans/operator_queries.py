@@ -343,6 +343,42 @@ IVF_AF_CTES = f"""
               FROM v)
     )"""
 
+# Split-ingest twin of IVF_AF_CTES: k-means TRAINS on batch-1 only (t = the
+# first half by id — kp/stride/tstride/seeds/Lloyd all derive from t), then
+# af assigns the WHOLE corpus to those centroids. This is exactly what the
+# incremental index holds after write_ivf_index(batch-1) +
+# append_ivf_batch(batch-2): centroids from the original build, every batch
+# assigned to them. Duplicated from IVF_AF_CTES rather than parameterized so
+# the widely-shared full-corpus chain stays byte-stable for its consumers
+# (knn_ivf, dedup_semantic_ivf, knn_ivf_persisted).
+IVF_AF_CTES_SPLIT = f"""
+    v AS (
+        SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    t AS (SELECT id, e FROM v WHERE id < (SELECT COUNT(*) // 2 FROM v)),
+    kp AS (SELECT LEAST(1024, GREATEST(16,
+           (CAST(1 AS BIGINT) << (LENGTH(BIN(COUNT(*))) // 2)))) AS k FROM t),
+    params AS (SELECT GREATEST(1, COUNT(*) // {_IVF_K_SQL}) AS stride FROM t),
+    tparams AS (SELECT GREATEST(1, COUNT(*) // ({_IVF_K_SQL} * 256)) AS tstride
+                FROM t),
+    tv AS (SELECT id, e FROM t, tparams WHERE id % tstride = 0),
+    c0 AS (
+        SELECT CAST(id // stride AS BIGINT) AS cell, e AS ce
+        FROM t, params
+        WHERE id % stride = 0 AND id // stride < {_IVF_K_SQL}
+    ),
+    cs0 AS (SELECT list(ce ORDER BY cell) AS cs FROM c0),
+    {_ivf_iteration_sql(1)},
+    {_ivf_iteration_sql(2)},
+    af AS (
+        SELECT id, e, list_position(d, list_min(d)) - 1 AS cell
+        FROM (SELECT id, e,
+                     list_transform((SELECT cs FROM cs2), c ->
+                         {_ivf_sqdist_sql('e', 'c')}) AS d
+              FROM v)
+    )"""
+
 _IVF_ORACLE = f"""
     WITH {IVF_AF_CTES},
     qd AS (
@@ -372,6 +408,111 @@ _IVF_ORACLE = f"""
           FROM scored)
     WHERE rn <= {_IVF_TOPK}
     """
+
+
+# Same probe/rank search as _IVF_ORACLE over the split-ingest chain:
+# centroids (c2) trained on batch-1, candidates (af) spanning both batches.
+_IVF_INC_ORACLE = f"""
+    WITH {IVF_AF_CTES_SPLIT},
+    qd AS (
+        SELECT q.id AS qid, q.e AS qe, c.cell,
+               {_ivf_sqdist_sql('q.e', 'c.ce')} AS d
+        FROM (SELECT id, e FROM v WHERE id < {_IVF_NQ}) q CROSS JOIN c2 c
+    ),
+    probes AS (
+        SELECT qid, qe, cell FROM (
+            SELECT qid, qe, cell,
+                   row_number() OVER (PARTITION BY qid ORDER BY d, cell) AS rn
+            FROM qd
+        ) WHERE rn <= {_IVF_NPROBE_SQL}
+    ),
+    scored AS (
+        SELECT p.qid AS query_id, a.id AS neighbor_id,
+               ROUND(list_sum(list_transform(range(1, {_IVF_DIM + 1}),
+                         i -> p.qe[i] * a.e[i]))
+                     / (sqrt(list_sum(list_transform(p.qe, x -> x * x)))
+                        * sqrt(list_sum(list_transform(a.e, x -> x * x)))),
+                     4) AS cos_sim
+        FROM probes p JOIN af a ON a.cell = p.cell AND a.id <> p.qid
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {_IVF_TOPK}
+    """
+
+
+@register(
+    "knn_ivf_incremental",
+    oracle=_IVF_INC_ORACLE,
+    doc="INCREMENTAL MAINTENANCE of the durable IVF index "
+    "(operators/ann_index.py append_ivf_batch): the index is trained and "
+    "written from batch-1 (the first half of the corpus by id), then "
+    "batch-2 is ASSIGNED to the stored centroids and appended into its "
+    "cell partitions — one narrow batch scan, no retrain, no corpus "
+    "rewrite (mtimes pinned in tests/test_ann_index.py), the FAISS "
+    "add-after-train maintenance model and the reference's add_chunk-per-"
+    "batch deploy story (reducer.rb:34-42) applied to the index artifact. "
+    "Queries then probe the combined index. The oracle independently "
+    "rebuilds the SPLIT semantics — k, seeds, and both Lloyd iterations "
+    "derived from batch-1 alone, final assignment spanning both batches — "
+    "so a silent retrain-on-append (or a dropped batch) hash-mismatches. "
+    "The batch's index membership commits via an atomic meta-counter bump "
+    "AFTER the parquet append, so a crashed half-append is detectable by "
+    "cache consumers (read_index_meta).",
+    tags=("similarity", "ann", "ivf", "incremental", "persisted",
+          "custom-operator"),
+)
+def knn_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from map_reduce_ruby_spark.operators import (
+        adaptive_nprobe,
+        append_ivf_batch,
+        ivf_index_exists,
+        ivf_search,
+        load_ivf_index,
+        read_index_meta,
+        write_ivf_index,
+    )
+    from map_reduce_ruby_spark.operators.ann_index import IVF_INDEX_VERSION
+    from map_reduce_ruby_spark.sources.tables import table_fingerprint
+
+    v = _ivf_vectors(spark, sf_dir)
+    n = v.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rn long"
+        )
+    half = n // 2
+    batch1 = v.filter(F.col("id") < half)
+    batch2 = v.filter(F.col("id") >= half)
+
+    tag = table_fingerprint(sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(), f"ivf_inc_idx_v{IVF_INDEX_VERSION}_{tag}"
+    )
+    meta = read_index_meta(path)
+    # cache hit only when BOTH the build and the append committed
+    # (batches == 2); anything else rebuilds from a CLEAN slate — a crash
+    # after the parquet append but before the meta bump leaves batch-2's
+    # rows present under batches == 1, and appending again would duplicate
+    if not (ivf_index_exists(path) and meta and meta.get("batches") == 2):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        write_ivf_index(spark, batch1, path, k=None)
+        append_ivf_batch(spark, batch2, path)
+    assignments, centroids = load_ivf_index(spark, path)
+    queries = v.filter(F.col("id") < _IVF_NQ).select(
+        F.col("id").alias("qid"), F.col("e").alias("qe")
+    )
+    return ivf_search(
+        assignments, centroids, queries, top_k=_IVF_TOPK,
+        nprobe=adaptive_nprobe(len(centroids)),
+    )
 
 
 @register(

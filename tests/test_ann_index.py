@@ -173,6 +173,100 @@ def test_ivf_index_version_gate_invalidates_stale_builds(ivf_path):
     assert ivf_index_exists(ivf_path)
 
 
+def test_append_ivf_batch_no_retrain_no_rewrite(spark, sf_dir, tmp_path):
+    """Incremental ingest (append_ivf_batch): batch-2 is assigned to the
+    STORED centroids and appended — centroids and every pre-existing cell
+    data file keep their mtimes (no retrain, no rewrite), the combined
+    assignments equal assign_cells(all, centroids), and the meta batch
+    counter bumps as the append's commit point."""
+    from map_reduce_ruby_spark.operators import (
+        append_ivf_batch,
+        read_index_meta,
+    )
+    from map_reduce_ruby_spark.operators.ivf import assign_cells
+
+    path = str(tmp_path / "inc")
+    v = _vectors(spark, sf_dir)
+    n = v.count()
+    b1 = v.filter(F.col("id") < n // 2)
+    b2 = v.filter(F.col("id") >= n // 2)
+    write_ivf_index(spark, b1, path, k=None)
+    assert read_index_meta(path)["batches"] == 1
+
+    def data_files(root):
+        return {
+            p: t
+            for p, t in _mtimes(root).items()
+            if not p.endswith(("_SUCCESS", "_META.json")) and ".crc" not in p
+        }
+
+    before_cells = data_files(os.path.join(path, "cells"))
+    before_centroids = data_files(os.path.join(path, "centroids"))
+
+    append_ivf_batch(spark, b2, path)
+    assert read_index_meta(path)["batches"] == 2
+
+    after_cells = data_files(os.path.join(path, "cells"))
+    # every pre-existing cell file untouched; new files appeared for batch-2
+    for p, t in before_cells.items():
+        assert after_cells.get(p) == t, f"pre-existing cell file rewritten: {p}"
+    assert len(after_cells) > len(before_cells)
+    # centroids completely untouched (no retrain)
+    assert data_files(os.path.join(path, "centroids")) == before_centroids
+
+    # combined stored assignments == assigning the full corpus to the
+    # batch-1 centroids (the split-ingest semantics the oracle rebuilds)
+    stored, centroids = load_ivf_index(spark, path)
+    got = {(r.id, r.cell) for r in stored.select("id", "cell").collect()}
+    want = {
+        (r.id, r.cell)
+        for r in assign_cells(v, centroids).select("id", "cell").collect()
+    }
+    assert got == want and len(got) == n
+
+
+def test_append_minhash_batch_no_corpus_rewrite(spark, sf_dir, tmp_path):
+    """append_minhash_batch: the corpus slice's bucket files keep their
+    mtimes; the appended index equals the full rebuild row-for-row (banding
+    has no trained state, so incremental == rebuild exactly)."""
+    from map_reduce_ruby_spark.operators.dedup_index import (
+        append_minhash_batch,
+        write_minhash_index,
+    )
+    from map_reduce_ruby_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_a = docs.filter(F.col("doc_id") % 5 >= 2)
+    batch_b = docs.filter(F.col("doc_id") % 5 == 1)
+
+    inc_path = str(tmp_path / "mh_inc")
+    write_minhash_index(corpus_a, "mh_inc_t", inc_path)
+    before = {
+        p: t for p, t in _mtimes(inc_path).items()
+        if not p.endswith("_SUCCESS") and ".crc" not in p
+    }
+    append_minhash_batch(batch_b, "mh_inc_t")
+    after = {
+        p: t for p, t in _mtimes(inc_path).items()
+        if not p.endswith("_SUCCESS") and ".crc" not in p
+    }
+    for p, t in before.items():
+        assert after.get(p) == t, f"corpus bucket file rewritten: {p}"
+    assert len(after) > len(before)
+
+    full_path = str(tmp_path / "mh_full")
+    write_minhash_index(
+        docs.filter(F.col("doc_id") % 5 != 0), "mh_full_t", full_path
+    )
+    inc_rows = sorted(
+        tuple(r) for r in spark.table("mh_inc_t").collect()
+    )
+    full_rows = sorted(
+        tuple(r) for r in spark.table("mh_full_t").collect()
+    )
+    assert inc_rows == full_rows
+
+
 def test_ivf_write_publishes_atomically_and_cleans_staging(spark, sf_dir, tmp_path):
     """The staged build leaves no .tmp-* sibling behind, and a pre-existing
     INVALID root (crashed legacy writer) is replaced by the publish."""

@@ -54,6 +54,9 @@ REPRESENTATIVE = [
     "dedup_embedding_cosine",       # empty query sample -> schema-stable empty
     "knn_bruteforce",               # literal-replay path with zero query rows
     "docs_hybrid_rrf",              # both arms empty -> early schema return
+    # round-7 additions
+    "knn_ivf_incremental",          # empty corpus -> no build, no append
+    "dedup_index_append",           # empty corpus/batch/probe slices
 ]
 
 
