@@ -43,6 +43,7 @@ HEADLINE = [
     "knn_pq",
     "knn_ivf_pq",
     "knn_ivf_persisted",
+    "knn_ivf_incremental",
     "dedup_embedding_cosine",
     "docs_hybrid_rrf",
     "text_quality_score",
@@ -77,6 +78,7 @@ HEADLINE = [
     "dedup_clusters_cc",
     "dedup_clusters_cc_star",
     "dedup_incremental_minhash",
+    "dedup_index_append",
     "dedup_span_ngram",
     "dedup_semantic_ivf",
     "corpus_global_shuffle",

@@ -118,9 +118,77 @@ def _cell_expr(e: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
 
 
+# k*dim product above which the literal+interpreted-HOF assignment saturates.
+# Measured at sf10 (5M vectors, the adaptive-k 1024 clamp binding, k*dim =
+# 65,536): a single executor task sat minutes-deep in ZipWith.eval — the
+# nested-HOF argmin is evaluated INTERPRETED per element, so per-row cost is
+# k*dim boxed operations. 256 cells x 64 dims (= sf0.1's derived k) is the
+# last scale where the interpreted path's per-row cost stays inside the
+# job-overhead noise floor; above it the Arrow-batched kernel takes over.
+_VEC_ASSIGN_THRESHOLD = 256 * 64
+
+
 def assign_cells(vectors: DataFrame, centroids: list[list[float]]) -> DataFrame:
-    """vectors(id, e) -> (id, e, cell): a narrow projection (no shuffle)."""
+    """vectors(id, e) -> (id, e, cell): a narrow projection (no shuffle).
+
+    Two physical strategies, bit-identical results (pinned by
+    tests/test_ivf.py): below _VEC_ASSIGN_THRESHOLD the argmin runs as a
+    Catalyst expression over the literal centroid matrix (zero Python, fine
+    for small k); above it — the adaptive k has grown past ~256 cells —
+    the same argmin runs as a NumPy kernel over Arrow batches
+    (_assign_cells_np), whose per-dimension accumulation order reproduces
+    the HOF fold exactly, so the switch is invisible to the oracle."""
+    if len(centroids) * len(centroids[0]) > _VEC_ASSIGN_THRESHOLD:
+        return _assign_cells_np(vectors, centroids)
     return vectors.withColumn("cell", _cell_expr(F.col("e"), centroids))
+
+
+def _assign_cells_np(vectors: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Arrow-batched nearest-centroid assignment: the 'beyond the literal'
+    transport the module docstring promises for large k. The centroid
+    matrix rides to the workers inside the function closure (k x dim
+    doubles — broadcast-sized by construction); each Arrow batch computes
+    all k squared distances VECTORIZED over rows but SEQUENTIALLY over
+    dimensions:
+
+        d := (x_0-c_0)^2; d := d + (x_i-c_i)^2  (i ascending)
+
+    which is element-for-element the same IEEE operation order as the HOF
+    path's F.aggregate fold (and the DuckDB oracle's list_sum) — so the
+    assignment is bit-identical across all three, not merely close.
+    np.argmin returns the FIRST minimum, matching array_position's
+    tie-to-lowest-cell rule. Cost: k*dim flops per row at NumPy speed
+    (~100x the interpreted HOF), no join, no shuffle, no giant literal in
+    the plan (at k=1024 the literal alone was a 1.3 MB expression every
+    consumer re-analyzed)."""
+    import numpy as np
+    import pyarrow as pa
+
+    C = np.asarray(centroids, dtype=np.float64)
+    k, dim = C.shape
+
+    def kernel(batches):
+        for b in batches:
+            e_col = b.column(b.schema.get_field_index("e"))
+            n = len(e_col)
+            if n == 0:
+                continue
+            # list<double> with uniform lengths: flatten -> (n, dim)
+            flat = e_col.flatten().to_numpy(zero_copy_only=False)
+            X = flat.reshape(n, dim)
+            d = np.square(X[:, 0:1] - C[None, :, 0])
+            for i in range(1, dim):
+                t = X[:, i : i + 1] - C[None, :, i]
+                d += np.square(t)
+            cells = np.argmin(d, axis=1).astype(np.int64)
+            yield pa.record_batch(
+                [b.column(b.schema.get_field_index("id")), e_col, pa.array(cells, pa.int64())],
+                names=["id", "e", "cell"],
+            )
+
+    return vectors.select("id", "e").mapInArrow(
+        kernel, schema="id long, e array<double>, cell long"
+    )
 
 
 def build_ivf_index(

@@ -164,3 +164,39 @@ def test_adaptive_cell_count_matches_sql_derivation():
         np = adaptive_nprobe(int(k_sql))
         assert 2 <= np <= int(k_sql)
         assert duckdb.sql(f"SELECT GREATEST(2, {int(k_sql)} // 8)").fetchone()[0] == np
+
+
+def test_vectorized_assignment_bit_identical_to_hof(spark, sf_dir):
+    """_assign_cells_np (the large-k Arrow kernel) must produce the EXACT
+    cell per id that the literal+HOF Catalyst path produces — same IEEE
+    accumulation order over dimensions, same first-minimum tie rule — so
+    the _VEC_ASSIGN_THRESHOLD switch is invisible to every oracle."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_ruby_spark.operators import build_ivf_index
+    from map_reduce_ruby_spark.operators.ivf import (
+        _assign_cells_np,
+        _cell_expr,
+    )
+
+    v = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            F.col("vec_id").alias("id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+    )
+    # centroids from the standard deterministic build (k from the fixture)
+    a, centroids = build_ivf_index(v, k=None, iterations=2)
+    a.unpersist()
+
+    hof = {
+        r.id: r.cell
+        for r in v.withColumn("cell", _cell_expr(F.col("e"), centroids))
+        .select("id", "cell")
+        .collect()
+    }
+    vec = {
+        r.id: r.cell for r in _assign_cells_np(v, centroids).select("id", "cell").collect()
+    }
+    assert vec == hof and len(vec) == v.count()
