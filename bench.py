@@ -44,6 +44,7 @@ HEADLINE = [
     "knn_ivf_pq",
     "knn_ivf_persisted",
     "knn_ivf_incremental",
+    "knn_pq_incremental",
     "dedup_embedding_cosine",
     "docs_hybrid_rrf",
     "text_quality_score",

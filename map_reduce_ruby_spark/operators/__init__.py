@@ -10,6 +10,7 @@ from map_reduce_ruby_spark.operators.prefix_sum import exclusive_prefix_sum
 from map_reduce_ruby_spark.operators.range_join import range_join
 from map_reduce_ruby_spark.operators.ann_index import (
     append_ivf_batch,
+    append_pq_batch,
     ivf_index_exists,
     load_ivf_index,
     load_pq_index,
@@ -59,6 +60,7 @@ __all__ = [
     "pq_index_exists",
     "load_pq_index",
     "write_pq_index",
+    "append_pq_batch",
     "ivf_search",
     "build_pq_index",
     "pq_search",

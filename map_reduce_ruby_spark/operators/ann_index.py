@@ -231,7 +231,7 @@ def pq_index_exists(
     if meta is None:
         return False
     expect = _pq_meta(meta.get("dim", -1) if dim is None else dim, n_sub, k)
-    return meta == expect
+    return {f: v for f, v in meta.items() if f != "batches"} == expect
 
 
 def write_pq_index(
@@ -255,9 +255,37 @@ def write_pq_index(
     bdf = spark.createDataFrame(rows, "m long, code long, cw array<double>")
     bdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "pq_books"))
     with open(os.path.join(tmp, _META_NAME), "w", encoding="utf-8") as f:
-        json.dump(_pq_meta(dim, n_sub, k), f)
+        json.dump(dict(_pq_meta(dim, n_sub, k), batches=1), f)
     codes.unpersist()
     _publish_atomic(tmp, path, lambda p: pq_index_exists(p, dim, n_sub, k))
+
+
+def append_pq_batch(spark: SparkSession, vectors: DataFrame, path: str) -> None:
+    """Incremental PQ ingest — the append_ivf_batch model applied to the
+    compressed artifact: the new batch is ENCODED against the STORED
+    codebooks (one narrow argmin projection per subspace, no training) and
+    its codes appended to the codes table; the codebooks and every
+    pre-existing codes file are untouched. Because encode-with-fixed-books
+    is deterministic, incremental codes are bit-identical to what a full
+    re-encode would produce for the same rows. The meta batch counter
+    bumps LAST (atomic rewrite) as the batch's membership commit point."""
+    import uuid as _uuid
+
+    from map_reduce_ruby_spark.operators.pq import encode_with_books
+
+    meta = _read_meta(path)
+    if meta is None or not os.path.exists(os.path.join(path, "pq_codes", "_SUCCESS")):
+        raise ValueError(f"{path!r} does not hold a committed PQ index")
+    _codes, books = load_pq_index(spark, path)
+    dim = int(meta["dim"])
+    encode_with_books(vectors, books, dim).write.mode("append").parquet(
+        os.path.join(path, "pq_codes")
+    )
+    new_meta = dict(meta, batches=int(meta.get("batches", 1)) + 1)
+    tmp = os.path.join(path, f".{_META_NAME}.{_uuid.uuid4().hex}")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(new_meta, f)
+    os.replace(tmp, os.path.join(path, _META_NAME))
 
 
 def load_pq_index(

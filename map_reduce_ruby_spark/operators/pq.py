@@ -128,16 +128,30 @@ def build_pq_index(
     # build-scoped input-vectors cache can be released before returning —
     # the returned frame is the persisted index artifact, the vectors cache
     # was only ever build plumbing.
-    codes = vectors.select(
+    codes = encode_with_books(vectors, books, dim).cache()
+    codes.count()
+    vectors.unpersist()
+    return codes, books
+
+
+def encode_with_books(
+    vectors: DataFrame, books: list[list[list[float]]], dim: int
+) -> DataFrame:
+    """(id, e) -> (id, code0..code{n_sub-1}) against FIXED codebooks — the
+    encode half of the build, factored out so an incremental ingest
+    (ann_index.append_pq_batch) encodes a new batch with the STORED
+    codebooks: one narrow argmin projection per subspace, no training, no
+    shuffle. Same expression the full build's final encode uses, so
+    incremental codes are bit-identical to rebuild codes."""
+    n_sub = len(books)
+    sub = dim // n_sub
+    return vectors.select(
         "id",
         *[
             _cell_expr(F.expr(_sub_expr("e", m, sub)), books[m]).alias(f"code{m}")
             for m in range(n_sub)
         ],
-    ).cache()
-    codes.count()
-    vectors.unpersist()
-    return codes, books
+    )
 
 
 def pq_search(

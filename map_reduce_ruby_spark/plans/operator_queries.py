@@ -945,12 +945,15 @@ PQ_PARAMS_CTES = f"""pqparams AS (SELECT GREATEST(1, COUNT(*) // {_PQ_K}) AS str
     pqtv AS (SELECT id, e FROM v, pqtparams WHERE id % tstride = 0)"""
 
 
-def _pq_subspace_ctes(m: int) -> str:
-    """Seeds -> one Lloyd iteration -> final codebook for subspace m."""
+def _pq_subspace_ctes(m: int, seeds_from: str = "v") -> str:
+    """Seeds -> one Lloyd iteration -> final codebook for subspace m.
+    ``seeds_from`` is the TRAINING domain (seeds stride over it; the Lloyd
+    sample pqtv must come from the matching params CTE set); the final
+    encode f{m} and the query LUTs l{m} always span v/q."""
     return f"""
     s{m}0 AS (
         SELECT CAST(id // stride AS BIGINT) AS cell, {_pq_sub_sql('e', m)} AS ce
-        FROM v, pqparams
+        FROM {seeds_from}, pqparams
         WHERE id % stride = 0 AND id // stride < {_PQ_K}
     ),
     cs{m}0 AS (SELECT list(ce ORDER BY cell) AS cs FROM s{m}0),
@@ -1075,6 +1078,133 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     codes, books = index
     v = _ivf_vectors(spark, sf_dir)
+    queries = v.filter(F.col("id") < _PQ_NQ).select(
+        F.col("id").alias("qid"), F.col("e").alias("qe")
+    )
+    return pq_search(
+        codes, books, queries, v, dim=_IVF_DIM, top_k=_PQ_TOPK, rerank=_PQ_RERANK
+    )
+
+
+# Split-ingest twin of _PQ_ORACLE: codebooks train on batch-1 (t), the
+# encode and the search span the whole corpus — what the incremental index
+# holds after write_pq_index(batch-1) + append_pq_batch(batch-2).
+_PQ_PARAMS_CTES_SPLIT = f"""pqparams AS (SELECT GREATEST(1, COUNT(*) // {_PQ_K}) AS stride FROM t),
+    pqtparams AS (SELECT GREATEST(1, COUNT(*) // {_PQ_K * 256}) AS tstride FROM t),
+    pqtv AS (SELECT id, e FROM t, pqtparams WHERE id % tstride = 0)"""
+
+_PQ_INC_ORACLE = (
+    f"""
+    WITH v AS (
+        SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    t AS (SELECT id, e FROM v WHERE id < (SELECT COUNT(*) // 2 FROM v)),
+    {_PQ_PARAMS_CTES_SPLIT},
+    q AS (SELECT id AS qid, e AS qe FROM v WHERE id < {_PQ_NQ}),"""
+    + ",".join(_pq_subspace_ctes(m, seeds_from="t") for m in range(_PQ_NSUB))
+    + f""",
+    codes AS (
+        SELECT f0.id, {', '.join(f'f{m}.code AS code{m}' for m in range(_PQ_NSUB))}
+        FROM f0 {' '.join(f'JOIN f{m} ON f0.id = f{m}.id' for m in range(1, _PQ_NSUB))}
+    ),
+    luts AS (
+        SELECT l0.qid, {', '.join(f'l{m}.lut AS lut{m}' for m in range(_PQ_NSUB))}
+        FROM l0 {' '.join(f'JOIN l{m} ON l0.qid = l{m}.qid' for m in range(1, _PQ_NSUB))}
+    ),
+    scored AS (
+        SELECT q.qid AS query_id, c.id AS neighbor_id,
+               ROUND({' + '.join(f'q.lut{m}[c.code{m} + 1]' for m in range(_PQ_NSUB))},
+                     4) AS adc_dist
+        FROM luts q JOIN codes c ON c.id <> q.qid
+    ),
+    short AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY adc_dist, neighbor_id) AS arn
+              FROM scored)
+        WHERE arn <= {_PQ_RERANK}
+    ),
+    rer AS (
+        SELECT s.query_id, s.neighbor_id,
+               ROUND(list_sum(list_transform(range(1, {_IVF_DIM + 1}),
+                         i -> qq.qe[i] * c.e[i]))
+                     / (sqrt(list_sum(list_transform(qq.qe, x -> x * x)))
+                        * sqrt(list_sum(list_transform(c.e, x -> x * x)))),
+                     4) AS cos_sim
+        FROM short s
+        JOIN q qq ON qq.qid = s.query_id
+        JOIN v c ON c.id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM rer)
+    WHERE rn <= {_PQ_TOPK}
+    """
+)
+
+
+@register(
+    "knn_pq_incremental",
+    oracle=_PQ_INC_ORACLE,
+    doc="INCREMENTAL MAINTENANCE of the durable PQ index "
+    "(operators/ann_index.py append_pq_batch): codebooks train once on "
+    "batch-1, batch-2 is ENCODED against the stored codebooks (one narrow "
+    "argmin projection per subspace — no training, no corpus rewrite) and "
+    "its 8-byte codes appended to the codes table; membership commits via "
+    "the atomic meta-counter bump. This closes the incremental lifecycle "
+    "across the whole ANN family (IVF cells: knn_ivf_incremental; minhash "
+    "bands: dedup_index_append; PQ codes: here) — the reference's "
+    "add_chunk-per-batch deploy story applied to every index artifact. "
+    "The oracle rebuilds the SPLIT semantics independently (per-subspace "
+    "k-means seeded and Lloyd-sampled from batch-1 alone; encode, ADC "
+    "shortlist, and exact rerank spanning both batches), so a silent "
+    "retrain-on-append or a dropped batch hash-mismatches.",
+    tags=("similarity", "ann", "quantization", "incremental", "persisted",
+          "custom-operator"),
+)
+def knn_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from map_reduce_ruby_spark.operators import (
+        append_pq_batch,
+        pq_index_exists,
+        pq_search,
+        read_index_meta,
+        write_pq_index,
+    )
+    from map_reduce_ruby_spark.operators.ann_index import PQ_INDEX_VERSION
+    from map_reduce_ruby_spark.operators.ann_index import load_pq_index as _load_pq
+    from map_reduce_ruby_spark.sources.tables import table_fingerprint
+
+    v = _ivf_vectors(spark, sf_dir)
+    n = v.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rn long"
+        )
+    half = n // 2
+
+    tag = table_fingerprint(sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(), f"pq_inc_idx_v{PQ_INDEX_VERSION}_{tag}"
+    )
+    meta = read_index_meta(path)
+    if not (
+        pq_index_exists(path, _IVF_DIM, _PQ_NSUB, _PQ_K)
+        and meta
+        and meta.get("batches") == 2
+    ):
+        shutil.rmtree(path, ignore_errors=True)
+        write_pq_index(
+            spark, v.filter(F.col("id") < half), path,
+            dim=_IVF_DIM, n_sub=_PQ_NSUB, k=_PQ_K,
+        )
+        append_pq_batch(spark, v.filter(F.col("id") >= half), path)
+    codes, books = _load_pq(spark, path)
     queries = v.filter(F.col("id") < _PQ_NQ).select(
         F.col("id").alias("qid"), F.col("e").alias("qe")
     )

@@ -225,6 +225,47 @@ def test_append_ivf_batch_no_retrain_no_rewrite(spark, sf_dir, tmp_path):
     assert got == want and len(got) == n
 
 
+def test_append_pq_batch_no_retrain_no_rewrite(spark, sf_dir, tmp_path):
+    """append_pq_batch: batch-2 is encoded against the STORED codebooks —
+    codebooks and pre-existing codes files keep their mtimes, the combined
+    codes equal encoding the full corpus with the batch-1 books, and the
+    meta batch counter bumps."""
+    from map_reduce_ruby_spark.operators import append_pq_batch, read_index_meta
+    from map_reduce_ruby_spark.operators.pq import encode_with_books
+
+    path = str(tmp_path / "pqinc")
+    v = _vectors(spark, sf_dir)
+    n = v.count()
+    b1 = v.filter(F.col("id") < n // 2)
+    b2 = v.filter(F.col("id") >= n // 2)
+    write_pq_index(spark, b1, path, dim=_DIM)
+    assert read_index_meta(path)["batches"] == 1
+
+    def data_files(root):
+        return {
+            p: t
+            for p, t in _mtimes(root).items()
+            if not p.endswith(("_SUCCESS", "_META.json")) and ".crc" not in p
+        }
+
+    before_codes = data_files(os.path.join(path, "pq_codes"))
+    before_books = data_files(os.path.join(path, "pq_books"))
+
+    append_pq_batch(spark, b2, path)
+    assert read_index_meta(path)["batches"] == 2
+
+    after_codes = data_files(os.path.join(path, "pq_codes"))
+    for p, t in before_codes.items():
+        assert after_codes.get(p) == t, f"pre-existing codes file rewritten: {p}"
+    assert len(after_codes) > len(before_codes)
+    assert data_files(os.path.join(path, "pq_books")) == before_books
+
+    codes, books = load_pq_index(spark, path)
+    got = sorted(tuple(r) for r in codes.collect())
+    want = sorted(tuple(r) for r in encode_with_books(v, books, _DIM).collect())
+    assert got == want and len(got) == n
+
+
 def test_append_minhash_batch_no_corpus_rewrite(spark, sf_dir, tmp_path):
     """append_minhash_batch: the corpus slice's bucket files keep their
     mtimes; the appended index equals the full rebuild row-for-row (banding

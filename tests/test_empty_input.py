@@ -57,6 +57,7 @@ REPRESENTATIVE = [
     # round-7 additions
     "knn_ivf_incremental",          # empty corpus -> no build, no append
     "dedup_index_append",           # empty corpus/batch/probe slices
+    "knn_pq_incremental",           # empty corpus -> no build, no append
 ]
 
 
