@@ -419,3 +419,89 @@ def streaming_chunk_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return run_stream_to_memory(stream, f"catalog_chunk_stream_wc_{tag}")
+
+
+def _streaming_index_oracle() -> str:
+    from map_reduce_ruby_spark.plans.dedup_queries import _INCR_MINHASH_ORACLE
+
+    return _INCR_MINHASH_ORACLE
+
+
+@register(
+    "streaming_index_ingest",
+    # SAME oracle as dedup_index_append / dedup_incremental_minhash: however
+    # the batch arrives — one shot or micro-batches through the streaming
+    # engine — the maintained index must equal the full rebuild over A ∪ B.
+    oracle=_streaming_index_oracle(),
+    doc="The index-maintenance deploy story run THROUGH the streaming "
+    "engine: the band index starts from corpus slice A (doc_id % 5 in "
+    "2..4); slice B's documents arrive as a parquet file STREAM "
+    "(maxFilesPerTrigger=1, so several genuine micro-batches) and "
+    "foreachBatch appends each micro-batch's bands into the bucketed "
+    "index (operators/dedup_index.py append_minhash_batch) — the "
+    "reference's add_chunk-per-batch reducer ingest (reducer.rb:34-42) as "
+    "a continuous pipeline. After the availableNow drain, the probe slice "
+    "(doc_id % 5 = 0) joins the maintained index; hash-matching the "
+    "full-rebuild oracle proves micro-batched maintenance is EXACTLY "
+    "equivalent to batch maintenance (band appends commute and dedup "
+    "probes are countDistinct/min aggregates). A fresh checkpoint per "
+    "invocation re-drains deterministically; the drop directory is "
+    "content-fingerprinted and _SUCCESS-gated like the chunk-stream "
+    "fixtures.",
+    tags=("streaming", "dedup", "incremental", "persisted", "custom-operator"),
+)
+def streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_ruby_spark.operators.dedup_index import (
+        append_minhash_batch,
+        dedup_against_index,
+        write_minhash_index,
+    )
+    from map_reduce_ruby_spark.sources import load_table
+    from map_reduce_ruby_spark.sources.tables import table_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_a = docs.filter(F.col("doc_id") % 5 >= 2)
+    probe = docs.filter(F.col("doc_id") % 5 == 0)
+
+    # slice B lands as a 3-file parquet drop (content-fingerprinted,
+    # _SUCCESS-gated) so the stream sees multiple micro-batches
+    tag = table_fingerprint(sf_dir, "documents")
+    drop = os.path.join(tempfile.gettempdir(), f"mh_stream_drop_{tag}")
+    if not os.path.exists(os.path.join(drop, "_SUCCESS")):
+        # repartition, not coalesce: the filtered frame may already be a
+        # single partition, and coalesce can only shrink — 3 files are what
+        # make maxFilesPerTrigger=1 yield genuine micro-batches
+        docs.filter(F.col("doc_id") % 5 == 1).repartition(3).write.mode(
+            "overwrite"
+        ).parquet(drop)
+
+    # fresh table + checkpoint per invocation: the entry must be a pure
+    # function of the fixture (overwrite resets A; a new checkpoint re-drains
+    # every B file)
+    ptag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    table = f"mh_idx_stream_{ptag}"
+    path = os.path.join(tempfile.gettempdir(), f"mh_idx_stream_{ptag}")
+    write_minhash_index(corpus_a, table, path)
+
+    ckpt = tempfile.mkdtemp(prefix="mh_stream_ckpt_")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(drop)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, _eid: append_minhash_batch(batch_df, table)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return dedup_against_index(spark, probe, table)

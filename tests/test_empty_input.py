@@ -58,6 +58,7 @@ REPRESENTATIVE = [
     "knn_ivf_incremental",          # empty corpus -> no build, no append
     "dedup_index_append",           # empty corpus/batch/probe slices
     "knn_pq_incremental",           # empty corpus -> no build, no append
+    "streaming_index_ingest",       # empty stream drop -> drained, empty probe
 ]
 
 

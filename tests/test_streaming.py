@@ -258,3 +258,26 @@ def test_rocksdb_state_store_matches_default(spark, sf_dir):
         pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(expected))
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_streaming_index_ingest_idempotent_and_microbatched(spark, sf_dir):
+    """streaming_index_ingest must be a pure function of the fixture: a
+    second invocation (fresh checkpoint, index table overwritten) returns
+    the identical result, and the drop directory really holds multiple
+    files so maxFilesPerTrigger=1 yields multiple foreachBatch appends."""
+    import glob
+    import os
+    import tempfile
+
+    from map_reduce_ruby_spark.plans import all_entries
+    from map_reduce_ruby_spark.sources.tables import table_fingerprint
+
+    fn = all_entries()["streaming_index_ingest"].fn
+    first = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    again = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    assert first == again and len(first) > 0
+
+    tag = table_fingerprint(sf_dir, "documents")
+    drop = os.path.join(tempfile.gettempdir(), f"mh_stream_drop_{tag}")
+    parts = glob.glob(os.path.join(drop, "part-*.parquet"))
+    assert len(parts) >= 2, parts  # several micro-batches, not one big append
