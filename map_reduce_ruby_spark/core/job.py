@@ -260,13 +260,25 @@ class Job:
         Map-side combine is memory-bounded: the per-task accumulator flushes
         every ``combine_flush`` distinct keys (partial combines are correct
         under the associative+commutative contract and re-fold after the
-        shuffle), so a 100 TB input with high key cardinality cannot OOM the
-        Python worker.
+        shuffle), so the MAP side cannot OOM the Python worker at any input
+        size. Reduce-side state is bounded by DISTINCT KEYS PER PARTITION
+        when folding (the same bound run()'s O15 in-memory output sort
+        already imposes — tune num_partitions, not this path), and by ROWS
+        per partition only for the sorted no-reduce passthrough; an
+        unsorted no-reduce pass streams through without buffering. For a
+        byte-sorted passthrough too large for worker memory, use ``run``
+        (its repartitionAndSortWithinPartitions is Spark's spilling
+        external sort).
         """
         import pyarrow as pa
 
         map_fn, reduce_fn = self.map_fn, self.reduce_fn
-        part, nparts = self.partitioner, self.num_partitions
+        nparts = self.num_partitions
+        raw_part = self.partitioner
+        # pyspark's partitionBy applies partitionFunc(k) % numPartitions, so
+        # a partitioner returning values >= nparts is legal on run(); keep
+        # the two paths contract-identical
+        part = lambda k: raw_part(k) % nparts  # noqa: E731
         steer = _steering_ids(spark, nparts)
         canon = lambda o: json.dumps(  # noqa: E731 — reference byte layout
             o, separators=(",", ":"), ensure_ascii=False
@@ -326,13 +338,21 @@ class Job:
 
         def reduce_side(batches):
             if reduce_fn is None:
+                if not sort_output:
+                    # unsorted passthrough: stream through, zero buffering
+                    for batch in batches:
+                        yield pa.record_batch(
+                            [batch.column(1), batch.column(2)], names=["k", "v"]
+                        )
+                    return
+                # sorted passthrough buffers the partition (the sort needs
+                # it); run() is the spilling external-sort alternative
                 rows: list[tuple[SortKey, str, str]] = []
                 for batch in batches:
                     kc = batch.column(1).to_pylist()
                     vc = batch.column(2).to_pylist()
                     rows.extend((SortKey(json.loads(kj)), kj, vj) for kj, vj in zip(kc, vc))
-                if sort_output:
-                    rows.sort(key=lambda r: r[0])
+                rows.sort(key=lambda r: r[0])
                 for i in range(0, len(rows), 65536):
                     chunk = rows[i : i + 65536]
                     yield pa.record_batch(

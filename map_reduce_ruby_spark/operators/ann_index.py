@@ -68,27 +68,29 @@ def _read_meta(path: str) -> dict | None:
         return None
 
 
-def _publish_atomic(tmp: str, path: str, valid) -> None:
-    """Atomically publish a fully-staged index directory: a reader can NEVER
-    observe a half-written index because the root appears in one rename.
-    Concurrent builders race safely — first complete publish wins, the loser
-    discards its staging dir. A pre-existing root that fails ``valid()``
-    (stale version, crashed legacy writer) is replaced."""
+def _publish_atomic(tmp: str, path: str) -> None:
+    """Atomically publish a fully-staged directory: a reader can NEVER
+    observe a half-written artifact because it appears in one rename.
+    TRUE-REFRESH semantics (write_* documents 'rebuilding is an idempotent
+    full refresh'): a pre-existing destination — stale build, crashed
+    writer, or an index over OLDER data — is REPLACED, never silently kept
+    (keeping it would serve stale neighbors with no error). Concurrent
+    same-content builders race benignly (the builders are deterministic, so
+    either winner is correct); any other failure raises instead of
+    pretending the publish happened."""
     try:
         os.rename(tmp, path)
         return
     except OSError:
         pass
-    if os.path.isdir(path) and not valid(path):
-        shutil.rmtree(path, ignore_errors=True)
-        try:
-            os.rename(tmp, path)
-            return
-        except OSError:
-            pass
-    # a concurrent builder published a valid index between our checks — keep
-    # the winner, discard ours
-    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        os.rename(tmp, path)
+    except OSError as e:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"could not publish staged index {tmp!r} -> {path!r}: {e}"
+        ) from e
 
 
 def _ivf_meta(k: int | None) -> dict:
@@ -101,12 +103,16 @@ def _ivf_meta(k: int | None) -> dict:
 
 
 def read_index_meta(path: str) -> dict | None:
-    """The index's _META.json (version, build params, ingested batch count)
-    or None. ``batches`` counts committed ingests: 1 after write_ivf_index,
-    +1 per append_ivf_batch — callers caching an incrementally-maintained
-    index check it to detect a crashed half-append (parquet append commits
-    its files atomically, but the batch's MEMBERSHIP in the index is only
-    durable once the meta bump lands)."""
+    """The index's _META.json (version, build params, committed ingest list)
+    or None. ``ingests`` lists the committed per-batch partition ids
+    (``ingest=<n>`` directories under the data root) and ``batches`` ==
+    len(ingests): each append stages its batch as a separate ingest
+    partition and only the meta rewrite (atomic) makes it a member —
+    loads filter the scan to committed ingests (partition-pruned). A
+    crashed append therefore leaves an unlisted orphan partition — not
+    duplicate rows — and RETRYING the append is safe: the retry replaces
+    the orphan and commits it exactly once (no double-ingest is possible,
+    unlike an in-place parquet append where data lands before the marker)."""
     return _read_meta(path)
 
 
@@ -117,10 +123,11 @@ def ivf_index_exists(path: str, k: int | None = None) -> bool:
     not a silent stale load."""
     meta = _read_meta(path)
     return (
-        os.path.exists(os.path.join(path, "cells", "_SUCCESS"))
+        os.path.exists(os.path.join(path, "cells", "ingest=1", "_SUCCESS"))
         and os.path.exists(os.path.join(path, "centroids", "_SUCCESS"))
         and meta is not None
-        and {f: v for f, v in meta.items() if f != "batches"} == _ivf_meta(k)
+        and {f: v for f, v in meta.items() if f not in ("batches", "ingests")}
+        == _ivf_meta(k)
     )
 
 
@@ -138,17 +145,17 @@ def write_ivf_index(
     (
         assignments.write.partitionBy("cell")
         .mode("overwrite")
-        .parquet(os.path.join(tmp, "cells"))
+        .parquet(os.path.join(tmp, "cells", "ingest=1"))
     )
     cdf = spark.createDataFrame(
         [(i, list(c)) for i, c in enumerate(centroids)], "cell long, ce array<double>"
     )
     cdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
     with open(os.path.join(tmp, _META_NAME), "w", encoding="utf-8") as f:
-        json.dump(dict(_ivf_meta(k), batches=1), f)
+        json.dump(dict(_ivf_meta(k), batches=1, ingests=[1]), f)
     # the durable table replaces the in-session cache the builder returned
     assignments.unpersist()
-    _publish_atomic(tmp, path, lambda p: ivf_index_exists(p, k))
+    _publish_atomic(tmp, path)
 
 
 def append_ivf_batch(spark: SparkSession, vectors: DataFrame, path: str) -> None:
@@ -160,32 +167,39 @@ def append_ivf_batch(spark: SparkSession, vectors: DataFrame, path: str) -> None
     34-42) applied to the index artifact: each day's batch lands in the
     standing structure, paying cost proportional to the BATCH.
 
-    Mechanics: one narrow assignment scan over the batch (literal-centroid
-    argmin, operators/ivf.py assign_cells — no join, no shuffle), then a
-    parquet append into the cell-partitioned layout: existing cell FILES
-    are never touched (pinned by an mtime test), the new files join their
-    cell directories and partition pruning covers old and new rows alike.
-    The meta's ``batches`` counter is bumped LAST (atomic rewrite): a
-    crashed append leaves the counter un-bumped, so a cache keyed on the
-    expected batch count refuses the torn state instead of silently
-    serving an index missing its newest batch."""
-    import uuid as _uuid
-
+    Mechanics: one narrow assignment scan over the batch (assign_cells —
+    no join, no shuffle), staged into a dot-prefixed temp dir (invisible
+    to partition discovery even mid-write), published by one rename as
+    the next ``ingest=<n>`` partition under the cells root, then an
+    atomic meta rewrite listing n in ``ingests`` — that rewrite IS the
+    batch's membership commit. Existing ingest partitions are never
+    touched (pinned by an mtime test); loads scan the ONE cells root with
+    an ingest-membership partition filter, so both partition levels
+    (ingest, cell) prune. Crash-retry is IDEMPOTENT: a crash before the
+    meta rewrite leaves an unlisted orphan partition the load filters
+    out, and the retry replaces it and commits exactly once."""
     from map_reduce_ruby_spark.operators.ivf import assign_cells
 
     meta = _read_meta(path)
-    if meta is None or not os.path.exists(os.path.join(path, "cells", "_SUCCESS")):
+    if meta is None or not os.path.exists(
+        os.path.join(path, "cells", "ingest=1", "_SUCCESS")
+    ):
         raise ValueError(f"{path!r} does not hold a committed IVF index")
     crows = (
         spark.read.parquet(os.path.join(path, "centroids")).orderBy("cell").collect()
     )
     centroids = [list(r.ce) for r in crows]
-    assign_cells(vectors, centroids).write.partitionBy("cell").mode("append").parquet(
-        os.path.join(path, "cells")
-    )
+
+    ingests = [int(i) for i in meta.get("ingests", [1])]
+    new_id = max(ingests) + 1
+    stage = os.path.join(path, "cells", f".stage-{uuid.uuid4().hex}")
+    assign_cells(vectors, centroids).select("id", "e", "cell").write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(stage)
+    _publish_atomic(stage, os.path.join(path, "cells", f"ingest={new_id}"))
     # commit point for the batch's membership: atomic meta rewrite
-    new_meta = dict(meta, batches=int(meta.get("batches", 1)) + 1)
-    tmp = os.path.join(path, f".{_META_NAME}.{_uuid.uuid4().hex}")
+    new_meta = dict(meta, batches=len(ingests) + 1, ingests=ingests + [new_id])
+    tmp = os.path.join(path, f".{_META_NAME}.{uuid.uuid4().hex}")
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(new_meta, f)
     os.replace(tmp, os.path.join(path, _META_NAME))
@@ -195,11 +209,18 @@ def load_ivf_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, list[list[float]]]:
     """(assignments(id, e, cell), centroids) read from storage — no
-    training jobs, no corpus scan until a consumer runs. Centroids are the
-    bounded collected artifact (k x dim doubles) every probe embeds as
-    literals, exactly as the in-session build returns them."""
-    cells = spark.read.parquet(os.path.join(path, "cells")).select(
-        "id", "e", F.col("cell").cast("long").alias("cell")
+    training jobs, no corpus scan until a consumer runs. ONE scan of the
+    cells root, partition-filtered to the meta's COMMITTED ingest ids:
+    orphan partitions from a crashed append never enter the plan (the
+    filter is a partition filter, so they cost no IO either). Centroids
+    are the bounded collected artifact (k x dim doubles) every probe
+    embeds as literals, exactly as the in-session build returns them."""
+    meta = _read_meta(path) or {}
+    ingests = [int(i) for i in meta.get("ingests", [1])]
+    cells = (
+        spark.read.parquet(os.path.join(path, "cells"))
+        .filter(F.col("ingest").isin(ingests))
+        .select("id", "e", F.col("cell").cast("long").alias("cell"))
     )
     crows = spark.read.parquet(os.path.join(path, "centroids")).orderBy("cell").collect()
     centroids = [list(r.ce) for r in crows]
@@ -223,7 +244,7 @@ def pq_index_exists(
     ``dim=None`` the dim field is not compared (callers that only know the
     path can still validate version/params)."""
     if not (
-        os.path.exists(os.path.join(path, "pq_codes", "_SUCCESS"))
+        os.path.exists(os.path.join(path, "pq_codes", "ingest=1", "_SUCCESS"))
         and os.path.exists(os.path.join(path, "pq_books", "_SUCCESS"))
     ):
         return False
@@ -231,7 +252,9 @@ def pq_index_exists(
     if meta is None:
         return False
     expect = _pq_meta(meta.get("dim", -1) if dim is None else dim, n_sub, k)
-    return {f: v for f, v in meta.items() if f != "batches"} == expect
+    return {
+        f: v for f, v in meta.items() if f not in ("batches", "ingests")
+    } == expect
 
 
 def write_pq_index(
@@ -248,41 +271,46 @@ def write_pq_index(
     codebooks are a bounded (n_sub x k x sub_dim) side table."""
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
     codes, books = build_pq_index(vectors, dim=dim, n_sub=n_sub, k=k)
-    codes.write.mode("overwrite").parquet(os.path.join(tmp, "pq_codes"))
+    codes.write.mode("overwrite").parquet(os.path.join(tmp, "pq_codes", "ingest=1"))
     rows = [
         (m, c, list(cw)) for m, book in enumerate(books) for c, cw in enumerate(book)
     ]
     bdf = spark.createDataFrame(rows, "m long, code long, cw array<double>")
     bdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "pq_books"))
     with open(os.path.join(tmp, _META_NAME), "w", encoding="utf-8") as f:
-        json.dump(dict(_pq_meta(dim, n_sub, k), batches=1), f)
+        json.dump(dict(_pq_meta(dim, n_sub, k), batches=1, ingests=[1]), f)
     codes.unpersist()
-    _publish_atomic(tmp, path, lambda p: pq_index_exists(p, dim, n_sub, k))
+    _publish_atomic(tmp, path)
 
 
 def append_pq_batch(spark: SparkSession, vectors: DataFrame, path: str) -> None:
     """Incremental PQ ingest — the append_ivf_batch model applied to the
     compressed artifact: the new batch is ENCODED against the STORED
-    codebooks (one narrow argmin projection per subspace, no training) and
-    its codes appended to the codes table; the codebooks and every
-    pre-existing codes file are untouched. Because encode-with-fixed-books
-    is deterministic, incremental codes are bit-identical to what a full
-    re-encode would produce for the same rows. The meta batch counter
-    bumps LAST (atomic rewrite) as the batch's membership commit point."""
-    import uuid as _uuid
-
+    codebooks (one narrow argmin projection per subspace, no training),
+    staged dot-prefixed, published by one rename as the next ``ingest=<n>``
+    partition under the codes root, and committed by the atomic meta
+    rewrite listing it. Codebooks and every pre-existing codes file are
+    untouched; crash-retry is idempotent (an unlisted orphan partition is
+    replaced, never double-counted). Encode-with-fixed-books is
+    deterministic, so incremental codes are bit-identical to a full
+    re-encode of the same rows."""
     from map_reduce_ruby_spark.operators.pq import encode_with_books
 
     meta = _read_meta(path)
-    if meta is None or not os.path.exists(os.path.join(path, "pq_codes", "_SUCCESS")):
+    if meta is None or not os.path.exists(
+        os.path.join(path, "pq_codes", "ingest=1", "_SUCCESS")
+    ):
         raise ValueError(f"{path!r} does not hold a committed PQ index")
     _codes, books = load_pq_index(spark, path)
     dim = int(meta["dim"])
-    encode_with_books(vectors, books, dim).write.mode("append").parquet(
-        os.path.join(path, "pq_codes")
-    )
-    new_meta = dict(meta, batches=int(meta.get("batches", 1)) + 1)
-    tmp = os.path.join(path, f".{_META_NAME}.{_uuid.uuid4().hex}")
+
+    ingests = [int(i) for i in meta.get("ingests", [1])]
+    new_id = max(ingests) + 1
+    stage = os.path.join(path, "pq_codes", f".stage-{uuid.uuid4().hex}")
+    encode_with_books(vectors, books, dim).write.mode("overwrite").parquet(stage)
+    _publish_atomic(stage, os.path.join(path, "pq_codes", f"ingest={new_id}"))
+    new_meta = dict(meta, batches=len(ingests) + 1, ingests=ingests + [new_id])
+    tmp = os.path.join(path, f".{_META_NAME}.{uuid.uuid4().hex}")
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(new_meta, f)
     os.replace(tmp, os.path.join(path, _META_NAME))
@@ -292,8 +320,16 @@ def load_pq_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, list[list[list[float]]]]:
     """(codes(id, code0..), codebooks) read from storage, shaped exactly
-    like build_pq_index's return so pq_search/ivf_pq_search accept either."""
-    codes = spark.read.parquet(os.path.join(path, "pq_codes"))
+    like build_pq_index's return so pq_search/ivf_pq_search accept either.
+    One scan of the codes root, partition-filtered to committed ingests
+    (orphans from a crashed append never enter the plan)."""
+    meta = _read_meta(path) or {}
+    ingests = [int(i) for i in meta.get("ingests", [1])]
+    codes = (
+        spark.read.parquet(os.path.join(path, "pq_codes"))
+        .filter(F.col("ingest").isin(ingests))
+        .drop("ingest")
+    )
     brows = spark.read.parquet(os.path.join(path, "pq_books")).orderBy("m", "code").collect()
     n_sub = max(int(r.m) for r in brows) + 1 if brows else 0
     books: list[list[list[float]]] = [[] for _ in range(n_sub)]

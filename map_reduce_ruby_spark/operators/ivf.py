@@ -164,8 +164,11 @@ def _assign_cells_np(vectors: DataFrame, centroids: list[list[float]]) -> DataFr
     import numpy as np
     import pyarrow as pa
 
+    from pyspark.sql import types as T
+
     C = np.asarray(centroids, dtype=np.float64)
     k, dim = C.shape
+    in_names = [f.name for f in vectors.schema.fields]
 
     def kernel(batches):
         for b in batches:
@@ -181,14 +184,20 @@ def _assign_cells_np(vectors: DataFrame, centroids: list[list[float]]) -> DataFr
                 t = X[:, i : i + 1] - C[None, :, i]
                 d += np.square(t)
             cells = np.argmin(d, axis=1).astype(np.int64)
+            # pass EVERY input column through untouched (same contract as
+            # the withColumn literal path — no size-dependent schema flip)
             yield pa.record_batch(
-                [b.column(b.schema.get_field_index("id")), e_col, pa.array(cells, pa.int64())],
-                names=["id", "e", "cell"],
+                [b.column(j) for j in range(b.num_columns)]
+                + [pa.array(cells, pa.int64())],
+                names=list(b.schema.names) + ["cell"],
             )
 
-    return vectors.select("id", "e").mapInArrow(
-        kernel, schema="id long, e array<double>, cell long"
+    out_schema = T.StructType(
+        list(vectors.schema.fields) + [T.StructField("cell", T.LongType())]
     )
+    if "cell" in in_names:
+        raise ValueError("input already has a 'cell' column")
+    return vectors.mapInArrow(kernel, schema=out_schema)
 
 
 def build_ivf_index(

@@ -482,7 +482,10 @@ def knn_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = _ivf_vectors(spark, sf_dir)
     n = v.count()
-    if n == 0:
+    # n < 2 covers the n == 1 degenerate too: half = 0 would make batch-1
+    # EMPTY (nothing to train on), and the split oracle returns 0 rows for
+    # a 1-row corpus (checked directly in DuckDB) — so empty is the match
+    if n < 2:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cos_sim double, rn long"
         )
@@ -496,13 +499,11 @@ def knn_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     meta = read_index_meta(path)
     # cache hit only when BOTH the build and the append committed
-    # (batches == 2); anything else rebuilds from a CLEAN slate — a crash
-    # after the parquet append but before the meta bump leaves batch-2's
-    # rows present under batches == 1, and appending again would duplicate
+    # (batches == 2); anything else rebuilds — write_ivf_index replaces a
+    # stale root atomically (true refresh), and a crashed half-append is
+    # just an unlisted orphan dir the retry overwrites (per-batch-dir
+    # layout: duplicates are structurally impossible)
     if not (ivf_index_exists(path) and meta and meta.get("batches") == 2):
-        import shutil
-
-        shutil.rmtree(path, ignore_errors=True)
         write_ivf_index(spark, batch1, path, k=None)
         append_ivf_batch(spark, batch2, path)
     assignments, centroids = load_ivf_index(spark, path)
@@ -1166,7 +1167,6 @@ _PQ_INC_ORACLE = (
 )
 def knn_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import shutil
     import tempfile
 
     from map_reduce_ruby_spark.operators import (
@@ -1182,7 +1182,9 @@ def knn_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = _ivf_vectors(spark, sf_dir)
     n = v.count()
-    if n == 0:
+    # n < 2: an empty batch-1 has nothing to train on, and the split
+    # oracle returns 0 rows for a 1-row corpus (checked in DuckDB)
+    if n < 2:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cos_sim double, rn long"
         )
@@ -1193,12 +1195,14 @@ def knn_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"pq_inc_idx_v{PQ_INDEX_VERSION}_{tag}"
     )
     meta = read_index_meta(path)
+    # batches == 2 or rebuild: write_pq_index replaces a stale root
+    # atomically; a crashed half-append is an unlisted orphan dir the
+    # retry overwrites (per-batch-dir layout — no duplicates possible)
     if not (
         pq_index_exists(path, _IVF_DIM, _PQ_NSUB, _PQ_K)
         and meta
         and meta.get("batches") == 2
     ):
-        shutil.rmtree(path, ignore_errors=True)
         write_pq_index(
             spark, v.filter(F.col("id") < half), path,
             dim=_IVF_DIM, n_sub=_PQ_NSUB, k=_PQ_K,

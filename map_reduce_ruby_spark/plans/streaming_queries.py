@@ -489,19 +489,27 @@ def streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.gettempdir(), f"mh_idx_stream_{ptag}")
     write_minhash_index(corpus_a, table, path)
 
+    # the checkpoint is per-invocation BY DESIGN (a reused one would skip
+    # the already-ingested files and the index table is reset each call) —
+    # so it must also be reclaimed per invocation, not accumulate in /tmp
+    import shutil
+
     ckpt = tempfile.mkdtemp(prefix="mh_stream_ckpt_")
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(drop)
-    )
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda batch_df, _eid: append_minhash_batch(batch_df, table)
+    try:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(drop)
         )
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch_df, _eid: append_minhash_batch(batch_df, table)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return dedup_against_index(spark, probe, table)

@@ -200,17 +200,19 @@ def test_append_ivf_batch_no_retrain_no_rewrite(spark, sf_dir, tmp_path):
             if not p.endswith(("_SUCCESS", "_META.json")) and ".crc" not in p
         }
 
-    before_cells = data_files(os.path.join(path, "cells"))
+    before_cells = data_files(os.path.join(path, "cells", "ingest=1"))
     before_centroids = data_files(os.path.join(path, "centroids"))
 
     append_ivf_batch(spark, b2, path)
-    assert read_index_meta(path)["batches"] == 2
+    meta = read_index_meta(path)
+    assert meta["batches"] == 2
+    assert meta["ingests"] == [1, 2]
 
-    after_cells = data_files(os.path.join(path, "cells"))
-    # every pre-existing cell file untouched; new files appeared for batch-2
-    for p, t in before_cells.items():
-        assert after_cells.get(p) == t, f"pre-existing cell file rewritten: {p}"
-    assert len(after_cells) > len(before_cells)
+    # batch-1's ingest partition is COMPLETELY untouched (per-ingest
+    # layout: an append can never rewrite — or even add to — an earlier
+    # batch)
+    assert data_files(os.path.join(path, "cells", "ingest=1")) == before_cells
+    assert len(data_files(os.path.join(path, "cells", "ingest=2"))) > 0
     # centroids completely untouched (no retrain)
     assert data_files(os.path.join(path, "centroids")) == before_centroids
 
@@ -248,16 +250,17 @@ def test_append_pq_batch_no_retrain_no_rewrite(spark, sf_dir, tmp_path):
             if not p.endswith(("_SUCCESS", "_META.json")) and ".crc" not in p
         }
 
-    before_codes = data_files(os.path.join(path, "pq_codes"))
+    before_codes = data_files(os.path.join(path, "pq_codes", "ingest=1"))
     before_books = data_files(os.path.join(path, "pq_books"))
 
     append_pq_batch(spark, b2, path)
-    assert read_index_meta(path)["batches"] == 2
+    meta = read_index_meta(path)
+    assert meta["batches"] == 2
+    assert meta["ingests"] == [1, 2]
 
-    after_codes = data_files(os.path.join(path, "pq_codes"))
-    for p, t in before_codes.items():
-        assert after_codes.get(p) == t, f"pre-existing codes file rewritten: {p}"
-    assert len(after_codes) > len(before_codes)
+    # batch-1's codes partition completely untouched; batch-2 is its own
+    assert data_files(os.path.join(path, "pq_codes", "ingest=1")) == before_codes
+    assert len(data_files(os.path.join(path, "pq_codes", "ingest=2"))) > 0
     assert data_files(os.path.join(path, "pq_books")) == before_books
 
     codes, books = load_pq_index(spark, path)
@@ -327,3 +330,36 @@ def test_ivf_write_publishes_atomically_and_cleans_staging(spark, sf_dir, tmp_pa
     a, c = load_ivf_index(spark, path)
     assert len(c) > 0
     assert a.count() > 0
+
+
+def test_append_ivf_batch_crash_retry_is_idempotent(spark, sf_dir, tmp_path):
+    """A crash between the batch-dir publish and the meta rewrite leaves a
+    committed-looking ORPHAN dir with meta still at batches == 1. Retrying
+    the append must replace the orphan and ingest the batch exactly once —
+    the property the per-batch-dir layout exists for (an in-place parquet
+    append would double-ingest here)."""
+    import json
+
+    from map_reduce_ruby_spark.operators import append_ivf_batch, read_index_meta
+
+    path = str(tmp_path / "retry")
+    v = _vectors(spark, sf_dir)
+    n = v.count()
+    b1 = v.filter(F.col("id") < n // 2)
+    b2 = v.filter(F.col("id") >= n // 2)
+    write_ivf_index(spark, b1, path, k=None)
+    append_ivf_batch(spark, b2, path)
+
+    # simulate the crash: roll the meta back to its pre-append state while
+    # leaving the ingest=2 partition on disk as the orphan
+    meta = read_index_meta(path)
+    stale = dict(meta, batches=1, ingests=[1])
+    with open(os.path.join(path, "_META.json"), "w", encoding="utf-8") as f:
+        json.dump(stale, f)
+    assert os.path.isdir(os.path.join(path, "cells", "ingest=2"))  # the orphan
+
+    append_ivf_batch(spark, b2, path)  # the retry
+    assert read_index_meta(path)["batches"] == 2
+    stored, _centroids = load_ivf_index(spark, path)
+    assert stored.count() == n  # exactly once: no duplicate batch-2 rows
+    assert stored.select("id").distinct().count() == n
