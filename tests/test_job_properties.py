@@ -72,3 +72,48 @@ def test_no_reduce_preserves_multiset(spark, pairs):
               partitioner=HashPartitioner(3))
     got = job.run(spark, pairs).collect()
     assert sorted(got) == sorted(pairs)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.sampled_from(range(len(_keys_by_class))),
+    st.data(),
+)
+def test_run_arrow_matches_rdd_path_property(spark, key_class, data):
+    """run_arrow must agree with run() on randomized legal-domain inputs —
+    same grouping (1 == 1.0, arrays element-wise), same fold totals, same
+    SHA1 placement modulo num_partitions. Values ride the canonical-JSON
+    wire on the Arrow path, so the compare JSON-normalizes both sides."""
+    import json
+
+    keys = _keys_by_class[key_class]
+    pairs = data.draw(
+        st.lists(st.tuples(keys, st.integers(-100, 100)), min_size=0, max_size=50)
+    )
+
+    job = Job(
+        map_fn=lambda kv: [(kv[0], kv[1])],
+        reduce_fn=lambda key, a, b: a + b,
+        partitioner=HashPartitioner(4),
+        num_partitions=4,
+    )
+    classic = sorted(
+        (json.dumps(k, separators=(",", ":")), v)
+        for k, v in job.run(spark, pairs).collect()
+    )
+
+    df = spark.createDataFrame(
+        [(json.dumps([k, v]),) for k, v in pairs], "row string"
+    ) if pairs else None
+    if df is None:
+        return  # empty input: nothing to compare (run_arrow needs a frame)
+    arrow_job = Job(
+        map_fn=lambda s: [tuple(json.loads(s))],
+        reduce_fn=lambda key, a, b: a + b,
+        partitioner=HashPartitioner(4),
+        num_partitions=4,
+    )
+    arrow = sorted(
+        (r.k, json.loads(r.v)) for r in arrow_job.run_arrow(spark, df).collect()
+    )
+    assert arrow == classic
