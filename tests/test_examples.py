@@ -39,3 +39,17 @@ def test_pretraining_pipeline_example(sf_dir, tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "materialized:" in out.stdout, out.stdout
+
+
+def test_daily_ingest_example():
+    """The incremental-index lifecycle walkthrough (build once, probe /
+    append per batch, search spans both ingests) must run end-to-end."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "daily_ingest.py")],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "DAILY INGEST LIFECYCLE COMPLETE" in out.stdout
+    assert "2 committed ingests" in out.stdout
