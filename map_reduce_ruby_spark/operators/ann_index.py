@@ -53,11 +53,14 @@ from map_reduce_ruby_spark.operators.pq import build_pq_index
 # knn_ivf_persisted entry keys its cache on fixture content), so WITHOUT a
 # version gate, a later change to build_ivf_index / adaptive_cell_count would
 # silently load an index built by OLD code and diverge from the oracle. Bump
-# on ANY change to the builder's algorithm or default parameters.
-IVF_INDEX_VERSION = 2
-PQ_INDEX_VERSION = 2
+# on ANY change to the builder's algorithm or default parameters — or to the
+# on-disk layout (v3: per-ingest partition dirs).
+IVF_INDEX_VERSION = 3
+PQ_INDEX_VERSION = 3
 
 _META_NAME = "_META.json"
+_APPEND_LOCK = ".append.lock"
+_LOCK_STALE_SEC = 3600.0  # a lock older than this belongs to a dead writer
 
 
 def _read_meta(path: str) -> dict | None:
@@ -68,29 +71,101 @@ def _read_meta(path: str) -> dict | None:
         return None
 
 
-def _publish_atomic(tmp: str, path: str) -> None:
+def _publish_atomic(tmp: str, path: str, keep_if_valid=None) -> None:
     """Atomically publish a fully-staged directory: a reader can NEVER
     observe a half-written artifact because it appears in one rename.
-    TRUE-REFRESH semantics (write_* documents 'rebuilding is an idempotent
-    full refresh'): a pre-existing destination — stale build, crashed
-    writer, or an index over OLDER data — is REPLACED, never silently kept
-    (keeping it would serve stale neighbors with no error). Concurrent
-    same-content builders race benignly (the builders are deterministic, so
-    either winner is correct); any other failure raises instead of
-    pretending the publish happened."""
+
+    When the destination already exists:
+
+    - ``keep_if_valid(path)`` True  -> KEEP the existing artifact and
+      discard the staging copy. This is correct under the module's
+      content-addressed contract (a path is bound to its inputs — same
+      path means a deterministic builder produced the same bytes), and it
+      is what makes concurrent builders safe: the loser never deletes a
+      live index out from under the winner's readers.
+    - ``keep_if_valid(path)`` False (or no validator) -> the existing
+      directory is a torn/stale/legacy artifact: REPLACE it. Replacement
+      is not reader-safe, but nothing should be reading an invalid root.
+
+    A publish that still cannot land RAISES and leaves the staged copy on
+    disk (named in the error) — failing must never destroy BOTH the old
+    artifact and the fresh build."""
     try:
         os.rename(tmp, path)
         return
     except OSError:
         pass
+    if keep_if_valid is not None and keep_if_valid(path):
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
     shutil.rmtree(path, ignore_errors=True)
     try:
         os.rename(tmp, path)
     except OSError as e:
-        shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(
-            f"could not publish staged index {tmp!r} -> {path!r}: {e}"
+            f"could not publish staged artifact to {path!r}: {e}; the staged "
+            f"copy is preserved at {tmp!r}"
         ) from e
+
+
+class _AppendLock:
+    """Single-writer guard for the append critical section (O_EXCL lock
+    file inside the index root). Concurrent appenders of DIFFERENT batches
+    would otherwise both derive the same next ingest id from the same meta
+    and one batch's committed rows would be replaced by the other's.
+    Appends serialize; a lock older than _LOCK_STALE_SEC belongs to a dead
+    writer and is broken. (The reference's reducer ingest is single-consumer
+    too — reducer.rb add_chunk; this makes that assumption explicit and
+    safe instead of implicit and corrupting.)"""
+
+    def __init__(self, path: str):
+        self._lock = os.path.join(path, _APPEND_LOCK)
+
+    def __enter__(self):
+        import time
+
+        deadline = time.time() + _LOCK_STALE_SEC
+        while True:
+            try:
+                fd = os.open(self._lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(self._lock)
+                except OSError:
+                    continue  # holder just released; retry immediately
+                if age > _LOCK_STALE_SEC:
+                    try:  # break a dead writer's lock
+                        os.unlink(self._lock)
+                    except OSError:
+                        pass
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"append lock {self._lock!r} held too long"
+                    ) from None
+                time.sleep(0.1)
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self._lock)
+        except OSError:
+            pass
+        return False
+
+
+def _clean_orphan_stages(data_root: str) -> None:
+    """Under the append lock, any .stage-* dir is a dead writer's leftover
+    (the live writer is us): reclaim instead of accumulating forever."""
+    try:
+        names = os.listdir(data_root)
+    except OSError:
+        return
+    for name in names:
+        if name.startswith(".stage-"):
+            shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
 
 
 def _ivf_meta(k: int | None) -> dict:
@@ -126,20 +201,32 @@ def ivf_index_exists(path: str, k: int | None = None) -> bool:
         os.path.exists(os.path.join(path, "cells", "ingest=1", "_SUCCESS"))
         and os.path.exists(os.path.join(path, "centroids", "_SUCCESS"))
         and meta is not None
-        and {f: v for f, v in meta.items() if f not in ("batches", "ingests")}
+        and {f: v for f, v in meta.items() if f not in ("batches", "ingests", "batch_ids")}
         == _ivf_meta(k)
     )
 
 
 def write_ivf_index(
-    spark: SparkSession, vectors: DataFrame, path: str, k: int | None = None
+    spark: SparkSession,
+    vectors: DataFrame,
+    path: str,
+    k: int | None = None,
+    replace: bool = False,
 ) -> None:
     """Train (deterministic k-means, scale-adaptive k when ``k=None``) and
     persist. The index is staged under a sibling temp root and published by
     ONE atomic rename — concurrent or crashed builders can never expose a
-    torn index (the non-atomic two-directory overwrite this replaces
-    could). Rebuilding is an idempotent full refresh; ``append_ivf_batch``
-    is the incremental ingest path (assign-only, centroids untouched)."""
+    torn index.
+
+    CONTENT-ADDRESSED paths (the default, ``replace=False``): a path is
+    bound to its inputs — the deterministic builder means a VALID existing
+    index at the path already holds these bytes, so the publish keeps the
+    winner and discards the staging copy (never deleting a live index out
+    from under concurrent readers). Rebuilding over DIFFERENT data at the
+    same path requires ``replace=True``, which removes the old index first
+    and is therefore NOT safe under concurrent readers of that path.
+    ``append_ivf_batch`` is the incremental ingest path (assign-only,
+    centroids untouched)."""
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
     assignments, centroids = build_ivf_index(vectors, k=k, iterations=2)
     (
@@ -152,13 +239,20 @@ def write_ivf_index(
     )
     cdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
     with open(os.path.join(tmp, _META_NAME), "w", encoding="utf-8") as f:
-        json.dump(dict(_ivf_meta(k), batches=1, ingests=[1]), f)
+        json.dump(dict(_ivf_meta(k), batches=1, ingests=[1], batch_ids=[]), f)
     # the durable table replaces the in-session cache the builder returned
     assignments.unpersist()
-    _publish_atomic(tmp, path)
+    if replace:
+        shutil.rmtree(path, ignore_errors=True)
+    _publish_atomic(tmp, path, keep_if_valid=lambda p: ivf_index_exists(p, k))
 
 
-def append_ivf_batch(spark: SparkSession, vectors: DataFrame, path: str) -> None:
+def append_ivf_batch(
+    spark: SparkSession,
+    vectors: DataFrame,
+    path: str,
+    batch_id: str | None = None,
+) -> None:
     """Incremental ingest: assign a NEW batch to the STORED centroids and
     append its rows into their cell partitions — no retrain, no corpus
     rewrite. This is the IVF maintenance model (FAISS add-after-train;
@@ -175,34 +269,57 @@ def append_ivf_batch(spark: SparkSession, vectors: DataFrame, path: str) -> None
     batch's membership commit. Existing ingest partitions are never
     touched (pinned by an mtime test); loads scan the ONE cells root with
     an ingest-membership partition filter, so both partition levels
-    (ingest, cell) prune. Crash-retry is IDEMPOTENT: a crash before the
-    meta rewrite leaves an unlisted orphan partition the load filters
-    out, and the retry replaces it and commits exactly once."""
+    (ingest, cell) prune.
+
+    EXACTLY-ONCE under retries: appends serialize on an in-root lock
+    (concurrent appends of different batches would both claim the same
+    ingest id), dead writers' staged leftovers are reclaimed under the
+    lock, a crash BEFORE the meta rewrite leaves an unlisted orphan the
+    retry replaces — and passing a stable ``batch_id`` makes the retry
+    idempotent even when the crash landed AFTER the commit (an already-
+    committed id is a no-op, not a double-ingest)."""
     from map_reduce_ruby_spark.operators.ivf import assign_cells
 
-    meta = _read_meta(path)
-    if meta is None or not os.path.exists(
-        os.path.join(path, "cells", "ingest=1", "_SUCCESS")
+    if (
+        _read_meta(path) is None
+        or not os.path.exists(os.path.join(path, "cells", "ingest=1", "_SUCCESS"))
     ):
         raise ValueError(f"{path!r} does not hold a committed IVF index")
-    crows = (
-        spark.read.parquet(os.path.join(path, "centroids")).orderBy("cell").collect()
-    )
-    centroids = [list(r.ce) for r in crows]
 
-    ingests = [int(i) for i in meta.get("ingests", [1])]
-    new_id = max(ingests) + 1
-    stage = os.path.join(path, "cells", f".stage-{uuid.uuid4().hex}")
-    assign_cells(vectors, centroids).select("id", "e", "cell").write.partitionBy(
-        "cell"
-    ).mode("overwrite").parquet(stage)
-    _publish_atomic(stage, os.path.join(path, "cells", f"ingest={new_id}"))
-    # commit point for the batch's membership: atomic meta rewrite
-    new_meta = dict(meta, batches=len(ingests) + 1, ingests=ingests + [new_id])
-    tmp = os.path.join(path, f".{_META_NAME}.{uuid.uuid4().hex}")
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(new_meta, f)
-    os.replace(tmp, os.path.join(path, _META_NAME))
+    with _AppendLock(path):
+        meta = _read_meta(path)  # re-read under the lock
+        done = list(meta.get("batch_ids", []))
+        if batch_id is not None and batch_id in done:
+            return  # this batch already committed: idempotent retry
+        _clean_orphan_stages(os.path.join(path, "cells"))
+
+        crows = (
+            spark.read.parquet(os.path.join(path, "centroids"))
+            .orderBy("cell")
+            .collect()
+        )
+        centroids = [list(r.ce) for r in crows]
+
+        ingests = [int(i) for i in meta.get("ingests", [1])]
+        new_id = max(ingests) + 1
+        stage = os.path.join(path, "cells", f".stage-{uuid.uuid4().hex}")
+        assign_cells(vectors.select("id", "e"), centroids).write.partitionBy(
+            "cell"
+        ).mode("overwrite").parquet(stage)
+        # a pre-existing ingest=<n> dir here is OUR crashed predecessor's
+        # uncommitted orphan (ids are monotonic under the lock): replace it
+        _publish_atomic(stage, os.path.join(path, "cells", f"ingest={new_id}"))
+        # commit point for the batch's membership: atomic meta rewrite
+        new_meta = dict(
+            meta,
+            batches=len(ingests) + 1,
+            ingests=ingests + [new_id],
+            batch_ids=done + ([batch_id] if batch_id is not None else []),
+        )
+        tmp = os.path.join(path, f".{_META_NAME}.{uuid.uuid4().hex}")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(new_meta, f)
+        os.replace(tmp, os.path.join(path, _META_NAME))
 
 
 def load_ivf_index(
@@ -215,8 +332,15 @@ def load_ivf_index(
     filter is a partition filter, so they cost no IO either). Centroids
     are the bounded collected artifact (k x dim doubles) every probe
     embeds as literals, exactly as the in-session build returns them."""
-    meta = _read_meta(path) or {}
-    ingests = [int(i) for i in meta.get("ingests", [1])]
+    meta = _read_meta(path)
+    if meta is None or "ingests" not in meta:
+        # a flat pre-v3 layout would otherwise die later with an opaque
+        # unresolved-'ingest'-column error deep inside the scan
+        raise ValueError(
+            f"{path!r} is not a current-layout IVF index (missing meta or "
+            "pre-per-ingest layout); rebuild with write_ivf_index"
+        )
+    ingests = [int(i) for i in meta["ingests"]]
     cells = (
         spark.read.parquet(os.path.join(path, "cells"))
         .filter(F.col("ingest").isin(ingests))
@@ -253,7 +377,7 @@ def pq_index_exists(
         return False
     expect = _pq_meta(meta.get("dim", -1) if dim is None else dim, n_sub, k)
     return {
-        f: v for f, v in meta.items() if f not in ("batches", "ingests")
+        f: v for f, v in meta.items() if f not in ("batches", "ingests", "batch_ids")
     } == expect
 
 
@@ -264,11 +388,14 @@ def write_pq_index(
     dim: int,
     n_sub: int = 8,
     k: int = 16,
+    replace: bool = False,
 ) -> None:
     """Train the per-subspace codebooks and persist codes + codebooks (same
-    staged-build + atomic-rename publish as write_ivf_index). The codes
-    table is the 8-bytes-per-vector artifact the ADC scan reads; the
-    codebooks are a bounded (n_sub x k x sub_dim) side table."""
+    staged-build + atomic-rename publish and content-addressed keep-winner
+    semantics as write_ivf_index; ``replace=True`` for rebuilding over
+    different data at the same path — not reader-safe). The codes table is
+    the 8-bytes-per-vector artifact the ADC scan reads; the codebooks are
+    a bounded (n_sub x k x sub_dim) side table."""
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
     codes, books = build_pq_index(vectors, dim=dim, n_sub=n_sub, k=k)
     codes.write.mode("overwrite").parquet(os.path.join(tmp, "pq_codes", "ingest=1"))
@@ -278,42 +405,64 @@ def write_pq_index(
     bdf = spark.createDataFrame(rows, "m long, code long, cw array<double>")
     bdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "pq_books"))
     with open(os.path.join(tmp, _META_NAME), "w", encoding="utf-8") as f:
-        json.dump(dict(_pq_meta(dim, n_sub, k), batches=1, ingests=[1]), f)
+        json.dump(dict(_pq_meta(dim, n_sub, k), batches=1, ingests=[1], batch_ids=[]), f)
     codes.unpersist()
-    _publish_atomic(tmp, path)
+    if replace:
+        shutil.rmtree(path, ignore_errors=True)
+    _publish_atomic(
+        tmp, path, keep_if_valid=lambda p: pq_index_exists(p, dim, n_sub, k)
+    )
 
 
-def append_pq_batch(spark: SparkSession, vectors: DataFrame, path: str) -> None:
+def append_pq_batch(
+    spark: SparkSession,
+    vectors: DataFrame,
+    path: str,
+    batch_id: str | None = None,
+) -> None:
     """Incremental PQ ingest — the append_ivf_batch model applied to the
     compressed artifact: the new batch is ENCODED against the STORED
     codebooks (one narrow argmin projection per subspace, no training),
     staged dot-prefixed, published by one rename as the next ``ingest=<n>``
     partition under the codes root, and committed by the atomic meta
-    rewrite listing it. Codebooks and every pre-existing codes file are
-    untouched; crash-retry is idempotent (an unlisted orphan partition is
-    replaced, never double-counted). Encode-with-fixed-books is
-    deterministic, so incremental codes are bit-identical to a full
-    re-encode of the same rows."""
+    rewrite listing it. Same exactly-once machinery as append_ivf_batch:
+    serialized on the in-root lock, orphan stages reclaimed, and a stable
+    ``batch_id`` makes post-commit crash retries a no-op. Encode-with-
+    fixed-books is deterministic, so incremental codes are bit-identical
+    to a full re-encode of the same rows."""
     from map_reduce_ruby_spark.operators.pq import encode_with_books
 
-    meta = _read_meta(path)
-    if meta is None or not os.path.exists(
-        os.path.join(path, "pq_codes", "ingest=1", "_SUCCESS")
+    if (
+        _read_meta(path) is None
+        or not os.path.exists(os.path.join(path, "pq_codes", "ingest=1", "_SUCCESS"))
     ):
         raise ValueError(f"{path!r} does not hold a committed PQ index")
-    _codes, books = load_pq_index(spark, path)
-    dim = int(meta["dim"])
 
-    ingests = [int(i) for i in meta.get("ingests", [1])]
-    new_id = max(ingests) + 1
-    stage = os.path.join(path, "pq_codes", f".stage-{uuid.uuid4().hex}")
-    encode_with_books(vectors, books, dim).write.mode("overwrite").parquet(stage)
-    _publish_atomic(stage, os.path.join(path, "pq_codes", f"ingest={new_id}"))
-    new_meta = dict(meta, batches=len(ingests) + 1, ingests=ingests + [new_id])
-    tmp = os.path.join(path, f".{_META_NAME}.{uuid.uuid4().hex}")
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(new_meta, f)
-    os.replace(tmp, os.path.join(path, _META_NAME))
+    with _AppendLock(path):
+        meta = _read_meta(path)  # re-read under the lock
+        done = list(meta.get("batch_ids", []))
+        if batch_id is not None and batch_id in done:
+            return  # already committed: idempotent retry
+        _clean_orphan_stages(os.path.join(path, "pq_codes"))
+
+        _codes, books = load_pq_index(spark, path)
+        dim = int(meta["dim"])
+
+        ingests = [int(i) for i in meta.get("ingests", [1])]
+        new_id = max(ingests) + 1
+        stage = os.path.join(path, "pq_codes", f".stage-{uuid.uuid4().hex}")
+        encode_with_books(vectors, books, dim).write.mode("overwrite").parquet(stage)
+        _publish_atomic(stage, os.path.join(path, "pq_codes", f"ingest={new_id}"))
+        new_meta = dict(
+            meta,
+            batches=len(ingests) + 1,
+            ingests=ingests + [new_id],
+            batch_ids=done + ([batch_id] if batch_id is not None else []),
+        )
+        tmp = os.path.join(path, f".{_META_NAME}.{uuid.uuid4().hex}")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(new_meta, f)
+        os.replace(tmp, os.path.join(path, _META_NAME))
 
 
 def load_pq_index(
@@ -323,8 +472,13 @@ def load_pq_index(
     like build_pq_index's return so pq_search/ivf_pq_search accept either.
     One scan of the codes root, partition-filtered to committed ingests
     (orphans from a crashed append never enter the plan)."""
-    meta = _read_meta(path) or {}
-    ingests = [int(i) for i in meta.get("ingests", [1])]
+    meta = _read_meta(path)
+    if meta is None or "ingests" not in meta:
+        raise ValueError(
+            f"{path!r} is not a current-layout PQ index (missing meta or "
+            "pre-per-ingest layout); rebuild with write_pq_index"
+        )
+    ingests = [int(i) for i in meta["ingests"]]
     codes = (
         spark.read.parquet(os.path.join(path, "pq_codes"))
         .filter(F.col("ingest").isin(ingests))

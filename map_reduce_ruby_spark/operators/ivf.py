@@ -131,13 +131,18 @@ _VEC_ASSIGN_THRESHOLD = 256 * 64
 def assign_cells(vectors: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """vectors(id, e) -> (id, e, cell): a narrow projection (no shuffle).
 
-    Two physical strategies, bit-identical results (pinned by
-    tests/test_ivf.py): below _VEC_ASSIGN_THRESHOLD the argmin runs as a
-    Catalyst expression over the literal centroid matrix (zero Python, fine
-    for small k); above it — the adaptive k has grown past ~256 cells —
-    the same argmin runs as a NumPy kernel over Arrow batches
+    Two physical strategies, bit-identical results AND identical contract
+    (pinned by tests/test_ivf.py): below _VEC_ASSIGN_THRESHOLD the argmin
+    runs as a Catalyst expression over the literal centroid matrix (zero
+    Python, fine for small k); above it — the adaptive k has grown past
+    ~256 cells — the same argmin runs as a NumPy kernel over Arrow batches
     (_assign_cells_np), whose per-dimension accumulation order reproduces
-    the HOF fold exactly, so the switch is invisible to the oracle."""
+    the HOF fold exactly, so the switch is invisible to the oracle. A
+    pre-existing 'cell' column raises on BOTH paths (withColumn would
+    silently clobber it on one path and Arrow would reject it on the
+    other — the error must not depend on corpus size)."""
+    if "cell" in vectors.columns:
+        raise ValueError("input already has a 'cell' column")
     if len(centroids) * len(centroids[0]) > _VEC_ASSIGN_THRESHOLD:
         return _assign_cells_np(vectors, centroids)
     return vectors.withColumn("cell", _cell_expr(F.col("e"), centroids))
@@ -195,8 +200,7 @@ def _assign_cells_np(vectors: DataFrame, centroids: list[list[float]]) -> DataFr
     out_schema = T.StructType(
         list(vectors.schema.fields) + [T.StructField("cell", T.LongType())]
     )
-    if "cell" in in_names:
-        raise ValueError("input already has a 'cell' column")
+    assert "cell" not in in_names  # assign_cells guards both paths
     return vectors.mapInArrow(kernel, schema=out_schema)
 
 

@@ -505,7 +505,8 @@ def knn_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # layout: duplicates are structurally impossible)
     if not (ivf_index_exists(path) and meta and meta.get("batches") == 2):
         write_ivf_index(spark, batch1, path, k=None)
-        append_ivf_batch(spark, batch2, path)
+        # stable batch id: a retry after a post-commit crash is a no-op
+        append_ivf_batch(spark, batch2, path, batch_id="second-half")
     assignments, centroids = load_ivf_index(spark, path)
     queries = v.filter(F.col("id") < _IVF_NQ).select(
         F.col("id").alias("qid"), F.col("e").alias("qe")
@@ -1207,7 +1208,10 @@ def knn_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, v.filter(F.col("id") < half), path,
             dim=_IVF_DIM, n_sub=_PQ_NSUB, k=_PQ_K,
         )
-        append_pq_batch(spark, v.filter(F.col("id") >= half), path)
+        # stable batch id: a retry after a post-commit crash is a no-op
+        append_pq_batch(
+            spark, v.filter(F.col("id") >= half), path, batch_id="second-half"
+        )
     codes, books = _load_pq(spark, path)
     queries = v.filter(F.col("id") < _PQ_NQ).select(
         F.col("id").alias("qid"), F.col("e").alias("qe")

@@ -363,3 +363,61 @@ def test_append_ivf_batch_crash_retry_is_idempotent(spark, sf_dir, tmp_path):
     stored, _centroids = load_ivf_index(spark, path)
     assert stored.count() == n  # exactly once: no duplicate batch-2 rows
     assert stored.select("id").distinct().count() == n
+
+
+def test_append_ivf_batch_id_makes_post_commit_retry_noop(spark, sf_dir, tmp_path):
+    """A retry AFTER the meta commit (orchestrator died before recording
+    success) must not double-ingest when the caller supplies a stable
+    batch_id: the committed id short-circuits to a no-op."""
+    from map_reduce_ruby_spark.operators import append_ivf_batch, read_index_meta
+
+    path = str(tmp_path / "noop")
+    v = _vectors(spark, sf_dir)
+    n = v.count()
+    b1 = v.filter(F.col("id") < n // 2)
+    b2 = v.filter(F.col("id") >= n // 2)
+    write_ivf_index(spark, b1, path, k=None)
+    append_ivf_batch(spark, b2, path, batch_id="day-1")
+    meta1 = read_index_meta(path)
+    assert meta1["batch_ids"] == ["day-1"]
+
+    append_ivf_batch(spark, b2, path, batch_id="day-1")  # the retry
+    meta2 = read_index_meta(path)
+    assert meta2 == meta1  # nothing changed: no new ingest, no re-commit
+    stored, _c = load_ivf_index(spark, path)
+    assert stored.count() == n
+
+
+def test_write_over_valid_index_keeps_winner(spark, sf_dir, tmp_path):
+    """Content-addressed publish: re-running write_ivf_index at a path that
+    already holds a VALID index keeps the existing artifact byte-for-byte
+    (no deletion under a concurrent reader); replace=True rebuilds."""
+    path = str(tmp_path / "keep")
+    v = _vectors(spark, sf_dir)
+    write_ivf_index(spark, v, path, k=None)
+    before = _mtimes(path)
+    write_ivf_index(spark, v, path, k=None)  # same inputs, same path
+    assert _mtimes(path) == before  # kept, not replaced
+
+    write_ivf_index(spark, v, path, k=None, replace=True)
+    assert ivf_index_exists(path)
+    assert _mtimes(path) != before  # explicitly rebuilt
+
+
+def test_load_rejects_legacy_layout_clearly(spark, sf_dir, tmp_path):
+    """A pre-per-ingest index root must fail load with a descriptive error,
+    not an unresolved-'ingest'-column AnalysisException from inside the
+    scan."""
+    import json
+
+    path = str(tmp_path / "legacy")
+    v = _vectors(spark, sf_dir)
+    write_ivf_index(spark, v, path, k=None)
+    meta_path = os.path.join(path, "_META.json")
+    with open(meta_path, encoding="utf-8") as f:
+        meta = json.load(f)
+    legacy = {f: x for f, x in meta.items() if f not in ("ingests",)}
+    with open(meta_path, "w", encoding="utf-8") as f:
+        json.dump(legacy, f)
+    with pytest.raises(ValueError, match="layout"):
+        load_ivf_index(spark, path)

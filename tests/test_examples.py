@@ -43,12 +43,21 @@ def test_pretraining_pipeline_example(sf_dir, tmp_path):
 
 def test_daily_ingest_example():
     """The incremental-index lifecycle walkthrough (build once, probe /
-    append per batch, search spans both ingests) must run end-to-end."""
+    append per batch, search spans both ingests) must run end-to-end.
+    The fixture dir is PINNED: the example's SPARK_GRAFT_SF_DIR default
+    is the bench knob, and inheriting a bench-sized export here would
+    blow the timeout."""
+    import pytest
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf):
+        pytest.skip(f"test fixture dir {sf} not present")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "examples", "daily_ingest.py")],
         capture_output=True,
         text=True,
         timeout=600,
+        env={**os.environ, "SPARK_GRAFT_SF_DIR": sf},
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "DAILY INGEST LIFECYCLE COMPLETE" in out.stdout
