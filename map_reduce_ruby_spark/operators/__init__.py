@@ -5,6 +5,7 @@ from map_reduce_ruby_spark.operators.compaction import compact
 from map_reduce_ruby_spark.operators.connected_components import (
     connected_components,
     connected_components_star,
+    incremental_connected_components,
 )
 from map_reduce_ruby_spark.operators.prefix_sum import exclusive_prefix_sum
 from map_reduce_ruby_spark.operators.range_join import range_join
@@ -47,6 +48,7 @@ __all__ = [
     "asof_join",
     "connected_components",
     "connected_components_star",
+    "incremental_connected_components",
     "exclusive_prefix_sum",
     "range_join",
     "adaptive_cell_count",

@@ -99,6 +99,96 @@ def connected_components(
         sym.unpersist()
 
 
+def incremental_connected_components(
+    base_labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Maintain a clustering when a NEW batch of edges arrives, without
+    re-running connected components over the corpus's edge set — the
+    daily-ingest form of ``connected_components``, completing the
+    incremental lifecycle the persisted indexes already have
+    (append_ivf_batch / append_minhash_batch produce each day's candidate
+    PAIRS cheaply; this folds those pairs into the standing clusters).
+
+    ``base_labels`` is a prior ``(node, component)`` result (component =
+    min node id in the component, the contract shared by both CC
+    operators); ``new_edges`` is the batch's edge list — typically
+    batch×corpus and batch×batch near-dup pairs. Returns the updated
+    ``(node, component)`` covering every node of ``base_labels`` plus
+    every node appearing in ``new_edges``, EXACTLY equal to a full
+    rebuild over (old edges ∪ new edges) — pinned by tests and by the
+    ``dedup_clusters_incremental`` catalog entry's full-rebuild oracle.
+
+    Why it's cheap: each base component is already connected, so the
+    corpus graph can be CONTRACTED to one meta-node per component (the
+    quotient-graph identity CC(G/~) lifts to CC(G)). The iterative part
+    then runs on the contracted batch graph — sized by the BATCH's edges,
+    never the corpus — and the corpus pays exactly two non-iterative
+    joins: mapping new-edge endpoints through ``base_labels`` (shuffle ∝
+    batch edges) and the final relabel, whose build side (components
+    actually merged by the batch, ≤ 2·|new edges|) is broadcast — the
+    100 TB corpus is relabeled map-side with no shuffle.
+
+    Component ids stay stable except where the batch genuinely merges
+    clusters (the merged cluster takes the min id, which may be a new
+    batch doc's id — same contract as a full rebuild).
+    """
+    e = (
+        new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    base = base_labels.select("node", "component")
+
+    # Contract: map each endpoint to its base component (itself if unseen).
+    # Meta-node ids are base component ids (corpus doc ids) or raw batch
+    # node ids — one shared id space, so min-label semantics compose.
+    la = base.select(F.col("node").alias("a"), F.col("component").alias("ca"))
+    lb = base.select(F.col("node").alias("b"), F.col("component").alias("cb"))
+    contracted = (
+        e.join(la, "a", "left")
+        .join(lb, "b", "left")
+        .select(
+            F.coalesce("ca", F.col("a")).alias("a"),
+            F.coalesce("cb", F.col("b")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))  # intra-component edges: no-ops
+        .distinct()
+    )
+
+    # Iterate ONLY on the contracted batch graph. Dedup batches merge a few
+    # meta-nodes per cluster (low diameter), so min-label propagation is the
+    # right engine here, same as the from-scratch default.
+    meta = connected_components(contracted, "a", "b").select(
+        F.col("node").alias("meta"), F.col("component").alias("final")
+    )
+
+    # Lift back: corpus nodes re-map through their component's meta label;
+    # components the batch never touched are absent from `meta` and keep
+    # their id. The meta map is bounded by the batch's edge endpoints —
+    # broadcast it so the corpus-wide relabel is exchange-free.
+    relabeled = base.join(
+        F.broadcast(meta), base.component == meta.meta, "left"
+    ).select("node", F.coalesce("final", "component").alias("component"))
+
+    # Nodes new in this batch (not in base_labels): their meta-node is
+    # themselves. An anti-join against base (broadcast side = batch nodes)
+    # keeps nodes that already existed from being emitted twice.
+    batch_nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .join(base.select("node"), "node", "left_anti")
+    )
+    fresh = batch_nodes.join(
+        F.broadcast(meta), batch_nodes.node == meta.meta, "left"
+    ).select("node", F.coalesce("final", F.col("node")).alias("component"))
+
+    return relabeled.union(fresh)
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "src",

@@ -636,6 +636,67 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters_incremental",
+    # SAME oracle as dedup_clusters_cc: incremental maintenance must be
+    # indistinguishable from the full rebuild over old ∪ new edges (the
+    # dedup_index_append rule applied to the CLUSTERING artifact).
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+        SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+    )
+    SELECT component AS cluster_id, COUNT(*) AS n_docs, MAX(node) AS max_doc_id
+    FROM comp GROUP BY component
+    """,
+    doc="INCREMENTAL MAINTENANCE of the dedup clustering "
+    "(operators/connected_components.py incremental_connected_components): "
+    "the standing clusters are built from corpus-only pairs (both endpoints "
+    "doc_id % 5 != 0), then today's batch's pairs (any endpoint % 5 == 0 — "
+    "exactly what probing the persisted band index produces per ingest) are "
+    "folded in WITHOUT re-running CC over the corpus edge set. Mechanics: "
+    "each standing component contracts to one meta-node (the quotient-graph "
+    "identity), the iterative CC runs on the contracted BATCH graph only, "
+    "and the corpus relabels through a broadcast meta map (components "
+    "actually merged, ≤ 2·|batch edges|) — at 100 TB the corpus pays one "
+    "map-side relabel, never another O(corpus-edges) iteration. This "
+    "completes the incremental lifecycle: index appends keep candidate "
+    "PAIR discovery batch-sized (dedup_index_append), this keeps the "
+    "transitive-closure step batch-sized too. Gated on the FULL-REBUILD "
+    "oracle (identical to dedup_clusters_cc): a wrong merge, dropped "
+    "component, or unstable id hash-mismatches.",
+    tags=("dedup", "clustering", "iterative", "incremental",
+          "custom-operator"),
+)
+def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_ruby_spark.operators import (
+        connected_components,
+        incremental_connected_components,
+    )
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    is_batch_a = F.col("doc_a") % 5 == 0
+    is_batch_b = F.col("doc_b") % 5 == 0
+    old_pairs = pairs.filter(~is_batch_a & ~is_batch_b)
+    new_pairs = pairs.filter(is_batch_a | is_batch_b)
+    base = connected_components(old_pairs, "doc_a", "doc_b")
+    labels = incremental_connected_components(base, new_pairs, "doc_a", "doc_b")
+    return labels.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("node").alias("max_doc_id"),
+    )
+
+
+@register(
     "dedup_cleaned_corpus",
     oracle=f"""
     WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),

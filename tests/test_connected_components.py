@@ -92,6 +92,69 @@ def test_star_algorithm_handles_long_chain(spark):
     assert {r.component for r in rows} == {0}
 
 
+def test_incremental_matches_full_rebuild_on_random_graphs(spark):
+    """Incremental maintenance must be indistinguishable from a full
+    rebuild over (old ∪ new) edges — split random graphs into a corpus
+    batch and an ingest batch, fold the ingest in incrementally, compare
+    node-for-node with CC over the union. Covers merges across old
+    components, brand-new nodes, batch-batch edges, and untouched
+    components keeping their ids."""
+    import random
+
+    from map_reduce_ruby_spark.operators import incremental_connected_components
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        n = 70
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+        edges = [e for e in edges if e[0] != e[1]]
+        # "batch" nodes = ids >= 50; old graph is corpus-only edges
+        old = [(a, b) for a, b in edges if a < 50 and b < 50]
+        new = [(a, b) for a, b in edges if a >= 50 or b >= 50]
+        if not old or not new:
+            continue
+        base = connected_components(spark.createDataFrame(old, "src long, dst long"))
+        got_df = incremental_connected_components(
+            base, spark.createDataFrame(new, "src long, dst long")
+        )
+        got = {r.node: r.component for r in got_df.collect()}
+        full = {
+            r.node: r.component
+            for r in connected_components(
+                spark.createDataFrame(edges, "src long, dst long")
+            ).collect()
+        }
+        assert got == full, (seed, {k: (got.get(k), full.get(k)) for k in
+                                    set(got) | set(full)
+                                    if got.get(k) != full.get(k)})
+
+
+def test_incremental_no_new_edges_is_identity(spark):
+    from map_reduce_ruby_spark.operators import incremental_connected_components
+
+    base = connected_components(
+        spark.createDataFrame([(1, 2), (4, 5)], "src long, dst long")
+    )
+    empty = spark.createDataFrame([], "src long, dst long")
+    got = {r.node: r.component
+           for r in incremental_connected_components(base, empty).collect()}
+    assert got == {1: 1, 2: 1, 4: 4, 5: 4}
+
+
+def test_incremental_merge_takes_new_batch_min_id(spark):
+    """A batch doc with a SMALLER id than the clusters it bridges becomes
+    the merged component's id — same contract as the full rebuild."""
+    from map_reduce_ruby_spark.operators import incremental_connected_components
+
+    base = connected_components(
+        spark.createDataFrame([(10, 11), (20, 21)], "src long, dst long")
+    )
+    new = spark.createDataFrame([(5, 11), (5, 20)], "src long, dst long")
+    got = {r.node: r.component
+           for r in incremental_connected_components(base, new).collect()}
+    assert got == {n: 5 for n in (5, 10, 11, 20, 21)}
+
+
 def test_star_matches_min_label_on_random_graphs(spark):
     """Both algorithms must produce identical components on arbitrary
     graphs (several seeds, mixed cliques/chains/isolated pairs)."""
