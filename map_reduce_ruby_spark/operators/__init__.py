@@ -12,11 +12,14 @@ from map_reduce_ruby_spark.operators.range_join import range_join
 from map_reduce_ruby_spark.operators.ann_index import (
     append_ivf_batch,
     append_pq_batch,
+    compact_ivf_index,
+    compact_pq_index,
     ivf_index_exists,
     load_ivf_index,
     load_pq_index,
     pq_index_exists,
     read_index_meta,
+    vacuum_index,
     write_ivf_index,
     write_pq_index,
 )
@@ -55,6 +58,9 @@ __all__ = [
     "adaptive_nprobe",
     "build_ivf_index",
     "append_ivf_batch",
+    "compact_ivf_index",
+    "compact_pq_index",
+    "vacuum_index",
     "ivf_index_exists",
     "load_ivf_index",
     "read_index_meta",

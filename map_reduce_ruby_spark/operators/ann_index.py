@@ -179,9 +179,11 @@ def _ivf_meta(k: int | None) -> dict:
 
 def read_index_meta(path: str) -> dict | None:
     """The index's _META.json (version, build params, committed ingest list)
-    or None. ``ingests`` lists the committed per-batch partition ids
-    (``ingest=<n>`` directories under the data root) and ``batches`` ==
-    len(ingests): each append stages its batch as a separate ingest
+    or None. ``ingests`` lists the committed physical partition ids
+    (``ingest=<n>`` directories under the data root) and ``batches`` the
+    LOGICAL ingest count — equal until a compaction merges the physical
+    list down to one generation while the history keeps counting. Each
+    append stages its batch as a separate ingest
     partition and only the meta rewrite (atomic) makes it a member —
     loads filter the scan to committed ingests (partition-pruned). A
     crashed append therefore leaves an unlisted orphan partition — not
@@ -191,14 +193,31 @@ def read_index_meta(path: str) -> dict | None:
     return _read_meta(path)
 
 
+def _data_committed(path: str, data_root_name: str) -> bool:
+    """Every ingest partition the meta lists as committed is present with
+    its parquet _SUCCESS marker. Compaction renumbers the committed list
+    (ingest=1 need not exist on a compacted index), so membership comes
+    from the meta, never a hard-coded first id."""
+    meta = _read_meta(path)
+    if meta is None or not meta.get("ingests"):
+        return False
+    return all(
+        os.path.exists(
+            os.path.join(path, data_root_name, f"ingest={int(i)}", "_SUCCESS")
+        )
+        for i in meta["ingests"]
+    )
+
+
 def ivf_index_exists(path: str, k: int | None = None) -> bool:
-    """Fully committed (parquet _SUCCESS markers) AND built by the CURRENT
-    builder with the same parameters (_META.json match) — a content-keyed
-    cache hit on an index trained by older code or other params is a miss,
-    not a silent stale load."""
+    """Fully committed (parquet _SUCCESS markers on every ingest partition
+    the meta lists) AND built by the CURRENT builder with the same
+    parameters (_META.json match) — a content-keyed cache hit on an index
+    trained by older code or other params is a miss, not a silent stale
+    load."""
     meta = _read_meta(path)
     return (
-        os.path.exists(os.path.join(path, "cells", "ingest=1", "_SUCCESS"))
+        _data_committed(path, "cells")
         and os.path.exists(os.path.join(path, "centroids", "_SUCCESS"))
         and meta is not None
         and {f: v for f, v in meta.items() if f not in ("batches", "ingests", "batch_ids")}
@@ -280,10 +299,7 @@ def append_ivf_batch(
     committed id is a no-op, not a double-ingest)."""
     from map_reduce_ruby_spark.operators.ivf import assign_cells
 
-    if (
-        _read_meta(path) is None
-        or not os.path.exists(os.path.join(path, "cells", "ingest=1", "_SUCCESS"))
-    ):
+    if not _data_committed(path, "cells"):
         raise ValueError(f"{path!r} does not hold a committed IVF index")
 
     with _AppendLock(path):
@@ -312,7 +328,9 @@ def append_ivf_batch(
         # commit point for the batch's membership: atomic meta rewrite
         new_meta = dict(
             meta,
-            batches=len(ingests) + 1,
+            # logical ingest count, NOT len(ingests): compaction merges the
+            # physical partitions but the batch history keeps counting
+            batches=int(meta.get("batches", len(ingests))) + 1,
             ingests=ingests + [new_id],
             batch_ids=done + ([batch_id] if batch_id is not None else []),
         )
@@ -368,7 +386,7 @@ def pq_index_exists(
     ``dim=None`` the dim field is not compared (callers that only know the
     path can still validate version/params)."""
     if not (
-        os.path.exists(os.path.join(path, "pq_codes", "ingest=1", "_SUCCESS"))
+        _data_committed(path, "pq_codes")
         and os.path.exists(os.path.join(path, "pq_books", "_SUCCESS"))
     ):
         return False
@@ -432,10 +450,7 @@ def append_pq_batch(
     to a full re-encode of the same rows."""
     from map_reduce_ruby_spark.operators.pq import encode_with_books
 
-    if (
-        _read_meta(path) is None
-        or not os.path.exists(os.path.join(path, "pq_codes", "ingest=1", "_SUCCESS"))
-    ):
+    if not _data_committed(path, "pq_codes"):
         raise ValueError(f"{path!r} does not hold a committed PQ index")
 
     with _AppendLock(path):
@@ -455,7 +470,9 @@ def append_pq_batch(
         _publish_atomic(stage, os.path.join(path, "pq_codes", f"ingest={new_id}"))
         new_meta = dict(
             meta,
-            batches=len(ingests) + 1,
+            # logical ingest count, NOT len(ingests): compaction merges the
+            # physical partitions but the batch history keeps counting
+            batches=int(meta.get("batches", len(ingests))) + 1,
             ingests=ingests + [new_id],
             batch_ids=done + ([batch_id] if batch_id is not None else []),
         )
@@ -490,3 +507,143 @@ def load_pq_index(
     for r in brows:
         books[int(r.m)].append(list(r.cw))
     return codes, books
+
+
+def _compact_data_root(
+    spark: SparkSession,
+    path: str,
+    data_root_name: str,
+    partition_cols: tuple[str, ...],
+) -> bool:
+    """Shared OPTIMIZE step for the per-ingest index layouts. Returns True
+    when a merge happened, False for the single-ingest no-op."""
+    with _AppendLock(path):
+        meta = _read_meta(path)
+        if meta is None or not meta.get("ingests"):
+            raise ValueError(
+                f"{path!r} is not a current-layout index (missing meta or "
+                "pre-per-ingest layout); nothing to compact"
+            )
+        ingests = [int(i) for i in meta["ingests"]]
+        if len(ingests) <= 1:
+            return False  # already one generation: nothing to merge
+        root = os.path.join(path, data_root_name)
+        _clean_orphan_stages(root)
+
+        # One scan of the committed ingests (partition-filtered, orphans
+        # never enter the plan), rewritten as ONE new ingest partition.
+        merged = (
+            spark.read.parquet(root)
+            .filter(F.col("ingest").isin(ingests))
+            .drop("ingest")
+        )
+        new_id = max(ingests) + 1
+        stage = os.path.join(root, f".stage-{uuid.uuid4().hex}")
+        if partition_cols:
+            # Cluster on the partition key before the partitioned write:
+            # without this, every writing task emits its own file into
+            # every cell dir (files = tasks x cells — the write would
+            # REPRODUCE the small-files problem it is merging away). One
+            # hash shuffle puts each cell wholly in one task -> one file
+            # per cell partition, the compacted invariant.
+            writer = merged.repartition(*partition_cols).write.partitionBy(
+                *partition_cols
+            )
+        else:
+            writer = merged.coalesce(
+                int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+            ).write
+        writer.mode("overwrite").parquet(stage)
+        # a pre-existing ingest=<new_id> dir is a crashed appender's
+        # uncommitted orphan (ids are monotonic under the lock): replace it
+        _publish_atomic(stage, os.path.join(root, f"ingest={new_id}"))
+
+        # Commit point: the meta now lists ONLY the merged generation.
+        # ``batches``/``batch_ids`` are logical ingest history and survive
+        # compaction — an already-committed batch_id must stay a no-op on
+        # retry even after its rows moved into the merged partition.
+        new_meta = dict(meta, ingests=[new_id])
+        tmp = os.path.join(path, f".{_META_NAME}.{uuid.uuid4().hex}")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(new_meta, f)
+        os.replace(tmp, os.path.join(path, _META_NAME))
+        return True
+
+
+def compact_ivf_index(spark: SparkSession, path: str) -> bool:
+    """OPTIMIZE for the durable IVF index: merge every committed ingest
+    partition into ONE new generation — same rows, a bounded file count.
+
+    Why this exists: ``append_ivf_batch`` is deliberately cheap (each batch
+    lands as its own ``ingest=<n>`` partition; nothing is rewritten), so a
+    year of daily ingests leaves 365 partition trees each holding up to k
+    tiny cell files — at 100 TB the probe's scan cost becomes file-open
+    overhead and task-scheduling churn instead of IO (the classic
+    small-files problem; Delta/Iceberg ship OPTIMIZE for exactly this).
+    Compaction is the other half of the append contract: appends stay
+    O(batch), and a scheduled compact folds the accumulated generations
+    back into one, restoring ~one file per cell partition.
+
+    Mechanics mirror the append protocol exactly: serialized on the in-root
+    lock, staged dot-prefixed (invisible to partition discovery mid-write),
+    published by ONE rename as the next ingest id, committed by the atomic
+    meta rewrite that lists only the merged generation. Readers planned
+    BEFORE the commit keep reading the old ingest dirs — compaction never
+    deletes them (that is ``vacuum_index``'s job, behind a grace window), so
+    it is safe under concurrent readers, unlike ``replace=True`` rebuilds.
+    Row multiset is unchanged and search results are bit-identical (pinned
+    by tests and by the ``knn_ivf_compacted`` catalog entry, gated on the
+    same split oracle as ``knn_ivf_incremental``: a compaction that
+    dropped, duplicated, or perturbed anything hash-mismatches).
+    Returns True when a merge happened (False: already one generation)."""
+    return _compact_data_root(spark, path, "cells", ("cell",))
+
+
+def compact_pq_index(spark: SparkSession, path: str) -> bool:
+    """``compact_ivf_index`` for the PQ codes root (unpartitioned data —
+    the merge bounds the FILE count; codes are 8 bytes/vector so one
+    generation is a handful of files). Codebooks are untouched: they are a
+    bounded side table written once at train time."""
+    return _compact_data_root(spark, path, "pq_codes", ())
+
+
+def vacuum_index(path: str, grace_sec: float = 86400.0) -> list[str]:
+    """Reclaim UNLISTED ingest partitions and dead stage dirs older than
+    ``grace_sec`` — the VACUUM to ``compact_*_index``'s OPTIMIZE.
+
+    Compaction unlists the merged-away generations but leaves their bytes,
+    because a reader that planned its scan before the meta rewrite may
+    still be reading them; the grace window (default 24 h, far beyond any
+    query's lifetime) lets those readers drain before the bytes go.
+    Crashed appends' orphan partitions age out the same way. Runs under
+    the append lock so it can never race a live writer's stage dir (which
+    is also younger than any sane grace). Returns the removed paths."""
+    import time
+
+    removed: list[str] = []
+    with _AppendLock(path):
+        meta = _read_meta(path)
+        if meta is None or not meta.get("ingests"):
+            raise ValueError(f"{path!r} is not a current-layout index")
+        committed = {f"ingest={int(i)}" for i in meta["ingests"]}
+        now = time.time()
+        for data_root_name in ("cells", "pq_codes"):
+            root = os.path.join(path, data_root_name)
+            try:
+                names = os.listdir(root)
+            except OSError:
+                continue
+            for name in names:
+                if name in committed:
+                    continue
+                if not (name.startswith("ingest=") or name.startswith(".stage-")):
+                    continue
+                full = os.path.join(root, name)
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue  # concurrently removed
+                if age >= grace_sec:
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.append(full)
+    return removed

@@ -518,6 +518,92 @@ def knn_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_ivf_compacted",
+    # Same split oracle as knn_ivf_incremental: compaction must be
+    # observationally INVISIBLE — build(batch-1) + append(batch-2) +
+    # compact + vacuum probes exactly like the uncompacted index.
+    oracle=_IVF_INC_ORACLE,
+    doc="COMPACTION of the durable IVF index (operators/ann_index.py "
+    "compact_ivf_index + vacuum_index) — the OPTIMIZE/VACUUM half of the "
+    "append lifecycle: append_ivf_batch deliberately lands each batch as "
+    "its own ingest=<n> partition tree (appends stay O(batch), nothing "
+    "rewritten), so a year of daily ingests leaves 365 partition trees of "
+    "up to k tiny cell files each, and the probe's cost at 100 TB becomes "
+    "file-open overhead and task scheduling instead of IO — the classic "
+    "small-files problem Delta/Iceberg ship OPTIMIZE for. compact merges "
+    "every committed generation into ONE new ingest partition under the "
+    "same lock/stage/rename/meta-commit protocol as append (readers "
+    "planned before the commit keep their old generations — compaction "
+    "never deletes, vacuum reclaims unlisted generations after a grace "
+    "window). This entry builds from batch-1, appends batch-2, compacts, "
+    "vacuums at grace=0, then probes: gated on the SAME split oracle as "
+    "knn_ivf_incremental, so a compaction that dropped, duplicated, or "
+    "perturbed any row hash-mismatches. File-count and batch_id-"
+    "idempotency-survival are pinned in tests/test_ann_compaction.py.",
+    tags=("similarity", "ann", "ivf", "incremental", "persisted",
+          "compaction", "custom-operator"),
+)
+def knn_ivf_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from map_reduce_ruby_spark.operators import (
+        adaptive_nprobe,
+        append_ivf_batch,
+        compact_ivf_index,
+        ivf_index_exists,
+        ivf_search,
+        load_ivf_index,
+        read_index_meta,
+        vacuum_index,
+        write_ivf_index,
+    )
+    from map_reduce_ruby_spark.operators.ann_index import IVF_INDEX_VERSION
+    from map_reduce_ruby_spark.sources.tables import table_fingerprint
+
+    v = _ivf_vectors(spark, sf_dir)
+    n = v.count()
+    # same degenerate contract as knn_ivf_incremental: batch-1 would be
+    # empty below 2 rows, and the split oracle returns 0 rows there
+    if n < 2:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rn long"
+        )
+    half = n // 2
+    batch1 = v.filter(F.col("id") < half)
+    batch2 = v.filter(F.col("id") >= half)
+
+    tag = table_fingerprint(sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(), f"ivf_cmp_idx_v{IVF_INDEX_VERSION}_{tag}"
+    )
+    meta = read_index_meta(path)
+    # cache hit only on the fully-compacted end state: both batches
+    # ingested AND merged down to one committed generation
+    if not (
+        ivf_index_exists(path)
+        and meta
+        and meta.get("batches") == 2
+        and len(meta.get("ingests", [])) == 1
+    ):
+        write_ivf_index(spark, batch1, path, k=None)
+        append_ivf_batch(spark, batch2, path, batch_id="second-half")
+        compact_ivf_index(spark, path)
+        # grace=0 is safe HERE: this session holds the only readers and
+        # they plan after the compaction commit (production keeps the
+        # default 24 h drain window)
+        vacuum_index(path, grace_sec=0.0)
+    assignments, centroids = load_ivf_index(spark, path)
+    queries = v.filter(F.col("id") < _IVF_NQ).select(
+        F.col("id").alias("qid"), F.col("e").alias("qe")
+    )
+    return ivf_search(
+        assignments, centroids, queries, top_k=_IVF_TOPK,
+        nprobe=adaptive_nprobe(len(centroids)),
+    )
+
+
+@register(
     "knn_ivf",
     oracle=_IVF_ORACLE,
     doc="IVF (inverted-file) ANN (operators/ivf.py): deterministic k-means "
