@@ -24,6 +24,8 @@ result row-for-row.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -71,6 +73,59 @@ def append_minhash_batch(docs: DataFrame, table: str, n_buckets: int = 16) -> No
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def compact_minhash_index(
+    spark: SparkSession, table: str, dst_path: str, n_buckets: int = 16
+) -> str:
+    """OPTIMIZE for the persisted band index — the same lifecycle step the
+    ANN indexes get from compact_ivf_index: each ``append_minhash_batch``
+    adds its own files into every bucket, so a year of daily ingests turns
+    each of the 16 buckets into hundreds of small files and the probe
+    join's scan cost becomes file-open overhead instead of IO.
+
+    The rewrite is ZERO-shuffle: with the bucketed scan forced on (the
+    planner's autoBucketedScan would demote it here — it sees no join
+    needing the distribution — and that demotion also elides the
+    bucket-aligned exchange a repartition would add, scattering buckets
+    across tasks), each task reads exactly one bucket's many files and
+    writes its ONE merged file; the source layout IS the shuffle, already
+    paid at append time. Parallelism is n_buckets by construction — the
+    right trade for an IO-bound merge. The compacted generation lands at
+    ``dst_path`` under a temp catalog name, then the catalog entry swaps
+    (drop + rename — the Hive-metastore
+    analog of a table-format pointer flip; readers holding pre-swap
+    DataFrames keep reading the OLD generation's files, which stay on disk
+    at the returned old location until the caller reclaims them after a
+    drain window — the vacuum_index model). The bucketed layout is
+    preserved, so probe joins stay corpus-shuffle-free (plan-asserted in
+    tests). Row multiset is unchanged — gated by the dedup_index_compacted
+    catalog entry on the same full-rebuild oracle as dedup_index_append.
+    Returns the old generation's storage location."""
+    old_loc = (
+        spark.sql(f"DESCRIBE FORMATTED {table}")
+        .filter(F.col("col_name") == "Location")
+        .collect()[0][1]
+    )
+    tmp_table = f"{table}_compact_{uuid.uuid4().hex[:8]}"
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    saved = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
+    try:
+        (
+            spark.table(table)
+            .write.bucketBy(n_buckets, "band_hash")
+            .sortBy("band_hash")
+            .option("path", dst_path)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tmp_table)
+        )
+    finally:
+        spark.conf.set(conf_key, saved)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp_table} RENAME TO {table}")
+    return old_loc
 
 
 def dedup_against_index(

@@ -1097,6 +1097,70 @@ def dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_index_compacted",
+    # SAME full-rebuild oracle as dedup_index_append: compaction merges the
+    # appended generations' files but must be observationally invisible.
+    oracle=_INCR_MINHASH_ORACLE,
+    doc="COMPACTION of the persisted band index (operators/dedup_index.py "
+    "compact_minhash_index) — the OPTIMIZE step completing the append "
+    "lifecycle across all three persisted index families (IVF cells: "
+    "knn_ivf_compacted; PQ codes: compact_pq_index; minhash bands: this). "
+    "Each append_minhash_batch adds its own files into every bucket, so "
+    "daily ingests turn the 16 buckets into hundreds of small files; the "
+    "compactor clusters on the bucket key (murmur3-pmod repartition "
+    "matching the bucket spec -> one file per bucket), writes a new "
+    "generation, and swaps the catalog name — readers holding the old "
+    "generation keep their files until the caller reclaims the returned "
+    "old location after a drain window. This entry builds from slice A, "
+    "appends slice B, compacts, then probes slice 0 against the compacted "
+    "table: gated on the SAME full-rebuild oracle as dedup_index_append, "
+    "so a merge that dropped, duplicated, or re-bucketed any band row "
+    "hash-mismatches; the probe plan stays bucketed and corpus-shuffle-"
+    "free (plan-asserted in tests/test_dedup_index.py).",
+    tags=("dedup", "minhash", "lsh", "incremental", "persisted",
+          "compaction"),
+)
+def dedup_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from map_reduce_ruby_spark.operators.dedup_index import (
+        append_minhash_batch,
+        compact_minhash_index,
+        dedup_against_index,
+        write_minhash_index,
+    )
+    from map_reduce_ruby_spark.sources import load_table
+    from map_reduce_ruby_spark.sources.tables import table_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_a = docs.filter(F.col("doc_id") % 5 >= 2)
+    batch_b = docs.filter(F.col("doc_id") % 5 == 1)
+    probe = docs.filter(F.col("doc_id") % 5 == 0)
+
+    # Content-fingerprinted cache (the dedup_index_append rule), marker in
+    # the COMPACTED generation's dir: any half-done state rebuilds cleanly.
+    tag = table_fingerprint(sf_dir, "documents")
+    table = f"mh_idx_cmp_{tag}"
+    base_path = os.path.join(tempfile.gettempdir(), f"mh_idx_cmp_base_{tag}")
+    cmp_path = os.path.join(tempfile.gettempdir(), f"mh_idx_cmp_gen2_{tag}")
+    marker = os.path.join(cmp_path, "_COMPACT_COMMITTED")
+    if not (os.path.exists(marker) and spark.catalog.tableExists(table)):
+        shutil.rmtree(cmp_path, ignore_errors=True)
+        if spark.catalog.tableExists(table):
+            spark.sql(f"DROP TABLE {table}")
+        write_minhash_index(corpus_a, table, base_path)
+        append_minhash_batch(batch_b, table)
+        old_loc = compact_minhash_index(spark, table, cmp_path)
+        # old generation reclaimed immediately: this session holds the only
+        # readers and they plan post-swap (production drains first)
+        shutil.rmtree(old_loc.removeprefix("file:"), ignore_errors=True)
+        open(marker, "w").close()
+    return dedup_against_index(spark, probe, table)
+
+
+@register(
     "dedup_clusters_cc_star",
     oracle=f"""
     WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),

@@ -58,3 +58,81 @@ def test_index_rebuild_is_idempotent(spark, sf_dir, tmp_path):
     write_minhash_index(corpus, "mh_idx_twice", str(tmp_path / "idx3"))
     again = dedup_against_index(spark, batch, "mh_idx_twice").count()
     assert first == again
+
+
+def test_compact_minhash_preserves_rows_and_merges_files(
+    spark, sf_dir, tmp_path
+):
+    """Two appended generations -> compact: identical band-row multiset,
+    <= n_buckets data files (one per bucket), identical probe results, and
+    the old generation's files survive at the returned location until the
+    caller reclaims them (the drain-window contract)."""
+    import os
+
+    from map_reduce_ruby_spark.operators.dedup_index import (
+        append_minhash_batch,
+        compact_minhash_index,
+    )
+
+    corpus, batch = _split(spark, sf_dir)
+    a = corpus.filter(F.col("doc_id") % 5 >= 3)
+    b1 = corpus.filter(F.col("doc_id") % 5 == 2)
+    b2 = corpus.filter(F.col("doc_id") % 5 == 1)
+    path = str(tmp_path / "idx_cmp")
+    write_minhash_index(a, "mh_idx_cmp_t", path)
+    append_minhash_batch(b1, "mh_idx_cmp_t")
+    append_minhash_batch(b2, "mh_idx_cmp_t")
+
+    def data_files(root):
+        return [
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(root)
+            for f in fs
+            if not f.startswith("_") and ".crc" not in f
+        ]
+
+    rows_before = sorted(
+        tuple(r) for r in spark.table("mh_idx_cmp_t").collect()
+    )
+    probe_before = sorted(
+        tuple(r) for r in dedup_against_index(spark, batch, "mh_idx_cmp_t").collect()
+    )
+    files_before = data_files(path)
+
+    dst = str(tmp_path / "idx_cmp_gen2")
+    old_loc = compact_minhash_index(spark, "mh_idx_cmp_t", dst)
+
+    assert old_loc.removeprefix("file:") == path
+    assert data_files(path) == files_before  # old generation untouched
+    assert len(data_files(dst)) <= 16  # one file per bucket
+    assert len(data_files(dst)) < len(files_before)
+    assert sorted(
+        tuple(r) for r in spark.table("mh_idx_cmp_t").collect()
+    ) == rows_before
+    assert sorted(
+        tuple(r) for r in dedup_against_index(spark, batch, "mh_idx_cmp_t").collect()
+    ) == probe_before
+
+
+def test_compacted_probe_plan_stays_bucketed_shuffle_free(
+    spark, sf_dir, tmp_path
+):
+    from map_reduce_ruby_spark.operators.dedup_index import (
+        append_minhash_batch,
+        compact_minhash_index,
+    )
+
+    corpus, batch = _split(spark, sf_dir)
+    a = corpus.filter(F.col("doc_id") % 2 == 1)
+    b = corpus.filter(F.col("doc_id") % 2 == 0)
+    write_minhash_index(a, "mh_idx_cmp_plan", str(tmp_path / "i1"))
+    append_minhash_batch(b, "mh_idx_cmp_plan")
+    compact_minhash_index(spark, "mh_idx_cmp_plan", str(tmp_path / "i2"))
+
+    df = dedup_against_index(spark, batch, "mh_idx_cmp_plan")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "doc_id" in line, line
+    assert "BroadcastNestedLoopJoin" not in plan, plan
