@@ -44,6 +44,7 @@ HEADLINE = [
     "knn_ivf_pq",
     "knn_ivf_persisted",
     "knn_ivf_incremental",
+    "knn_ivf_compacted",
     "knn_pq_incremental",
     "dedup_embedding_cosine",
     "docs_hybrid_rrf",
@@ -80,6 +81,8 @@ HEADLINE = [
     "dedup_clusters_cc_star",
     "dedup_incremental_minhash",
     "dedup_index_append",
+    "dedup_index_compacted",
+    "dedup_clusters_incremental",
     "dedup_span_ngram",
     "dedup_semantic_ivf",
     "corpus_global_shuffle",

@@ -514,6 +514,7 @@ def _compact_data_root(
     path: str,
     data_root_name: str,
     partition_cols: tuple[str, ...],
+    target_file_bytes: int = 128 << 20,
 ) -> bool:
     """Shared OPTIMIZE step for the per-ingest index layouts. Returns True
     when a merge happened, False for the single-ingest no-op."""
@@ -539,20 +540,32 @@ def _compact_data_root(
         )
         new_id = max(ingests) + 1
         stage = os.path.join(root, f".stage-{uuid.uuid4().hex}")
-        if partition_cols:
-            # Cluster on the partition key before the partitioned write:
-            # without this, every writing task emits its own file into
-            # every cell dir (files = tasks x cells — the write would
-            # REPRODUCE the small-files problem it is merging away). One
-            # hash shuffle puts each cell wholly in one task -> one file
-            # per cell partition, the compacted invariant.
-            writer = merged.repartition(*partition_cols).write.partitionBy(
-                *partition_cols
-            )
-        else:
-            writer = merged.coalesce(
-                int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-            ).write
+        # Size the output by BYTES, not by task count (the Delta/Iceberg
+        # OPTIMIZE policy): an unclustered partitioned write would emit one
+        # file per (task x cell) — reproducing the small-files problem it
+        # is merging away — while a plain one-task-per-cell cluster caps
+        # both file size and scan parallelism at k (a 100 GB cell would be
+        # one 100 GB file read by one task). Range partitioning on
+        # (cell, id) keeps each cell's rows contiguous, splits cells
+        # larger than the target into consecutive id-ordered files (parquet
+        # footer min/max on id stays prunable), and merges many small cells
+        # into few writer tasks.
+        total_bytes = 0
+        for i in ingests:
+            for r, _dd, fs in os.walk(os.path.join(root, f"ingest={i}")):
+                for f in fs:
+                    if f.endswith(".parquet"):
+                        try:
+                            total_bytes += os.path.getsize(os.path.join(r, f))
+                        except OSError:
+                            pass
+        target = max(1, -(-total_bytes // int(target_file_bytes)))
+        clustered = merged.repartitionByRange(target, *partition_cols, "id")
+        writer = (
+            clustered.write.partitionBy(*partition_cols)
+            if partition_cols
+            else clustered.write
+        )
         writer.mode("overwrite").parquet(stage)
         # a pre-existing ingest=<new_id> dir is a crashed appender's
         # uncommitted orphan (ids are monotonic under the lock): replace it
@@ -570,7 +583,9 @@ def _compact_data_root(
         return True
 
 
-def compact_ivf_index(spark: SparkSession, path: str) -> bool:
+def compact_ivf_index(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 << 20
+) -> bool:
     """OPTIMIZE for the durable IVF index: merge every committed ingest
     partition into ONE new generation — same rows, a bounded file count.
 
@@ -582,7 +597,8 @@ def compact_ivf_index(spark: SparkSession, path: str) -> bool:
     small-files problem; Delta/Iceberg ship OPTIMIZE for exactly this).
     Compaction is the other half of the append contract: appends stay
     O(batch), and a scheduled compact folds the accumulated generations
-    back into one, restoring ~one file per cell partition.
+    back into one, sized ``target_file_bytes`` per output file (range-
+    clustered on (cell, id): cells stay contiguous, oversize cells split).
 
     Mechanics mirror the append protocol exactly: serialized on the in-root
     lock, staged dot-prefixed (invisible to partition discovery mid-write),
@@ -596,15 +612,19 @@ def compact_ivf_index(spark: SparkSession, path: str) -> bool:
     same split oracle as ``knn_ivf_incremental``: a compaction that
     dropped, duplicated, or perturbed anything hash-mismatches).
     Returns True when a merge happened (False: already one generation)."""
-    return _compact_data_root(spark, path, "cells", ("cell",))
+    return _compact_data_root(
+        spark, path, "cells", ("cell",), target_file_bytes
+    )
 
 
-def compact_pq_index(spark: SparkSession, path: str) -> bool:
+def compact_pq_index(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 << 20
+) -> bool:
     """``compact_ivf_index`` for the PQ codes root (unpartitioned data —
     the merge bounds the FILE count; codes are 8 bytes/vector so one
     generation is a handful of files). Codebooks are untouched: they are a
     bounded side table written once at train time."""
-    return _compact_data_root(spark, path, "pq_codes", ())
+    return _compact_data_root(spark, path, "pq_codes", (), target_file_bytes)
 
 
 def vacuum_index(path: str, grace_sec: float = 86400.0) -> list[str]:
