@@ -219,3 +219,86 @@ def test_compact_and_vacuum_reject_legacy_roots(spark, tmp_path):
         compact_ivf_index(spark, bogus)
     with pytest.raises(ValueError, match="not a current-layout"):
         vacuum_index(bogus)
+
+
+def test_concurrent_append_compact_probe_stress(spark, sf_dir, split, tmp_path):
+    """Protocol stress: a writer thread appends batches, a maintenance
+    thread compacts mid-stream, and two prober threads loop concurrent
+    loads — every observed row count must be one of the committed
+    cumulative states (appends commit atomically via the meta rewrite)
+    and non-decreasing per prober (compaction never loses rows; merged-
+    away generations stay readable until vacuum, which production defers
+    past a drain window and this test defers to the end). Final state
+    must be exactly all rows."""
+    import threading
+
+    v, b1, b2, n = split
+    path = str(tmp_path / "ivf")
+    write_ivf_index(spark, b1, path, k=None)
+    base = n // 2
+
+    n_batches = 5
+    batches = [b2.filter(F.col("id") % n_batches == m) for m in range(n_batches)]
+    sizes = [b.count() for b in batches]
+    allowed = {base}
+    cum = base
+    for s in sizes:
+        cum += s
+        allowed.add(cum)
+
+    errors: list = []
+    done = threading.Event()
+
+    def writer():
+        try:
+            for m, b in enumerate(batches):
+                append_ivf_batch(spark, b, path, batch_id=f"m{m}")
+        except Exception as e:  # pragma: no cover - surfaced via errors
+            errors.append(("writer", e))
+        finally:
+            done.set()
+
+    def maintainer():
+        try:
+            while not done.is_set():
+                compact_ivf_index(spark, path)
+                done.wait(0.5)
+        except Exception as e:  # pragma: no cover
+            errors.append(("maintainer", e))
+
+    def prober(name):
+        last = 0
+        try:
+            while not done.is_set():
+                stored, _c = load_ivf_index(spark, path)
+                cnt = stored.count()
+                assert cnt in allowed, f"{name}: {cnt} not a committed state"
+                assert cnt >= last, f"{name}: count went backwards"
+                last = cnt
+        except Exception as e:  # pragma: no cover
+            errors.append((name, e))
+
+    threads = [
+        threading.Thread(target=writer),
+        threading.Thread(target=maintainer),
+        threading.Thread(target=prober, args=("p1",)),
+        threading.Thread(target=prober, args=("p2",)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+
+    compact_ivf_index(spark, path)
+    vacuum_index(path, grace_sec=0.0)
+    stored, centroids = load_ivf_index(spark, path)
+    assert stored.count() == n
+    from map_reduce_ruby_spark.operators.ivf import assign_cells
+
+    got = {(r.id, r.cell) for r in stored.select("id", "cell").collect()}
+    want = {
+        (r.id, r.cell)
+        for r in assign_cells(v, centroids).select("id", "cell").collect()
+    }
+    assert got == want

@@ -136,3 +136,73 @@ def test_compacted_probe_plan_stays_bucketed_shuffle_free(
         if "Exchange hashpartitioning" in line:
             assert "doc_id" in line, line
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_streaming_ingest_with_inflight_compaction(spark, sf_dir, tmp_path):
+    """Compaction composed INTO the streaming maintenance loop: micro-batch
+    appends interleaved with a mid-stream compact (the scheduled-OPTIMIZE-
+    under-live-ingest shape). The final probe must equal the one-shot full
+    rebuild — compaction and the catalog-name swap must be invisible to
+    subsequent appends and probes."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_ruby_spark.operators.dedup_index import (
+        append_minhash_batch,
+        compact_minhash_index,
+    )
+    from map_reduce_ruby_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_a = docs.filter(F.col("doc_id") % 5 >= 2)
+    slice_b = docs.filter(F.col("doc_id") % 5 == 1)
+    probe = docs.filter(F.col("doc_id") % 5 == 0)
+
+    drop = str(tmp_path / "drop")
+    slice_b.repartition(4).write.parquet(drop)
+
+    table = "mh_stream_cmp_t"
+    write_minhash_index(corpus_a, table, str(tmp_path / "gen1"))
+
+    gen = {"n": 1}
+
+    def ingest(batch_df, eid):
+        append_minhash_batch(batch_df, table)
+        if eid == 1:  # compact mid-stream, with more appends still to come
+            gen["n"] += 1
+            old = compact_minhash_index(
+                spark, table, str(tmp_path / f"gen{gen['n']}")
+            )
+            # drain-window contract exercised at grace=0: this loop is the
+            # only reader and it re-plans from the catalog every batch
+            shutil.rmtree(old.removeprefix("file:"), ignore_errors=True)
+
+    ckpt = tempfile.mkdtemp(prefix="mh_cmp_ckpt_")
+    try:
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(drop)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    got = sorted(
+        tuple(r) for r in dedup_against_index(spark, probe, table).collect()
+    )
+
+    full_table = "mh_stream_cmp_full"
+    write_minhash_index(
+        docs.filter(F.col("doc_id") % 5 >= 1), full_table, str(tmp_path / "full")
+    )
+    want = sorted(
+        tuple(r) for r in dedup_against_index(spark, probe, full_table).collect()
+    )
+    assert got == want and len(got) > 0
