@@ -108,20 +108,30 @@ def _publish_atomic(tmp: str, path: str, keep_if_valid=None) -> None:
         ) from e
 
 
-class _AppendLock:
-    """Single-writer guard for the append critical section (O_EXCL lock
-    file inside the index root). Concurrent appenders of DIFFERENT batches
-    would otherwise both derive the same next ingest id from the same meta
-    and one batch's committed rows would be replaced by the other's.
-    Appends serialize; a lock older than _LOCK_STALE_SEC belongs to a dead
-    writer and is broken. (The reference's reducer ingest is single-consumer
-    too — reducer.rb add_chunk; this makes that assumption explicit and
-    safe instead of implicit and corrupting.)"""
+_LOCK_HEARTBEAT_SEC = 60.0  # live holders refresh the lock mtime this often
 
-    def __init__(self, path: str):
-        self._lock = os.path.join(path, _APPEND_LOCK)
+
+class _AppendLock:
+    """Single-writer guard for the maintenance critical section (O_EXCL
+    lock file inside the index root). Concurrent appenders of DIFFERENT
+    batches would otherwise both derive the same next ingest id from the
+    same meta and one batch's committed rows would be replaced by the
+    other's; a concurrent compaction would commit a meta that unlists a
+    just-committed batch. Writers serialize; a LIVE holder heartbeats the
+    lock's mtime (a maintenance job may legitimately run longer than the
+    stale window — a Spark rewrite of a year's generations is hours), so
+    only a genuinely DEAD writer's lock ages past _LOCK_STALE_SEC and is
+    broken. (The reference's reducer ingest is single-consumer too —
+    reducer.rb add_chunk; this makes that assumption explicit and safe
+    instead of implicit and corrupting.)"""
+
+    def __init__(self, path: str, name: str = _APPEND_LOCK):
+        self._lock = os.path.join(path, name)
+        self._hb_stop = None
+        self._hb = None
 
     def __enter__(self):
+        import threading
         import time
 
         deadline = time.time() + _LOCK_STALE_SEC
@@ -130,7 +140,7 @@ class _AppendLock:
                 fd = os.open(self._lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 os.write(fd, str(os.getpid()).encode())
                 os.close(fd)
-                return self
+                break
             except FileExistsError:
                 try:
                     age = time.time() - os.path.getmtime(self._lock)
@@ -148,7 +158,23 @@ class _AppendLock:
                     ) from None
                 time.sleep(0.1)
 
+        lock_path = self._lock
+        self._hb_stop = threading.Event()
+
+        def _beat(stop=self._hb_stop):
+            while not stop.wait(_LOCK_HEARTBEAT_SEC):
+                try:
+                    os.utime(lock_path)
+                except OSError:
+                    return  # lock gone: we were broken or released
+
+        self._hb = threading.Thread(target=_beat, daemon=True)
+        self._hb.start()
+        return self
+
     def __exit__(self, *exc):
+        if self._hb_stop is not None:
+            self._hb_stop.set()
         try:
             os.unlink(self._lock)
         except OSError:
@@ -166,6 +192,24 @@ def _clean_orphan_stages(data_root: str) -> None:
     for name in names:
         if name.startswith(".stage-"):
             shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
+
+
+def _verify_meta_unchanged(path: str, snapshot: dict | None) -> None:
+    """CAS guard before the irreversible publish/commit steps. The lock
+    plus heartbeat makes a broken lock mean a dead writer — but a writer
+    stalled past the stale window (VM pause) can resume after another
+    writer broke its lock and committed: committing from the stale
+    snapshot would then unlist (or clobber) the other writer's batch.
+    Re-reading the meta right before publishing closes that window to
+    milliseconds: a moved meta aborts THIS operation (its staged output
+    becomes a reclaimable orphan) instead of corrupting the index."""
+    if _read_meta(path) != snapshot:
+        raise RuntimeError(
+            f"concurrent maintenance detected on {path!r}: the index meta "
+            "changed while this writer held (or believed it held) the "
+            "append lock; this operation was aborted before publishing — "
+            "retry it"
+        )
 
 
 def _ivf_meta(k: int | None) -> dict:
@@ -220,7 +264,9 @@ def ivf_index_exists(path: str, k: int | None = None) -> bool:
         _data_committed(path, "cells")
         and os.path.exists(os.path.join(path, "centroids", "_SUCCESS"))
         and meta is not None
-        and {f: v for f, v in meta.items() if f not in ("batches", "ingests", "batch_ids")}
+        and {f: v
+        for f, v in meta.items()
+        if f not in ("batches", "ingests", "batch_ids", "retired")}
         == _ivf_meta(k)
     )
 
@@ -322,6 +368,7 @@ def append_ivf_batch(
         assign_cells(vectors.select("id", "e"), centroids).write.partitionBy(
             "cell"
         ).mode("overwrite").parquet(stage)
+        _verify_meta_unchanged(path, meta)  # the assign job was the long part
         # a pre-existing ingest=<n> dir here is OUR crashed predecessor's
         # uncommitted orphan (ids are monotonic under the lock): replace it
         _publish_atomic(stage, os.path.join(path, "cells", f"ingest={new_id}"))
@@ -395,7 +442,9 @@ def pq_index_exists(
         return False
     expect = _pq_meta(meta.get("dim", -1) if dim is None else dim, n_sub, k)
     return {
-        f: v for f, v in meta.items() if f not in ("batches", "ingests", "batch_ids")
+        f: v
+        for f, v in meta.items()
+        if f not in ("batches", "ingests", "batch_ids", "retired")
     } == expect
 
 
@@ -467,6 +516,7 @@ def append_pq_batch(
         new_id = max(ingests) + 1
         stage = os.path.join(path, "pq_codes", f".stage-{uuid.uuid4().hex}")
         encode_with_books(vectors, books, dim).write.mode("overwrite").parquet(stage)
+        _verify_meta_unchanged(path, meta)  # the encode job was the long part
         _publish_atomic(stage, os.path.join(path, "pq_codes", f"ingest={new_id}"))
         new_meta = dict(
             meta,
@@ -567,6 +617,7 @@ def _compact_data_root(
             else clustered.write
         )
         writer.mode("overwrite").parquet(stage)
+        _verify_meta_unchanged(path, meta)  # the rewrite job was the long part
         # a pre-existing ingest=<new_id> dir is a crashed appender's
         # uncommitted orphan (ids are monotonic under the lock): replace it
         _publish_atomic(stage, os.path.join(root, f"ingest={new_id}"))
@@ -574,8 +625,16 @@ def _compact_data_root(
         # Commit point: the meta now lists ONLY the merged generation.
         # ``batches``/``batch_ids`` are logical ingest history and survive
         # compaction — an already-committed batch_id must stay a no-op on
-        # retry even after its rows moved into the merged partition.
-        new_meta = dict(meta, ingests=[new_id])
+        # retry even after its rows moved into the merged partition. The
+        # merged-away generations are stamped ``retired`` AT THIS COMMIT:
+        # vacuum's grace window must run from the moment readers stopped
+        # being directed at them, never from the partition's write mtime
+        # (a 30-day-old generation retired a second ago still has readers).
+        import time
+
+        retired = dict(meta.get("retired", {}))
+        retired.update({str(i): time.time() for i in ingests})
+        new_meta = dict(meta, ingests=[new_id], retired=retired)
         tmp = os.path.join(path, f".{_META_NAME}.{uuid.uuid4().hex}")
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(new_meta, f)
@@ -628,16 +687,22 @@ def compact_pq_index(
 
 
 def vacuum_index(path: str, grace_sec: float = 86400.0) -> list[str]:
-    """Reclaim UNLISTED ingest partitions and dead stage dirs older than
-    ``grace_sec`` — the VACUUM to ``compact_*_index``'s OPTIMIZE.
+    """Reclaim UNLISTED ingest partitions and dead stage dirs whose grace
+    window has passed — the VACUUM to ``compact_*_index``'s OPTIMIZE.
 
     Compaction unlists the merged-away generations but leaves their bytes,
     because a reader that planned its scan before the meta rewrite may
     still be reading them; the grace window (default 24 h, far beyond any
-    query's lifetime) lets those readers drain before the bytes go.
-    Crashed appends' orphan partitions age out the same way. Runs under
-    the append lock so it can never race a live writer's stage dir (which
-    is also younger than any sane grace). Returns the removed paths."""
+    query's lifetime) lets those readers drain before the bytes go. The
+    window runs from the RETIRED timestamp compaction stamps into the meta
+    at its commit — the moment readers stopped being directed at the
+    generation — never from the partition's write mtime: a 30-day-old
+    generation retired one second ago still has in-flight readers, and an
+    mtime-based age would delete it under them. Only true orphans (crashed
+    appends' never-listed partitions and dead stage dirs, which no reader
+    can reach through the meta) age by mtime. Runs under the append lock
+    so it can never race a live writer's stage dir; reclaimed retired
+    stamps are pruned from the meta. Returns the removed paths."""
     import time
 
     removed: list[str] = []
@@ -646,6 +711,8 @@ def vacuum_index(path: str, grace_sec: float = 86400.0) -> list[str]:
         if meta is None or not meta.get("ingests"):
             raise ValueError(f"{path!r} is not a current-layout index")
         committed = {f"ingest={int(i)}" for i in meta["ingests"]}
+        retired: dict = meta.get("retired", {})
+        reclaimed_ids: set[str] = set()
         now = time.time()
         for data_root_name in ("cells", "pq_codes"):
             root = os.path.join(path, data_root_name)
@@ -659,11 +726,30 @@ def vacuum_index(path: str, grace_sec: float = 86400.0) -> list[str]:
                 if not (name.startswith("ingest=") or name.startswith(".stage-")):
                     continue
                 full = os.path.join(root, name)
-                try:
-                    age = now - os.path.getmtime(full)
-                except OSError:
-                    continue  # concurrently removed
+                ingest_id = (
+                    name.split("=", 1)[1] if name.startswith("ingest=") else None
+                )
+                if ingest_id is not None and ingest_id in retired:
+                    age = now - float(retired[ingest_id])
+                else:
+                    try:
+                        age = now - os.path.getmtime(full)
+                    except OSError:
+                        continue  # concurrently removed
                 if age >= grace_sec:
                     shutil.rmtree(full, ignore_errors=True)
                     removed.append(full)
+                    if ingest_id is not None:
+                        reclaimed_ids.add(ingest_id)
+        if reclaimed_ids:
+            new_meta = dict(
+                meta,
+                retired={
+                    i: t for i, t in retired.items() if i not in reclaimed_ids
+                },
+            )
+            tmp = os.path.join(path, f".{_META_NAME}.{uuid.uuid4().hex}")
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(new_meta, f)
+            os.replace(tmp, os.path.join(path, _META_NAME))
     return removed

@@ -20,14 +20,47 @@ The index schema is exactly ``_minhash_bands``'s output
 interchangeable — pinned by tests/test_dedup_index.py, which asserts the
 persisted-path result equals dedup_incremental_minhash's derived-path
 result row-for-row.
+
+Writers (append, compact) serialize on a per-table maintenance lock in the
+Spark SQL warehouse directory — the one location that stays stable while
+compaction moves the table's data location. Without it, a compactor's scan
+could list files before a concurrent append lands and the location flip
+would silently drop that batch's bands. (Same single-writer model as the
+ANN indexes' in-root append lock; the reference's reducer ingest is
+single-consumer too, reducer.rb add_chunk.)
 """
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from map_reduce_ruby_spark.operators.ann_index import _AppendLock
+
+
+def _maintenance_lock(spark: SparkSession, table: str) -> _AppendLock:
+    """Per-table writer lock, homed in the warehouse dir (stable across
+    the location flips compaction performs; shared in deployments that
+    share a warehouse). O_EXCL + heartbeat semantics from _AppendLock."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    os.makedirs(wh, exist_ok=True)
+    return _AppendLock(wh, name=f".{table}.maintenance.lock")
+
+
+def _table_bucket_count(spark: SparkSession, table: str) -> int:
+    """The table's OWN bucket count, read from the catalog — the bucket
+    spec is the table's identity, never a caller-supplied guess: writing
+    with a mismatched count would silently change the layout and break
+    the one-merged-file-per-bucket contract."""
+    for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if r.col_name == "Num Buckets":
+            return int(r.data_type)
+    raise ValueError(f"{table!r} is not a bucketed table")
 
 
 def write_minhash_index(
@@ -53,36 +86,40 @@ def write_minhash_index(
     )
 
 
-def append_minhash_batch(docs: DataFrame, table: str, n_buckets: int = 16) -> None:
+def append_minhash_batch(docs: DataFrame, table: str) -> None:
     """Incremental index maintenance: sketch ONLY the new batch and append
     its (doc_id, band_idx, band_hash) rows into the persisted band index —
     the corpus is never re-sketched and its existing bucket files are never
-    rewritten (pinned by an mtime test). Appending with the SAME bucket
-    spec keeps the bucketed layout: new files join their band_hash buckets,
-    so probe joins stay corpus-shuffle-free over old and new rows alike.
-    Because banding has no trained state (unlike IVF centroids), the
+    rewritten (pinned by an mtime test). Appending with the table's OWN
+    bucket spec keeps the bucketed layout: new files join their band_hash
+    buckets, so probe joins stay corpus-shuffle-free over old and new rows
+    alike. Serializes on the per-table maintenance lock: an append racing
+    a compaction could otherwise land its files in the old generation an
+    instant before the location flip and be silently dropped. Because
+    banding has no trained state (unlike IVF centroids), the
     incrementally-maintained index is EXACTLY the full rebuild — the
     dedup_index_append catalog entry is gated on that equality."""
     from map_reduce_ruby_spark.plans.dedup_queries import _bands_for_docs
 
-    (
-        _bands_for_docs(docs)
-        .write.bucketBy(n_buckets, "band_hash")
-        .sortBy("band_hash")
-        .mode("append")
-        .format("parquet")
-        .saveAsTable(table)
-    )
+    spark = docs.sparkSession
+    with _maintenance_lock(spark, table):
+        n_buckets = _table_bucket_count(spark, table)
+        (
+            _bands_for_docs(docs)
+            .write.bucketBy(n_buckets, "band_hash")
+            .sortBy("band_hash")
+            .mode("append")
+            .format("parquet")
+            .saveAsTable(table)
+        )
 
 
-def compact_minhash_index(
-    spark: SparkSession, table: str, dst_path: str, n_buckets: int = 16
-) -> str:
+def compact_minhash_index(spark: SparkSession, table: str, dst_path: str) -> str:
     """OPTIMIZE for the persisted band index — the same lifecycle step the
     ANN indexes get from compact_ivf_index: each ``append_minhash_batch``
     adds its own files into every bucket, so a year of daily ingests turns
-    each of the 16 buckets into hundreds of small files and the probe
-    join's scan cost becomes file-open overhead instead of IO.
+    each bucket into hundreds of small files and the probe join's scan
+    cost becomes file-open overhead instead of IO.
 
     The rewrite is ZERO-shuffle: with the bucketed scan forced on (the
     planner's autoBucketedScan would demote it here — it sees no join
@@ -90,42 +127,59 @@ def compact_minhash_index(
     bucket-aligned exchange a repartition would add, scattering buckets
     across tasks), each task reads exactly one bucket's many files and
     writes its ONE merged file; the source layout IS the shuffle, already
-    paid at append time. Parallelism is n_buckets by construction — the
-    right trade for an IO-bound merge. The compacted generation lands at
-    ``dst_path`` under a temp catalog name, then the catalog entry swaps
-    (drop + rename — the Hive-metastore
-    analog of a table-format pointer flip; readers holding pre-swap
-    DataFrames keep reading the OLD generation's files, which stay on disk
-    at the returned old location until the caller reclaims them after a
-    drain window — the vacuum_index model). The bucketed layout is
-    preserved, so probe joins stay corpus-shuffle-free (plan-asserted in
-    tests). Row multiset is unchanged — gated by the dedup_index_compacted
-    catalog entry on the same full-rebuild oracle as dedup_index_append.
+    paid at append time. Parallelism is the bucket count by construction —
+    the right trade for an IO-bound merge. The bucket count is read from
+    the table's own catalog spec, so the layout can never silently change.
+
+    The swap is a single-statement POINTER FLIP: the merged generation is
+    written to ``dst_path`` under a temp catalog name (a crash here leaves
+    the live table untouched; stale temp tables from dead compactors are
+    dropped on the next run), then ``ALTER TABLE ... SET LOCATION`` moves
+    the LIVE table's data pointer in one metastore operation — there is no
+    instant at which the table doesn't exist, a crash leaves it pointing
+    at exactly one complete generation, and a post-crash append lands in
+    whichever generation the pointer names (never a fresh empty table).
+    Readers holding pre-flip DataFrames keep reading the OLD generation's
+    files, which stay on disk at the returned old location until the
+    caller reclaims them after a drain window — the vacuum_index model.
+    Serializes on the per-table maintenance lock against appends. Row
+    multiset is unchanged — gated by the dedup_index_compacted catalog
+    entry on the same full-rebuild oracle as dedup_index_append; the probe
+    plan stays bucketed and corpus-shuffle-free (plan-asserted in tests).
     Returns the old generation's storage location."""
-    old_loc = (
-        spark.sql(f"DESCRIBE FORMATTED {table}")
-        .filter(F.col("col_name") == "Location")
-        .collect()[0][1]
-    )
-    tmp_table = f"{table}_compact_{uuid.uuid4().hex[:8]}"
-    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    saved = spark.conf.get(conf_key, "true")
-    spark.conf.set(conf_key, "false")
-    try:
-        (
-            spark.table(table)
-            .write.bucketBy(n_buckets, "band_hash")
-            .sortBy("band_hash")
-            .option("path", dst_path)
-            .mode("overwrite")
-            .format("parquet")
-            .saveAsTable(tmp_table)
+    with _maintenance_lock(spark, table):
+        # reclaim dead compactors' temp catalog entries (their data dirs
+        # are the caller's dst_path choices; files are never deleted here)
+        for r in spark.sql(f"SHOW TABLES LIKE '{table}_compact_*'").collect():
+            spark.sql(f"DROP TABLE IF EXISTS {r.tableName}")
+
+        old_loc = (
+            spark.sql(f"DESCRIBE FORMATTED {table}")
+            .filter(F.col("col_name") == "Location")
+            .collect()[0][1]
         )
-    finally:
-        spark.conf.set(conf_key, saved)
-    spark.sql(f"DROP TABLE {table}")
-    spark.sql(f"ALTER TABLE {tmp_table} RENAME TO {table}")
-    return old_loc
+        n_buckets = _table_bucket_count(spark, table)
+        tmp_table = f"{table}_compact_{uuid.uuid4().hex[:8]}"
+        conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        saved = spark.conf.get(conf_key, "true")
+        spark.conf.set(conf_key, "false")
+        try:
+            (
+                spark.table(table)
+                .write.bucketBy(n_buckets, "band_hash")
+                .sortBy("band_hash")
+                .option("path", dst_path)
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(tmp_table)
+            )
+        finally:
+            spark.conf.set(conf_key, saved)
+        # commit point: one metastore statement moves the data pointer
+        spark.sql(f"ALTER TABLE {table} SET LOCATION '{dst_path}'")
+        spark.sql(f"DROP TABLE {tmp_table}")  # external: dst files remain
+        spark.sql(f"REFRESH TABLE {table}")
+        return old_loc
 
 
 def dedup_against_index(

@@ -1107,11 +1107,14 @@ def dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_ivf_compacted; PQ codes: compact_pq_index; minhash bands: this). "
     "Each append_minhash_batch adds its own files into every bucket, so "
     "daily ingests turn the 16 buckets into hundreds of small files; the "
-    "compactor clusters on the bucket key (murmur3-pmod repartition "
-    "matching the bucket spec -> one file per bucket), writes a new "
-    "generation, and swaps the catalog name — readers holding the old "
-    "generation keep their files until the caller reclaims the returned "
-    "old location after a drain window. This entry builds from slice A, "
+    "compactor forces the BUCKETED SCAN on (autoBucketedScan would demote "
+    "it and scatter buckets across tasks) so each task merges exactly its "
+    "bucket's files with ZERO shuffle — the layout is the shuffle, paid at "
+    "append time — then flips the live table's data pointer in one ALTER "
+    "TABLE SET LOCATION; readers holding the old generation keep their "
+    "files until the caller reclaims the returned old location after a "
+    "drain window. Appends and compactions serialize on a per-table "
+    "maintenance lock. This entry builds from slice A, "
     "appends slice B, compacts, then probes slice 0 against the compacted "
     "table: gated on the SAME full-rebuild oracle as dedup_index_append, "
     "so a merge that dropped, duplicated, or re-bucketed any band row "

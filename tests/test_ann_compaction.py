@@ -302,3 +302,57 @@ def test_concurrent_append_compact_probe_stress(spark, sf_dir, split, tmp_path):
         for r in assign_cells(v, centroids).select("id", "cell").collect()
     }
     assert got == want
+
+
+def test_vacuum_grace_runs_from_retirement_not_write_mtime(
+    spark, sf_dir, split, tmp_path
+):
+    """A generation written 30 days ago but retired one second ago still
+    has in-flight readers: the grace window must run from the RETIRED
+    stamp compaction wrote, not the directory mtime. True orphans (never
+    listed — no reader can reach them) age by mtime as before."""
+    import time
+
+    _v, b1, b2, _n = split
+    path = str(tmp_path / "ivf")
+    write_ivf_index(spark, b1, path, k=None)
+    append_ivf_batch(spark, b2, path, batch_id="b2")
+
+    # age every committed generation's dir far past any grace window
+    ancient = time.time() - 40 * 86400
+    for i in (1, 2):
+        d = os.path.join(path, "cells", f"ingest={i}")
+        os.utime(d, (ancient, ancient))
+
+    # a crashed append's orphan: unlisted, ancient -> reclaimable by mtime
+    orphan = os.path.join(path, "cells", "ingest=99")
+    os.makedirs(orphan)
+    os.utime(orphan, (ancient, ancient))
+
+    compact_ivf_index(spark, path)
+    meta = read_index_meta(path)
+    assert set(meta["retired"]) == {"1", "2"}
+
+    removed = vacuum_index(path, grace_sec=3600.0)
+    assert removed == [orphan]  # retired gens inside grace; orphan aged out
+    assert os.path.exists(os.path.join(path, "cells", "ingest=1"))
+
+    removed2 = vacuum_index(path, grace_sec=0.0)
+    assert len(removed2) == 2
+    assert read_index_meta(path)["retired"] == {}  # stamps pruned
+
+
+def test_append_lock_heartbeat_keeps_live_lock_fresh(tmp_path, monkeypatch):
+    """A live holder's lock mtime advances (so a long maintenance job is
+    never mistaken for a dead writer and broken mid-flight)."""
+    import time
+
+    from map_reduce_ruby_spark.operators import ann_index
+
+    monkeypatch.setattr(ann_index, "_LOCK_HEARTBEAT_SEC", 0.1)
+    lock = ann_index._AppendLock(str(tmp_path))
+    with lock:
+        t0 = os.path.getmtime(lock._lock)
+        time.sleep(0.5)
+        assert os.path.getmtime(lock._lock) > t0
+    assert not os.path.exists(lock._lock)

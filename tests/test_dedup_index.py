@@ -206,3 +206,59 @@ def test_streaming_ingest_with_inflight_compaction(spark, sf_dir, tmp_path):
         tuple(r) for r in dedup_against_index(spark, probe, full_table).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_compact_derives_bucket_spec_and_append_follows_flip(
+    spark, sf_dir, tmp_path
+):
+    """The compactor reads the table's OWN bucket count from the catalog
+    (an 8-bucket index stays 8 buckets — a caller can't silently rewrite
+    the layout), and a post-flip append lands in the NEW generation's
+    location, visible to subsequent probes."""
+    import os
+
+    from map_reduce_ruby_spark.operators.dedup_index import (
+        _table_bucket_count,
+        append_minhash_batch,
+        compact_minhash_index,
+    )
+
+    corpus, batch = _split(spark, sf_dir)
+    a = corpus.filter(F.col("doc_id") % 3 == 1)
+    b = corpus.filter(F.col("doc_id") % 3 == 2)
+    late = corpus.filter(F.col("doc_id") % 3 == 0)
+    write_minhash_index(a, "mh_spec_t", str(tmp_path / "g1"), n_buckets=8)
+    append_minhash_batch(b, "mh_spec_t")
+    assert _table_bucket_count(spark, "mh_spec_t") == 8
+
+    dst = str(tmp_path / "g2")
+    compact_minhash_index(spark, "mh_spec_t", dst)
+    assert _table_bucket_count(spark, "mh_spec_t") == 8
+
+    def data_files(root):
+        return [
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(root)
+            for f in fs
+            if not f.startswith("_") and ".crc" not in f
+        ]
+
+    assert len(data_files(dst)) <= 8  # one merged file per bucket
+
+    before = len(data_files(dst))
+    append_minhash_batch(late, "mh_spec_t")
+    assert len(data_files(dst)) > before  # post-flip append follows pointer
+
+    # the maintained index now holds a ∪ b ∪ late == the whole corpus
+    # slice: probe results must equal a one-shot full rebuild's
+    got = sorted(
+        tuple(r) for r in dedup_against_index(spark, batch, "mh_spec_t").collect()
+    )
+    write_minhash_index(
+        corpus, "mh_spec_full", str(tmp_path / "full"), n_buckets=8
+    )
+    want = sorted(
+        tuple(r)
+        for r in dedup_against_index(spark, batch, "mh_spec_full").collect()
+    )
+    assert got == want and len(got) > 0
