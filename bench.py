@@ -95,6 +95,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "text_bigram_lm_score",
     "text_bm25_search",
+    "text_bm25_persisted",
     "text_redact_documents",
     "doc_chunk_overlap",
     "chunk_dedup_families",

@@ -23,6 +23,14 @@ from map_reduce_ruby_spark.operators.ann_index import (
     write_ivf_index,
     write_pq_index,
 )
+from map_reduce_ruby_spark.operators.text_index import (
+    append_bm25_batch,
+    bm25_index_exists,
+    bm25_search,
+    compact_bm25_index,
+    load_bm25_postings,
+    write_bm25_index,
+)
 from map_reduce_ruby_spark.operators.ivf import (
     adaptive_cell_count,
     adaptive_nprobe,
@@ -58,6 +66,12 @@ __all__ = [
     "adaptive_nprobe",
     "build_ivf_index",
     "append_ivf_batch",
+    "append_bm25_batch",
+    "bm25_index_exists",
+    "bm25_search",
+    "compact_bm25_index",
+    "load_bm25_postings",
+    "write_bm25_index",
     "compact_ivf_index",
     "compact_pq_index",
     "vacuum_index",

@@ -565,6 +565,7 @@ def _compact_data_root(
     data_root_name: str,
     partition_cols: tuple[str, ...],
     target_file_bytes: int = 128 << 20,
+    range_cols: tuple[str, ...] = ("id",),
 ) -> bool:
     """Shared OPTIMIZE step for the per-ingest index layouts. Returns True
     when a merge happened, False for the single-ingest no-op."""
@@ -610,7 +611,7 @@ def _compact_data_root(
                         except OSError:
                             pass
         target = max(1, -(-total_bytes // int(target_file_bytes)))
-        clustered = merged.repartitionByRange(target, *partition_cols, "id")
+        clustered = merged.repartitionByRange(target, *partition_cols, *range_cols)
         writer = (
             clustered.write.partitionBy(*partition_cols)
             if partition_cols
@@ -714,7 +715,7 @@ def vacuum_index(path: str, grace_sec: float = 86400.0) -> list[str]:
         retired: dict = meta.get("retired", {})
         reclaimed_ids: set[str] = set()
         now = time.time()
-        for data_root_name in ("cells", "pq_codes"):
+        for data_root_name in ("cells", "pq_codes", "postings"):
             root = os.path.join(path, data_root_name)
             try:
                 names = os.listdir(root)
