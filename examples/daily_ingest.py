@@ -12,9 +12,14 @@ to ITS batch, never re-sketching or retraining the corpus:
     day N:  dedup_against_index(batch)         # probe: batch-side cost only
             append_minhash_batch(survivors)    # bands of the KEPT docs only
             append_ivf_batch(batch_vectors)    # assign-only, no retrain
+            append_bm25_batch(survivors)       # postings + additive stats
                                                # (each append commits as its
                                                #  own ingest partition —
                                                #  crash-retry is exactly-once)
+
+    weekly: compact_*_index(...)               # OPTIMIZE: merge the accumulated
+            vacuum_index(..., grace)           # generations; reclaim after the
+                                               # reader drain window
 
 Run with:
     python examples/daily_ingest.py
@@ -36,10 +41,15 @@ def main() -> int:
 
     from map_reduce_ruby_spark.operators import (
         adaptive_nprobe,
+        append_bm25_batch,
         append_ivf_batch,
+        bm25_search,
+        compact_ivf_index,
         ivf_search,
         load_ivf_index,
         read_index_meta,
+        vacuum_index,
+        write_bm25_index,
         write_ivf_index,
     )
     from map_reduce_ruby_spark.operators.dedup_index import (
@@ -56,6 +66,8 @@ def main() -> int:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") % 3 != 0)
     write_minhash_index(corpus, "daily_mh_idx", os.path.join(root, "mh"))
+    bm25_path = os.path.join(root, "bm25")
+    write_bm25_index(spark, corpus, bm25_path)
 
     vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
         F.col("vec_id").alias("id"),
@@ -77,8 +89,11 @@ def main() -> int:
     print(f"day 1: batch {batch.count()} docs -> {len(dup_ids)} near-dups vs "
           f"corpus, {survivors.count()} kept")
 
-    # 2. the kept docs' bands join the standing index (no corpus re-sketch)
+    # 2. the kept docs' bands join the standing band index (no corpus
+    #    re-sketch), and their postings join the BM25 index — whose global
+    #    stats (N, total tokens) update as additive meta counters
     append_minhash_batch(survivors, "daily_mh_idx")
+    append_bm25_batch(spark, survivors, bm25_path, batch_id="day-1")
 
     # 3. the day's vectors join the ANN index (assign-only, no retrain)
     day1_vecs = vecs.filter(F.col("id") >= n // 2)
@@ -98,6 +113,24 @@ def main() -> int:
     n_hits = hits.count()
     assert assignments.count() == n, "index must span both ingests"
     print(f"search over the maintained index: {n_hits} results for 5 queries")
+
+    # 5. lexical retrieval over the maintained inverted index
+    lex = bm25_search(spark, bm25_path, ("data", "query", "join"), top_k=5)
+    print(f"bm25 over the maintained index: {lex.count()} results")
+
+    # ---- scheduled maintenance: OPTIMIZE + VACUUM --------------------------
+    # appends deliberately land one generation per batch; compaction merges
+    # them back (bytes-sized files, cells/buckets stay prunable) and vacuum
+    # reclaims the retired generations AFTER a drain window — here 0 because
+    # this process holds the only readers
+    compact_ivf_index(spark, ivf_path)
+    removed = vacuum_index(ivf_path, grace_sec=0.0)
+    meta = read_index_meta(ivf_path)
+    print(f"compacted: IVF ingests {meta['ingests']}, reclaimed "
+          f"{len(removed)} retired generations; logical batches "
+          f"{meta['batches']}")
+    assignments, centroids = load_ivf_index(spark, ivf_path)
+    assert assignments.count() == n, "compaction must preserve every row"
     print("DAILY INGEST LIFECYCLE COMPLETE")
     return 0
 
