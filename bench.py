@@ -46,6 +46,7 @@ HEADLINE = [
     "knn_ivf_incremental",
     "knn_ivf_compacted",
     "knn_pq_incremental",
+    "knn_ivf_pq_persisted",
     "dedup_embedding_cosine",
     "docs_hybrid_rrf",
     "text_quality_score",
@@ -108,6 +109,8 @@ HEADLINE = [
     "bpe_merge_steps",
     "text_bpe_encode",
     "text_winnowing_fingerprint",
+    "text_kneser_ney_trigram",
+    "er_sorted_neighborhood",
     "graph_triangle_count",
     "stats_moments_corr",
     "events_gap_fill_ffill",

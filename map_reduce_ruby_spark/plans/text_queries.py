@@ -1533,3 +1533,122 @@ def approx_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("est").cast("long").alias("topk_total"),
         F.min(F.when(F.col("est") == F.col("c"), 1).otherwise(0)).alias("all_exact"),
     )
+
+
+# --- Kneser-Ney trigram LM estimation ---------------------------------------
+
+_KN_D = 0.75  # absolute discount at both interpolation levels
+_KN_TOPN = 50
+
+
+@register(
+    "text_kneser_ney_trigram",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS tok FROM documents),
+    tri AS (
+        SELECT tok[i] AS w1, tok[i+1] AS w2, tok[i+2] AS w3, COUNT(*) AS c3
+        FROM toks, UNNEST(range(1, len(tok) - 1)) AS t(i)
+        GROUP BY 1, 2, 3
+    ),
+    ctx AS (SELECT w1, w2, SUM(c3) AS c2, COUNT(*) AS t3 FROM tri GROUP BY w1, w2),
+    cont AS (SELECT w2, w3, COUNT(*) AS n1b FROM tri GROUP BY w2, w3),
+    mid AS (SELECT w2, SUM(n1b) AS nmid, COUNT(*) AS t2 FROM cont GROUP BY w2),
+    uni AS (SELECT w3, COUNT(*) AS n1u FROM cont GROUP BY w3),
+    tot AS (SELECT COUNT(*) AS t FROM cont),
+    scored AS (
+        SELECT tri.w1, tri.w2, tri.w3, tri.c3,
+               GREATEST(CAST(tri.c3 AS DOUBLE) - {_KN_D}, 0.0) / ctx.c2
+               + ({_KN_D} * ctx.t3 / ctx.c2)
+                 * (GREATEST(CAST(cont.n1b AS DOUBLE) - {_KN_D}, 0.0) / mid.nmid
+                    + ({_KN_D} * mid.t2 / mid.nmid)
+                      * (CAST(uni.n1u AS DOUBLE) / tot.t)) AS p
+        FROM tri
+        JOIN ctx ON ctx.w1 = tri.w1 AND ctx.w2 = tri.w2
+        JOIN cont ON cont.w2 = tri.w2 AND cont.w3 = tri.w3
+        JOIN mid ON mid.w2 = tri.w2
+        JOIN uni ON uni.w3 = tri.w3
+        CROSS JOIN tot
+    )
+    SELECT w1, w2, w3, CAST(c3 AS BIGINT) AS c3, ROUND(p, 6) AS p_kn
+    FROM scored
+    ORDER BY c3 DESC, w1, w2, w3
+    LIMIT {_KN_TOPN}
+    """,
+    doc="Interpolated Kneser-Ney trigram LM estimation (Chen & Goodman's "
+    "formulation, absolute discount D=0.75 at both levels) — the real "
+    "n-gram LM trainer shape, a level up from the bigram add-one model "
+    "text_bigram_lm_score bands with. Every term is a COUNT from grouped "
+    "trigram-TYPE tables: trigram tokens c3 and context totals c2/t3; "
+    "continuation counts n1b = distinct left-extensions of each (w2,w3) "
+    "(the KN signature: a bigram's probability mass comes from how many "
+    "contexts it completes, not how often it occurs); middle totals "
+    "nmid/t2; unigram continuation n1u over the bigram-type universe T. "
+    "The probability is ONE float expression over those integers, written "
+    "identically on both engines (exactly-rounded IEEE ops only, no "
+    "transcendentals — unlike the log-prob pipelines, no grid snapping is "
+    "needed for a hash match). Emits the top-50 trigrams by count with "
+    "their smoothed probabilities. At 100 TB: count tables are "
+    "uniform-keyed aggregations with map-side partials, the scoring joins "
+    "are n-gram-key equi-joins, and the final top-k is TakeOrdered — no "
+    "document-pair join, no global window, no driver loop.",
+    tags=("text", "lm", "extension"),
+)
+def text_kneser_ney_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens_spark(F.col("text")).alias("tok"))
+    tri = (
+        toks.select(
+            F.explode(
+                F.when(
+                    F.size("tok") >= 3,
+                    F.expr(
+                        "transform(sequence(1, size(tok) - 2),"
+                        " i -> struct(element_at(tok, i) AS w1,"
+                        "             element_at(tok, i + 1) AS w2,"
+                        "             element_at(tok, i + 2) AS w3))"
+                    ),
+                ).otherwise(
+                    F.expr(
+                        "CAST(array() AS"
+                        " array<struct<w1:string,w2:string,w3:string>>)"
+                    )
+                )
+            ).alias("g")
+        )
+        .select("g.w1", "g.w2", "g.w3")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    ctx = tri.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("c2"), F.count(F.lit(1)).alias("t3")
+    )
+    cont = tri.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("n1b"))
+    mid = cont.groupBy("w2").agg(
+        F.sum("n1b").alias("nmid"), F.count(F.lit(1)).alias("t2")
+    )
+    uni = cont.groupBy("w3").agg(F.count(F.lit(1)).alias("n1u"))
+    tot = cont.agg(F.count(F.lit(1)).alias("t"))
+    d = F.lit(_KN_D)
+    # the same expression tree as the oracle's — exactly-rounded IEEE
+    # ops over integer counts, so the doubles are bit-identical
+    p_uni = F.col("n1u").cast("double") / F.col("t")
+    p_bi = (
+        F.greatest(F.col("n1b").cast("double") - d, F.lit(0.0)) / F.col("nmid")
+        + (d * F.col("t2") / F.col("nmid")) * p_uni
+    )
+    p_kn = (
+        F.greatest(F.col("c3").cast("double") - d, F.lit(0.0)) / F.col("c2")
+        + (d * F.col("t3") / F.col("c2")) * p_bi
+    )
+    scored = (
+        tri.join(ctx, ["w1", "w2"])
+        .join(cont, ["w2", "w3"])
+        .join(mid, "w2")
+        .join(uni, "w3")
+        .crossJoin(F.broadcast(tot))  # 1-row scalar (bigram-type count)
+        .select("w1", "w2", "w3", F.col("c3").cast("long").alias("c3"),
+                F.round(p_kn, 6).alias("p_kn"))
+    )
+    return scored.orderBy(
+        F.desc("c3"), F.asc("w1"), F.asc("w2"), F.asc("w3")
+    ).limit(_KN_TOPN)

@@ -421,3 +421,35 @@ def test_load_rejects_legacy_layout_clearly(spark, sf_dir, tmp_path):
         json.dump(legacy, f)
     with pytest.raises(ValueError, match="layout"):
         load_ivf_index(spark, path)
+
+
+def test_ivf_pq_persisted_entry_reloads_both_artifacts(spark, sf_dir):
+    """The composed catalog entry: the first run trains and persists BOTH
+    artifacts (IVF cells + PQ codes); a second run must serve from storage
+    alone — no file under either index root is rewritten — and return the
+    identical ranked result."""
+    import tempfile
+
+    from map_reduce_ruby_spark.operators.ann_index import (
+        IVF_INDEX_VERSION,
+        PQ_INDEX_VERSION,
+    )
+    from map_reduce_ruby_spark.plans import all_entries
+    from map_reduce_ruby_spark.sources.tables import table_fingerprint
+
+    fn = all_entries()["knn_ivf_pq_persisted"].fn
+    first = _ranked(fn(spark, sf_dir))
+    assert first  # the fixture corpus is non-empty
+
+    tag = table_fingerprint(sf_dir, "embeddings")
+    roots = [
+        os.path.join(tempfile.gettempdir(), f"ivf_idx_v{IVF_INDEX_VERSION}_{tag}"),
+        os.path.join(tempfile.gettempdir(), f"pq_full_idx_v{PQ_INDEX_VERSION}_{tag}"),
+    ]
+    for r in roots:
+        assert os.path.isdir(r), r
+    before = {r: _mtimes(r) for r in roots}
+    second = _ranked(fn(spark, sf_dir))
+    assert second == first
+    for r in roots:
+        assert _mtimes(r) == before[r], f"{r} was rewritten on reload"

@@ -59,6 +59,10 @@ REPRESENTATIVE = [
     "dedup_index_append",           # empty corpus/batch/probe slices
     "knn_pq_incremental",           # empty corpus -> no build, no append
     "streaming_index_ingest",       # empty stream drop -> drained, empty probe
+    # round-8 additions
+    "er_sorted_neighborhood",       # empty record set -> schema-stable empty
+    "text_kneser_ney_trigram",      # zero trigram types -> empty top-k
+    "knn_ivf_pq_persisted",         # empty corpus -> neither artifact written
 ]
 
 

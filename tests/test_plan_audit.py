@@ -32,12 +32,14 @@ EXECUTING_ENTRIES = {
     "knn_ivf",
     "knn_ivf_pq",  # builds + joins the two component indexes at build time
     "knn_ivf_persisted",  # writes the durable IVF index at build time
+    "knn_ivf_pq_persisted",  # writes/loads BOTH durable artifacts at build time
     "dedup_clusters_cc",
     "dedup_clusters_cc_star",
     "dedup_cleaned_corpus",
     "corpus_budget_cut",
     "corpus_materialize",
     "sequence_pack_shards",  # prefix_sum collects bucket totals at build time
+    "er_sorted_neighborhood",  # prefix_sum rank scans collect bucket totals
     "knn_pandas_udf",  # collects the 10-row query matrix at build time
     "ntile_customer_spend_deciles_ranged",  # collects 9 quantile boundaries at build time
 
@@ -64,6 +66,7 @@ ONE_ROW_BROADCAST = {
     "text_bigram_lm_score",         # corpus bigram total scalar
     "text_pmi_collocations",        # corpus token total scalar
     "text_bm25_search",             # avg doc length scalar
+    "text_kneser_ney_trigram",      # bigram-type-count scalar (KN base T)
 }
 
 

@@ -261,3 +261,44 @@ def test_simhash_bitsample_equals_banded_hamming(spark, sf_dir):
     sampled = set(map(tuple, e["dedup_simhash_bitsample"].fn(spark, sf_dir).collect()))
     assert banded == sampled
     assert len(banded) > 0  # non-vacuous: the fixture has near-dup families
+
+
+def test_kneser_ney_trigram_hand_computed(spark, tmp_path):
+    """Pin the interpolated-KN formula on a corpus small enough to verify
+    by hand: one document 'a b c a b d' (trigram types abc/bca/cab/abd,
+    all count 1). With D = 0.75:
+      p(c|a,b) = .25/2 + (.75*2/2) * (.25/2 + (.75*2/2) * 1/4) = 0.359375
+      p(a|b,c) = .25/1 + (.75*1/1) * (.25/1 + (.75*1/1) * 1/4) = 0.578125
+    and the (a,b) context's two continuations are symmetric."""
+    import pyspark.sql.functions as F_
+
+    from map_reduce_ruby_spark.plans import all_entries
+
+    d = tmp_path / "kn_docs"
+    docs = spark.createDataFrame(
+        [(0, "a b c a b d")], "doc_id long, text string"
+    ).select(
+        "doc_id", "text", F_.lit("en").alias("lang"),
+        F_.lit("s").alias("source"), F_.length("text").alias("n_chars"),
+    )
+    docs.write.parquet(str(d / "documents.parquet"))
+    out = {
+        (r.w1, r.w2, r.w3): (r.c3, r.p_kn)
+        for r in all_entries()["text_kneser_ney_trigram"].fn(spark, str(d)).collect()
+    }
+    assert out == {
+        ("a", "b", "c"): (1, 0.359375),
+        ("a", "b", "d"): (1, 0.359375),
+        ("b", "c", "a"): (1, 0.578125),
+        ("c", "a", "b"): (1, 0.578125),
+    }
+
+
+def test_kneser_ney_probabilities_are_proper(spark, sf_dir):
+    """On the fixture corpus every emitted smoothed probability lies in
+    (0, 1] — the discount/interpolation arithmetic never leaks mass."""
+    from map_reduce_ruby_spark.plans import all_entries
+
+    rows = all_entries()["text_kneser_ney_trigram"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(0.0 < r.p_kn <= 1.0 for r in rows)
