@@ -108,6 +108,7 @@ HEADLINE = [
     "lateral_topk_customers",
     "bpe_merge_steps",
     "text_bpe_encode",
+    "text_bpe_persisted",
     "text_winnowing_fingerprint",
     "text_kneser_ney_trigram",
     "er_sorted_neighborhood",
@@ -115,6 +116,7 @@ HEADLINE = [
     "stats_moments_corr",
     "events_gap_fill_ffill",
     "streaming_mv_refresh",
+    "streaming_dedup_probe",
     "approx_topk_terms",
     "approx_rolling_dau_hll",
     "events_anomaly_zscore",

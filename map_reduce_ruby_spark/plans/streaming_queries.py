@@ -421,6 +421,12 @@ def streaming_chunk_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(stream, f"catalog_chunk_stream_wc_{tag}")
 
 
+def _probe_oracle() -> str:
+    from map_reduce_ruby_spark.plans.dedup_queries import _INCR_MINHASH_ORACLE
+
+    return _INCR_MINHASH_ORACLE
+
+
 def _streaming_index_oracle() -> str:
     from map_reduce_ruby_spark.plans.dedup_queries import _INCR_MINHASH_ORACLE
 
@@ -513,3 +519,91 @@ def streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return dedup_against_index(spark, probe, table)
+
+
+@register(
+    "streaming_dedup_probe",
+    # SAME oracle as dedup_persisted_index / dedup_incremental_minhash:
+    # probing is per-document and stateless, so probe-on-arrival through
+    # micro-batches must equal the one-shot batch probe exactly.
+    oracle=_probe_oracle(),
+    doc="The INGEST GATE of a pretraining pipeline run through the "
+    "streaming engine: new documents arrive as a parquet file stream "
+    "(maxFilesPerTrigger=1 — several genuine micro-batches) and EACH "
+    "micro-batch is near-dup-checked ON ARRIVAL against the STANDING "
+    "persisted MinHash band index (the same bucketed table "
+    "dedup_persisted_index builds from the corpus slice — standing "
+    "means: built once, shared across consumers, NOT touched by this "
+    "stream). foreachBatch sketches only the arriving rows and probes "
+    "the bucketed index scan, appending verdicts to a parquet sink; "
+    "after the availableNow drain the accumulated verdicts are returned. "
+    "streaming_index_ingest proves micro-batched MAINTENANCE equals "
+    "batch maintenance; this entry proves micro-batched PROBING equals "
+    "the batch probe (each doc lives in exactly one micro-batch, and "
+    "the probe's groupBy is per doc) — together they close the "
+    "continuous corpus loop: filter arrivals against the index, then "
+    "ingest the survivors. At 100 TB each day's gate pays one "
+    "batch-sized sketch + one pruned index join, never a corpus scan.",
+    tags=("streaming", "dedup", "persisted", "custom-operator"),
+)
+def streaming_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_ruby_spark.operators.dedup_index import (
+        dedup_against_index,
+        write_minhash_index,
+    )
+    from map_reduce_ruby_spark.sources import load_table
+    from map_reduce_ruby_spark.sources.tables import table_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = table_fingerprint(sf_dir, "documents")
+
+    # the STANDING index: same corpus slice, same content-addressed table
+    # as dedup_persisted_index — whichever entry runs first builds it
+    table = f"mh_band_idx_{tag}"
+    if not spark.catalog.tableExists(table):
+        path = os.path.join(tempfile.gettempdir(), f"mh_band_idx_{tag}")
+        write_minhash_index(docs.filter(F.col("doc_id") % 5 != 0), table, path)
+
+    # arrivals: the probe slice as a 3-file drop so the stream sees
+    # multiple micro-batches (repartition, not coalesce — see
+    # streaming_index_ingest)
+    drop = os.path.join(tempfile.gettempdir(), f"mh_probe_drop_{tag}")
+    if not os.path.exists(os.path.join(drop, "_SUCCESS")):
+        docs.filter(F.col("doc_id") % 5 == 0).repartition(3).write.mode(
+            "overwrite"
+        ).parquet(drop)
+
+    sink = tempfile.mkdtemp(prefix="mh_probe_sink_")
+    ckpt = tempfile.mkdtemp(prefix="mh_probe_ckpt_")
+    try:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(drop)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch_df, _eid: dedup_against_index(
+                    spark, batch_df, table
+                ).write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        empty = "doc_id long, dup_of long, n_shared_bands long"
+        if not any(f.endswith(".parquet") for f in os.listdir(sink)):
+            return spark.createDataFrame([], empty)  # no arrivals at all
+        # detach the result from the sink files so the per-invocation sink
+        # can be reclaimed now instead of accumulating in /tmp
+        return spark.read.parquet(sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)

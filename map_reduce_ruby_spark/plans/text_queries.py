@@ -1652,3 +1652,62 @@ def text_kneser_ney_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("c3"), F.asc("w1"), F.asc("w2"), F.asc("w3")
     ).limit(_KN_TOPN)
+
+
+@register(
+    "text_bpe_persisted",
+    oracle=_bpe_encode_sql(),
+    doc="The DURABLE form of text_bpe_encode: the trained tokenizer — "
+    "learned merge list + fully-encoded word vocabulary — is persisted as "
+    "a versioned parquet artifact (operators/tokenizer_store.py, the same "
+    "staged-atomic keep-winner publish as the ANN/BM25 stores) and the "
+    "corpus is encoded FROM STORAGE: a restarted session broadcasts the "
+    "stored vocab against the exploded corpus with zero training jobs "
+    "(mtimes pinned in tests). BPE deliberately has NO append path — "
+    "merges are a global frequency argmax, so new data means retrain; the "
+    "artifact is write-once/reload-many, which is how production "
+    "tokenizers version too. Gated on the SAME train+encode full-rebuild "
+    "oracle as text_bpe_encode, so stored == derived holds for the "
+    "tokenizer exactly as it does for every other persisted artifact.",
+    tags=("text", "tokenizer", "persisted", "extension"),
+)
+def text_bpe_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from map_reduce_ruby_spark.operators.tokenizer_store import (
+        BPE_TOKENIZER_VERSION,
+        bpe_tokenizer_exists,
+        load_bpe_tokenizer,
+        write_bpe_tokenizer,
+    )
+    from map_reduce_ruby_spark.sources.tables import table_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = table_fingerprint(sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(), f"bpe_tok_v{BPE_TOKENIZER_VERSION}_{tag}"
+    )
+    if not bpe_tokenizer_exists(path, _BPE_STEPS):
+        merges, vocab = _bpe_learn(spark, docs, return_tokens=True)
+        write_bpe_tokenizer(merges, vocab, path, steps=_BPE_STEPS)
+    _, vocab = load_bpe_tokenizer(spark, path)
+    wt = vocab.select(
+        "word",
+        F.length("word").cast("long").alias("n_before"),
+        F.size("toks").cast("long").alias("n_after"),
+    )
+    corpus = docs.select(
+        "doc_id", "source", F.explode(_tokens_spark(F.col("text"))).alias("word")
+    )
+    per_doc = (
+        corpus.join(F.broadcast(wt), "word")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("n_before").alias("nb"), F.sum("n_after").alias("na"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nb").cast("long").alias("tok_before"),
+        F.sum("na").cast("long").alias("tok_after"),
+        F.round(F.sum("na").cast("double") / F.sum("nb"), 6).alias("compression"),
+    )

@@ -262,3 +262,43 @@ def test_compact_derives_bucket_spec_and_append_follows_flip(
         for r in dedup_against_index(spark, batch, "mh_spec_full").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_probe_equals_batch_probe_and_leaves_index_untouched(
+    spark, sf_dir
+):
+    """Probe-on-arrival through micro-batches must return EXACTLY the
+    one-shot batch probe's verdicts, and the standing index must not be
+    written by the stream (it is a read-only consumer)."""
+    import os
+    import tempfile
+
+    from map_reduce_ruby_spark.sources.tables import table_fingerprint
+
+    e = all_entries()
+    streamed = sorted(
+        map(tuple, e["streaming_dedup_probe"].fn(spark, sf_dir).collect())
+    )
+    batch = sorted(
+        map(tuple, e["dedup_persisted_index"].fn(spark, sf_dir).collect())
+    )
+    assert streamed == batch
+    assert streamed  # the fixture has cross-slice near-dups
+
+    tag = table_fingerprint(sf_dir, "documents")
+    idx_path = os.path.join(tempfile.gettempdir(), f"mh_band_idx_{tag}")
+    mt = {}
+    for root, _d, files in os.walk(idx_path):
+        for f in files:
+            p = os.path.join(root, f)
+            mt[p] = os.path.getmtime(p)
+    again = sorted(
+        map(tuple, e["streaming_dedup_probe"].fn(spark, sf_dir).collect())
+    )
+    assert again == streamed
+    got = {}
+    for root, _d, files in os.walk(idx_path):
+        for f in files:
+            p = os.path.join(root, f)
+            got[p] = os.path.getmtime(p)
+    assert got == mt, "the stream wrote into the standing index"

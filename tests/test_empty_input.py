@@ -63,6 +63,8 @@ REPRESENTATIVE = [
     "er_sorted_neighborhood",       # empty record set -> schema-stable empty
     "text_kneser_ney_trigram",      # zero trigram types -> empty top-k
     "knn_ivf_pq_persisted",         # empty corpus -> neither artifact written
+    "text_bpe_persisted",           # empty trainer -> empty stored vocab
+    "streaming_dedup_probe",        # zero arrivals -> schema-stable empty
 ]
 
 

@@ -28,6 +28,7 @@ EXECUTING_ENTRIES = {
     "streaming_session_windows",
     "streaming_mv_refresh",
     "streaming_chunk_wordcount",  # writes chunk files + drains the stream
+    "streaming_dedup_probe",  # drains the stream, probing per micro-batch
     "dedup_persisted_index",  # writes the bucketed band index at build time
     "knn_ivf",
     "knn_ivf_pq",  # builds + joins the two component indexes at build time
@@ -46,6 +47,7 @@ EXECUTING_ENTRIES = {
     "dedup_ngram_jaccard",  # localCheckpoints its shingle set at build time
     "bpe_merge_steps",  # localCheckpoints each merge round's token table
     "text_bpe_encode",  # same checkpointed trainer + final encode fold
+    "text_bpe_persisted",  # trains/writes the tokenizer artifact at build time
 }
 
 # There is NO quadratic allowlist: every catalog plan must be free of
