@@ -7,6 +7,7 @@ from map_reduce_ruby_spark.operators.connected_components import (
     connected_components_star,
     incremental_connected_components,
 )
+from map_reduce_ruby_spark.operators.er import sorted_neighborhood_candidates
 from map_reduce_ruby_spark.operators.prefix_sum import exclusive_prefix_sum
 from map_reduce_ruby_spark.operators.range_join import range_join
 from map_reduce_ruby_spark.operators.ann_index import (
@@ -61,6 +62,7 @@ __all__ = [
     "connected_components_star",
     "incremental_connected_components",
     "exclusive_prefix_sum",
+    "sorted_neighborhood_candidates",
     "range_join",
     "adaptive_cell_count",
     "adaptive_nprobe",

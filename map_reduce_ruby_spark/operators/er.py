@@ -1,0 +1,99 @@
+"""Sorted-neighborhood record linkage as a reusable operator.
+
+``sorted_neighborhood_candidates`` is the blocking half of entity
+resolution (Hernandez & Stolfo, SIGMOD'95): records from two sides are
+globally sorted by each blocking key, and every record is paired with its
+``window`` nearest neighbors in that order. Multi-pass (several keys)
+unions the per-pass candidates. The caller supplies the verify metric —
+the catalog entry (plans/er_queries.py) uses 3-gram shingle Jaccard; any
+pairwise similarity over the candidate table works.
+
+Guarantees that make it 100 TB-shaped:
+
+- Candidate volume is EXACTLY n*window per pass, independent of the key
+  distribution — the worst-case-safe alternative to LSH banding, whose
+  hot buckets fan out quadratically on skewed keys.
+- The global rank comes from the two-phase prefix scan
+  (operators/prefix_sum.py): per-bucket totals collected once (bounded
+  by distinct leading bytes of the key), windows only WITHIN buckets —
+  never Spark's single-partition global window.
+- The neighbor pairing is an equi-join on rank+offset (offsets exploded
+  1..window) — no range join, no BroadcastNestedLoopJoin.
+
+Constraint inherited from the prefix scan: a key's FIRST BYTE must order
+consistently with the full string (true for ASCII keys; supply a
+``bucket_fn`` for other domains).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _global_rank(
+    records: DataFrame, key: str, bucket_fn: Callable[[Column], Column] | None
+) -> DataFrame:
+    from map_reduce_ruby_spark.operators.prefix_sum import exclusive_prefix_sum
+
+    bucket = (
+        bucket_fn(F.col("__k"))
+        if bucket_fn is not None
+        else F.ascii(F.substring(F.col("__k"), 1, 1))
+    )
+    ranked = exclusive_prefix_sum(
+        records.select(
+            "rec_id", "side", F.col(key).alias("__k"), F.lit(1).alias("__one")
+        ),
+        "__one",
+        ["__k", "rec_id"],
+        bucket,
+        out_col="rk",
+    )
+    return ranked.select("rec_id", "side", "rk")
+
+
+def sorted_neighborhood_candidates(
+    records: DataFrame,
+    keys: list[str],
+    window: int,
+    cross_side_only: bool = True,
+    bucket_fn: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """Candidate pairs (a_id, b_id) from multi-pass sorted-neighborhood
+    blocking over ``records`` (rec_id, side, <key columns>). For each key
+    in ``keys``, records are globally ordered by (key, rec_id) and each
+    record pairs with its next ``window`` neighbors; passes union and
+    pairs dedupe. With ``cross_side_only`` (record linkage) only pairs
+    whose sides differ survive, canonicalized as (side-0 id, side-1 id);
+    without it (within-corpus dedup) pairs are canonicalized a_id < b_id.
+    """
+    per_pass = []
+    for key in keys:
+        ranked = _global_rank(records, key, bucket_fn)
+        offs = F.explode(F.sequence(F.lit(1), F.lit(window))).alias("off")
+        left = ranked.select(
+            F.col("rec_id").alias("da"), F.col("side").alias("sa"),
+            (F.col("rk") + F.col("off")).alias("rk_b"),
+            offs,
+        ).select("da", "sa", "rk_b")
+        right = ranked.select(
+            F.col("rec_id").alias("db"), F.col("side").alias("sb"),
+            F.col("rk").alias("rk_b"),
+        )
+        per_pass.append(left.join(right, "rk_b").select("da", "sa", "db", "sb"))
+    pairs = per_pass[0]
+    for p in per_pass[1:]:
+        pairs = pairs.unionAll(p)
+    if cross_side_only:
+        pairs = pairs.filter(F.col("sa") != F.col("sb")).select(
+            F.when(F.col("sa") == 0, F.col("da")).otherwise(F.col("db")).alias("a_id"),
+            F.when(F.col("sa") == 0, F.col("db")).otherwise(F.col("da")).alias("b_id"),
+        )
+    else:
+        pairs = pairs.select(
+            F.least("da", "db").alias("a_id"), F.greatest("da", "db").alias("b_id")
+        ).filter(F.col("a_id") != F.col("b_id"))
+    return pairs.distinct()

@@ -43,41 +43,6 @@ _ER_THRESHOLD = 0.2  # shingle-Jaccard verify cut (dedup-family convention)
 _TOKENS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
 
 
-def _rank_by(keyed: DataFrame, key: str) -> DataFrame:
-    """Global 0-based rank over (key, doc_id) WITHOUT a single-partition
-    window: two-phase prefix scan bucketed by the key's first byte (a
-    monotone coarsening of ASCII string order — the blocking keys are
-    lowercase word prefixes). Driver traffic is one row per distinct
-    leading byte (<= 128), independent of data size."""
-    from map_reduce_ruby_spark.operators.prefix_sum import exclusive_prefix_sum
-
-    ranked = exclusive_prefix_sum(
-        keyed.select("doc_id", "side", F.col(key).alias("__k"), F.lit(1).alias("__one")),
-        "__one",
-        ["__k", "doc_id"],
-        F.ascii(F.substring(F.col("__k"), 1, 1)),
-        out_col="rk",
-    )
-    return ranked.select("doc_id", "side", "rk")
-
-
-def _window_pairs(ranked: DataFrame, w: int) -> DataFrame:
-    """All (a, b) record pairs within w positions in this pass's sort
-    order, cross-side only. An equi-join on rank + offset (offsets exploded
-    1..w) — n*w rows, no range join, no BNLJ."""
-    offs = F.explode(F.sequence(F.lit(1), F.lit(w))).alias("off")
-    left = ranked.select(
-        F.col("doc_id").alias("da"), F.col("side").alias("sa"),
-        (F.col("rk") + F.col("off")).alias("rk_b"),
-        offs,
-    ).select("da", "sa", "rk_b")
-    right = ranked.select(
-        F.col("doc_id").alias("db"), F.col("side").alias("sb"),
-        F.col("rk").alias("rk_b"),
-    )
-    return left.join(right, "rk_b").filter(F.col("sa") != F.col("sb"))
-
-
 @register(
     "er_sorted_neighborhood",
     oracle=f"""
@@ -169,15 +134,15 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared by both passes' rank scans and the verify joins
     keyed = keyed.cache()
 
-    pairs = _window_pairs(_rank_by(keyed, "k1"), _ER_WINDOW).unionAll(
-        _window_pairs(_rank_by(keyed, "k2"), _ER_WINDOW)
-    )
-    cand = (
-        pairs.select(
-            F.when(F.col("sa") == 0, F.col("da")).otherwise(F.col("db")).alias("left_id"),
-            F.when(F.col("sa") == 0, F.col("db")).otherwise(F.col("da")).alias("right_id"),
-        )
-        .distinct()
+    from map_reduce_ruby_spark.operators.er import sorted_neighborhood_candidates
+
+    cand = sorted_neighborhood_candidates(
+        keyed.withColumnRenamed("doc_id", "rec_id"),
+        keys=["k1", "k2"],
+        window=_ER_WINDOW,
+        cross_side_only=True,
+    ).select(
+        F.col("a_id").alias("left_id"), F.col("b_id").alias("right_id")
     )
     la = keyed.select(F.col("doc_id").alias("left_id"), F.col("sh").alias("sh_a"))
     lb = keyed.select(F.col("doc_id").alias("right_id"), F.col("sh").alias("sh_b"))

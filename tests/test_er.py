@@ -1,55 +1,67 @@
-"""Sorted-neighborhood record linkage (plans/er_queries.py): candidate
-volume bound, cross-side invariant, planted-pair recall, and the
-no-single-partition-window plan shape."""
+"""Sorted-neighborhood record linkage (operators/er.py + plans/
+er_queries.py): candidate volume bound, rank order, within-corpus mode,
+planted-pair recall, and the no-single-partition-window plan shape."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from map_reduce_ruby_spark.plans import all_entries
-from map_reduce_ruby_spark.plans.er_queries import (
-    _ER_WINDOW,
-    _rank_by,
-    _window_pairs,
+from map_reduce_ruby_spark.operators.er import (
+    _global_rank,
+    sorted_neighborhood_candidates,
 )
+from map_reduce_ruby_spark.plans import all_entries
+from map_reduce_ruby_spark.plans.er_queries import _ER_WINDOW
 
 
 def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
-def test_candidate_volume_is_n_times_w(spark):
-    # 40 records, all sharing one blocking key (worst-case hot key for
-    # LSH banding): SNM still emits exactly n*w - w*(w+1)/2 ordered
-    # neighbor pairs per pass — candidate volume is data-INDEPENDENT.
+def test_candidate_volume_is_bounded_by_n_times_w(spark):
+    # 40 records, all sharing ONE blocking key (the worst-case hot key for
+    # LSH banding, which would fan out quadratically): SNM's candidate
+    # count stays data-independent — at most n*w pairs per pass.
     n, w = 40, _ER_WINDOW
-    keyed = spark.createDataFrame(
-        [(i, i % 2, "k") for i in range(n)], "doc_id long, side long, k1 string"
+    recs = spark.createDataFrame(
+        [(i, i % 2, "k") for i in range(n)], "rec_id long, side long, k1 string"
     )
-    pairs = _window_pairs(_rank_by(keyed, "k1"), w)
-    # ordered neighbor pairs within w, kept iff sides differ (sides
-    # alternate in rank order here, so odd offsets only)
-    expect = sum(
-        1
-        for a in range(n)
-        for off in range(1, w + 1)
+    cross = sorted_neighborhood_candidates(recs, ["k1"], w).count()
+    # sides alternate in rank order here, so cross-side pairs are the odd
+    # offsets within each window
+    expect_cross = sum(
+        1 for a in range(n) for off in range(1, w + 1)
         if a + off < n and off % 2 == 1
     )
-    got = pairs.count()
-    assert got == expect
-    assert got <= n * w  # the data-independent SNM bound
+    assert cross == expect_cross
+    within = sorted_neighborhood_candidates(
+        recs, ["k1"], w, cross_side_only=False
+    ).count()
+    expect_all = sum(1 for a in range(n) for off in range(1, w + 1) if a + off < n)
+    assert within == expect_all
+    assert within <= n * w  # the SNM bound
 
 
 def test_ranks_match_global_sort_order(spark):
-    keyed = spark.createDataFrame(
+    recs = spark.createDataFrame(
         [(1, 1, "banana"), (2, 0, "apple"), (3, 1, "cherry"), (4, 0, "apple")],
-        "doc_id long, side long, k1 string",
+        "rec_id long, side long, k1 string",
     )
-    got = {
-        r.doc_id: r.rk for r in _rank_by(keyed, "k1").collect()
-    }
+    got = {r.rec_id: r.rk for r in _global_rank(recs, "k1", None).collect()}
     # global order: (apple,2) (apple,4) (banana,1) (cherry,3)
     assert got == {2: 0, 4: 1, 1: 2, 3: 3}
+
+
+def test_multi_pass_union_dedupes_pairs(spark):
+    # two keys with the SAME sort order: each pass emits the same pairs,
+    # the union must still return each pair once
+    recs = spark.createDataFrame(
+        [(i, i % 2, chr(97 + i), chr(97 + i)) for i in range(6)],
+        "rec_id long, side long, k1 string, k2 string",
+    )
+    one = sorted_neighborhood_candidates(recs, ["k1"], 2).collect()
+    both = sorted_neighborhood_candidates(recs, ["k1", "k2"], 2).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, both))
 
 
 def test_planted_cross_side_pair_is_found(spark, tmp_path):
