@@ -112,6 +112,7 @@ HEADLINE = [
     "text_winnowing_fingerprint",
     "text_kneser_ney_trigram",
     "er_sorted_neighborhood",
+    "dedup_sorted_neighborhood",
     "graph_triangle_count",
     "stats_moments_corr",
     "events_gap_fill_ffill",

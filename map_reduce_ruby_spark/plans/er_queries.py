@@ -158,3 +158,108 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("left_id", "right_id", jacc.alias("jacc"))
         .filter(F.col("jacc") >= _ER_THRESHOLD)
     )
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id, {_TOKENS_SQL} AS tok FROM documents)
+        WHERE len(tok) >= 3
+    ),
+    keyed AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tok) - 1),
+                   i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS sh,
+               concat_ws(' ', tok[1], tok[2]) AS k1,
+               concat_ws(' ', tok[-2], tok[-1]) AS k2
+        FROM toks
+    ),
+    r1 AS (SELECT doc_id, row_number() OVER (ORDER BY k1, doc_id) - 1 AS rk
+           FROM keyed),
+    r2 AS (SELECT doc_id, row_number() OVER (ORDER BY k2, doc_id) - 1 AS rk
+           FROM keyed),
+    cand AS (
+        SELECT DISTINCT LEAST(da, db) AS doc_a, GREATEST(da, db) AS doc_b
+        FROM (
+            SELECT a.doc_id AS da, b.doc_id AS db
+            FROM r1 a JOIN r1 b ON b.rk BETWEEN a.rk + 1 AND a.rk + {_ER_WINDOW}
+            UNION ALL
+            SELECT a.doc_id, b.doc_id
+            FROM r2 a JOIN r2 b ON b.rk BETWEEN a.rk + 1 AND a.rk + {_ER_WINDOW}
+        ) p(da, db)
+        WHERE da <> db
+    )
+    SELECT doc_a, doc_b, jacc FROM (
+        SELECT c.doc_a, c.doc_b,
+               ROUND(CAST(len(list_intersect(la.sh, lb.sh)) AS DOUBLE)
+                     / (len(la.sh) + len(lb.sh)
+                        - len(list_intersect(la.sh, lb.sh))), 6) AS jacc
+        FROM cand c
+        JOIN keyed la ON la.doc_id = c.doc_a
+        JOIN keyed lb ON lb.doc_id = c.doc_b
+    ) WHERE jacc >= {_ER_THRESHOLD}
+    """,
+    doc="WITHIN-corpus near-dup discovery by the same multi-pass "
+    "sorted-neighborhood blocking as er_sorted_neighborhood "
+    "(operators/er.py, cross_side_only=False) — the dedup family's "
+    "skew-safe member: MinHash/SimHash band volume degrades on hot bands "
+    "(a band shared by d docs fans out d^2 candidate rows), SNM's "
+    "candidate count is EXACTLY n*w per pass no matter how the blocking "
+    "keys distribute. The trade is recall-by-construction (LSH) vs "
+    "volume-by-construction (SNM): production pipelines run SNM when the "
+    "corpus has adversarial/hot key regions. Verification is the same "
+    "exact 3-gram shingle Jaccard at the same 0.2 threshold, so this "
+    "entry's pairs are directly comparable to dedup_ngram_jaccard's "
+    "(SNM finds the subset whose members sort near each other — the "
+    "window is the recall knob).",
+    tags=("dedup", "er", "blocking", "extension", "custom-operator"),
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_ruby_spark.operators.er import sorted_neighborhood_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    toks = docs.select("doc_id", tok.alias("tok")).filter(F.size("tok") >= 3)
+    if toks.isEmpty():  # schema-stable empty result
+        return spark.createDataFrame([], "doc_a long, doc_b long, jacc double")
+
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("tok") - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("tok", (i + 1).cast("int")),
+                F.element_at("tok", (i + 2).cast("int")),
+                F.element_at("tok", (i + 3).cast("int")),
+            ),
+        )
+    )
+    keyed = toks.select(
+        F.col("doc_id").alias("rec_id"),
+        F.lit(0).alias("side"),  # one corpus: side is a constant
+        sh.alias("sh"),
+        F.concat_ws(
+            " ", F.element_at("tok", 1), F.element_at("tok", 2)
+        ).alias("k1"),
+        F.concat_ws(
+            " ", F.element_at("tok", -2), F.element_at("tok", -1)
+        ).alias("k2"),
+    ).cache()
+
+    cand = sorted_neighborhood_candidates(
+        keyed, keys=["k1", "k2"], window=_ER_WINDOW, cross_side_only=False
+    ).select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
+    la = keyed.select(F.col("rec_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    lb = keyed.select(F.col("rec_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jacc = F.round(
+        inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter), 6
+    )
+    return (
+        cand.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .select("doc_a", "doc_b", jacc.alias("jacc"))
+        .filter(F.col("jacc") >= _ER_THRESHOLD)
+    )

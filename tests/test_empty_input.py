@@ -65,6 +65,7 @@ REPRESENTATIVE = [
     "knn_ivf_pq_persisted",         # empty corpus -> neither artifact written
     "text_bpe_persisted",           # empty trainer -> empty stored vocab
     "streaming_dedup_probe",        # zero arrivals -> schema-stable empty
+    "dedup_sorted_neighborhood",    # empty record set -> schema-stable empty
 ]
 
 

@@ -41,6 +41,7 @@ EXECUTING_ENTRIES = {
     "corpus_materialize",
     "sequence_pack_shards",  # prefix_sum collects bucket totals at build time
     "er_sorted_neighborhood",  # prefix_sum rank scans collect bucket totals
+    "dedup_sorted_neighborhood",  # same prefix_sum rank scans, one corpus
     "knn_pandas_udf",  # collects the 10-row query matrix at build time
     "ntile_customer_spend_deciles_ranged",  # collects 9 quantile boundaries at build time
 
