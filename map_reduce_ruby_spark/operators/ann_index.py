@@ -754,3 +754,116 @@ def vacuum_index(path: str, grace_sec: float = 86400.0) -> list[str]:
                 json.dump(new_meta, f)
             os.replace(tmp, os.path.join(path, _META_NAME))
     return removed
+
+
+# --- composed IVFADC artifact ------------------------------------------------
+
+IVFADC_INDEX_VERSION = 1
+
+
+def _ivfadc_meta(k: int | None, n_sub: int, pk: int) -> dict:
+    return {
+        "format": "ivfadc_index",
+        "version": IVFADC_INDEX_VERSION,
+        "k": "adaptive" if k is None else int(k),
+        "n_sub": int(n_sub),
+        "pk": int(pk),
+    }
+
+
+def ivfadc_index_exists(
+    path: str,
+    k: int | None = None,
+    n_sub: int = 8,
+    pk: int = 16,
+    ivf_path: str | None = None,
+    pq_path: str | None = None,
+) -> bool:
+    """Committed, current-version, AND current w.r.t. its COMPONENTS: the
+    composed table is a materialized view of (IVF cells x PQ codes), so
+    its meta snapshots the component generations it was built from — an
+    append or compaction on either component makes the composed artifact
+    a MISS (rebuild), never a silently stale serve."""
+    meta = _read_meta(path)
+    if meta is None or not _data_committed(path, "codes"):
+        return False
+    identity = {
+        f: v
+        for f, v in meta.items()
+        if f in ("format", "version", "k", "n_sub", "pk")
+    }
+    if identity != _ivfadc_meta(k, n_sub, pk):
+        return False
+    comp = meta.get("components", {})
+    for root, key in ((ivf_path, "ivf_ingests"), (pq_path, "pq_ingests")):
+        if root is None:
+            continue
+        cmeta = _read_meta(root)
+        if cmeta is None or comp.get(key) != cmeta.get("ingests"):
+            return False
+    return True
+
+
+def write_ivfadc_index(
+    spark: SparkSession,
+    ivf_path: str,
+    pq_path: str,
+    path: str,
+    k: int | None = None,
+    n_sub: int = 8,
+    pk: int = 16,
+    replace: bool = False,
+) -> None:
+    """Materialize the composed FAISS IVFADC table — (id, cell,
+    code0..code{n_sub-1}) — from the two component artifacts, PARTITIONED
+    BY cell. The components remain the source of truth (train/append/
+    compact happen there); this is the SERVING layout: the probe's
+    broadcast-cell join drives dynamic partition pruning on the composed
+    scan, so a query batch reads ~nprobe/k of the codes bytes — the
+    property the per-query id-join of the two components cannot have
+    (it re-reads every code row per session). One join at build time,
+    amortized over every probe until a component generation changes
+    (recorded in the meta; ivfadc_index_exists then reports a miss).
+    Same staged-atomic keep-winner publish as the sibling artifacts."""
+    cells, _centroids = load_ivf_index(spark, ivf_path)
+    codes, _books = load_pq_index(spark, pq_path)
+    composed = cells.select("id", "cell").join(codes, "id")
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    composed.write.partitionBy("cell").mode("overwrite").parquet(
+        os.path.join(tmp, "codes", "ingest=1")
+    )
+    comp = {
+        "ivf_ingests": (_read_meta(ivf_path) or {}).get("ingests"),
+        "pq_ingests": (_read_meta(pq_path) or {}).get("ingests"),
+    }
+    with open(os.path.join(tmp, _META_NAME), "w", encoding="utf-8") as f:
+        json.dump(
+            dict(_ivfadc_meta(k, n_sub, pk), batches=1, ingests=[1],
+                 batch_ids=[], components=comp),
+            f,
+        )
+    if replace:
+        shutil.rmtree(path, ignore_errors=True)
+    _publish_atomic(
+        tmp,
+        path,
+        keep_if_valid=lambda p: ivfadc_index_exists(
+            p, k, n_sub, pk, ivf_path=ivf_path, pq_path=pq_path
+        ),
+    )
+
+
+def load_ivfadc_index(spark: SparkSession, path: str) -> DataFrame:
+    """(id, cell, code0..) scanned from the composed artifact, partition-
+    filtered to committed ingests — shaped exactly like
+    build_ivf_pq_index's return so ivf_pq_search accepts it directly."""
+    meta = _read_meta(path)
+    if meta is None or "ingests" not in meta:
+        raise ValueError(f"{path!r} is not a current-layout IVFADC index")
+    ingests = [int(i) for i in meta["ingests"]]
+    scan = spark.read.parquet(os.path.join(path, "codes"))
+    code_cols = [c for c in scan.columns if c.startswith("code")]
+    return (
+        scan.filter(F.col("ingest").isin(ingests))
+        .select("id", F.col("cell").cast("long").alias("cell"), *code_cols)
+    )

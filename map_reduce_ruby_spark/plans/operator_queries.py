@@ -1424,20 +1424,22 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "knn_ivf_pq_persisted",
     oracle=_IVF_PQ_ORACLE,
-    doc="The DURABLE form of knn_ivf_pq: BOTH component artifacts — the "
-    "partitioned IVF cell index (knn_ivf_persisted's content-addressed "
-    "root) and a full-corpus PQ codes+codebooks index — are loaded from "
-    "parquet (built on first touch, reloaded without retraining after), "
-    "joined into the composed (id, cell, codes) IVFADC table, and probed. "
-    "This closes the composed index's deploy story: knn_ivf_pq proves the "
-    "in-session composition, the incremental twins prove per-artifact "
-    "maintenance, and this entry proves a RESTARTED session (or another "
-    "cluster) serves IVFADC queries from the stored artifacts alone — "
-    "gated on the SAME composed full-rebuild oracle as knn_ivf_pq, so "
-    "stored == derived holds for the composition, not just the parts. At "
-    "100 TB the probe reads nprobe/k of the codes bytes (cell partition "
-    "pruning) and n_sub bytes per candidate (ADC) — index maintenance and "
-    "serving never touch full corpus vectors outside the shortlist rerank.",
+    doc="The DURABLE form of knn_ivf_pq — the full FAISS IVFADC serving "
+    "layout: the two component artifacts (the IVF cell index at "
+    "knn_ivf_persisted's content-addressed root; a full-corpus PQ "
+    "codes+codebooks index) are trained/persisted on first touch, then "
+    "MATERIALIZED into a composed (id, cell, code0..) table PARTITIONED "
+    "BY cell (operators/ann_index.py write_ivfadc_index) whose meta "
+    "snapshots the component generations — an append/compaction on "
+    "either component makes the composed artifact a rebuild, never a "
+    "stale serve. Probes read the composed scan through dynamic "
+    "partition pruning (plan-asserted in tests), so a query batch reads "
+    "~nprobe/k of the codes bytes and n_sub bytes per candidate (ADC) — "
+    "the per-session id-join of raw components would re-read every code "
+    "row instead. A restarted session serves from the three stored "
+    "artifacts alone (mtimes pinned); gated on the SAME composed "
+    "full-rebuild oracle as knn_ivf_pq, so stored == derived holds for "
+    "the composition, not just the parts.",
     tags=("similarity", "ann", "ivf", "quantization", "persisted",
           "custom-operator"),
 )
@@ -1447,7 +1449,6 @@ def knn_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from map_reduce_ruby_spark.operators import (
         adaptive_nprobe,
-        build_ivf_pq_index,
         ivf_index_exists,
         ivf_pq_search,
         load_ivf_index,
@@ -1457,7 +1458,11 @@ def knn_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from map_reduce_ruby_spark.operators.ann_index import (
         IVF_INDEX_VERSION,
+        IVFADC_INDEX_VERSION,
         PQ_INDEX_VERSION,
+        ivfadc_index_exists,
+        load_ivfadc_index,
+        write_ivfadc_index,
     )
     from map_reduce_ruby_spark.operators.ann_index import load_pq_index as _load_pq
     from map_reduce_ruby_spark.sources.tables import table_fingerprint
@@ -1478,15 +1483,25 @@ def knn_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_path = os.path.join(
         tempfile.gettempdir(), f"pq_full_idx_v{PQ_INDEX_VERSION}_{tag}"
     )
+    adc_path = os.path.join(
+        tempfile.gettempdir(), f"ivfadc_idx_v{IVFADC_INDEX_VERSION}_{tag}"
+    )
     if not ivf_index_exists(ivf_path):
         write_ivf_index(spark, v, ivf_path, k=None)
     if not pq_index_exists(pq_path, _IVF_DIM, _PQ_NSUB, _PQ_K):
         write_pq_index(
             spark, v, pq_path, dim=_IVF_DIM, n_sub=_PQ_NSUB, k=_PQ_K
         )
-    cells, centroids = load_ivf_index(spark, ivf_path)
-    codes, books = _load_pq(spark, pq_path)
-    indexed = build_ivf_pq_index(cells, codes)
+    if not ivfadc_index_exists(
+        adc_path, None, _PQ_NSUB, _PQ_K, ivf_path=ivf_path, pq_path=pq_path
+    ):
+        write_ivfadc_index(
+            spark, ivf_path, pq_path, adc_path,
+            k=None, n_sub=_PQ_NSUB, pk=_PQ_K,
+        )
+    _cells, centroids = load_ivf_index(spark, ivf_path)
+    _codes, books = _load_pq(spark, pq_path)
+    indexed = load_ivfadc_index(spark, adc_path)
     queries = v.filter(F.col("id") < _PQ_NQ).select(
         F.col("id").alias("qid"), F.col("e").alias("qe")
     )

@@ -423,15 +423,17 @@ def test_load_rejects_legacy_layout_clearly(spark, sf_dir, tmp_path):
         load_ivf_index(spark, path)
 
 
-def test_ivf_pq_persisted_entry_reloads_both_artifacts(spark, sf_dir):
-    """The composed catalog entry: the first run trains and persists BOTH
-    artifacts (IVF cells + PQ codes); a second run must serve from storage
-    alone — no file under either index root is rewritten — and return the
-    identical ranked result."""
+def test_ivf_pq_persisted_entry_reloads_all_artifacts(spark, sf_dir):
+    """The composed catalog entry: the first run trains/persists the two
+    component artifacts AND materializes the composed cell-partitioned
+    IVFADC table; a second run must serve from storage alone — no file
+    under ANY of the three roots is rewritten — and return the identical
+    ranked result."""
     import tempfile
 
     from map_reduce_ruby_spark.operators.ann_index import (
         IVF_INDEX_VERSION,
+        IVFADC_INDEX_VERSION,
         PQ_INDEX_VERSION,
     )
     from map_reduce_ruby_spark.plans import all_entries
@@ -445,6 +447,7 @@ def test_ivf_pq_persisted_entry_reloads_both_artifacts(spark, sf_dir):
     roots = [
         os.path.join(tempfile.gettempdir(), f"ivf_idx_v{IVF_INDEX_VERSION}_{tag}"),
         os.path.join(tempfile.gettempdir(), f"pq_full_idx_v{PQ_INDEX_VERSION}_{tag}"),
+        os.path.join(tempfile.gettempdir(), f"ivfadc_idx_v{IVFADC_INDEX_VERSION}_{tag}"),
     ]
     for r in roots:
         assert os.path.isdir(r), r
@@ -453,3 +456,53 @@ def test_ivf_pq_persisted_entry_reloads_both_artifacts(spark, sf_dir):
     assert second == first
     for r in roots:
         assert _mtimes(r) == before[r], f"{r} was rewritten on reload"
+
+
+def test_ivfadc_probe_prunes_partitions(spark, sf_dir):
+    """The probe against the composed cell-partitioned IVFADC artifact
+    must drive dynamic partition pruning: only probed cells' code files
+    are read."""
+    from map_reduce_ruby_spark.plans import all_entries
+
+    df = all_entries()["knn_ivf_pq_persisted"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        line for line in plan.splitlines()
+        if "FileScan" in line and "ivfadc_idx" in line
+    )
+    assert "dynamicpruning" in plan.lower(), plan
+    assert "PartitionFilters" in scan, scan
+
+
+def test_ivfadc_goes_stale_when_a_component_moves(spark, sf_dir, tmp_path):
+    """The composed artifact snapshots its components' generations: an
+    append on the IVF component must turn ivfadc_index_exists into a
+    MISS (rebuild), never a silently stale serve."""
+    from map_reduce_ruby_spark.operators.ann_index import (
+        append_ivf_batch,
+        ivfadc_index_exists,
+        write_ivf_index,
+        write_ivfadc_index,
+        write_pq_index,
+    )
+
+    v = _vectors(spark, sf_dir)
+    n = v.count()
+    half = n // 2
+    ivf_p = str(tmp_path / "ivf")
+    pq_p = str(tmp_path / "pq")
+    adc_p = str(tmp_path / "adc")
+    write_ivf_index(spark, v.filter(F.col("id") < half), ivf_p, k=None)
+    write_pq_index(
+        spark, v.filter(F.col("id") < half), pq_p, dim=64, n_sub=8, k=16
+    )
+    write_ivfadc_index(spark, ivf_p, pq_p, adc_p, k=None, n_sub=8, pk=16)
+    assert ivfadc_index_exists(
+        adc_p, None, 8, 16, ivf_path=ivf_p, pq_path=pq_p
+    )
+    append_ivf_batch(
+        spark, v.filter(F.col("id") >= half), ivf_p, batch_id="b2"
+    )
+    assert not ivfadc_index_exists(
+        adc_p, None, 8, 16, ivf_path=ivf_p, pq_path=pq_p
+    ), "component append did not invalidate the composed artifact"
