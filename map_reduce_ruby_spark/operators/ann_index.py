@@ -825,17 +825,38 @@ def write_ivfadc_index(
     amortized over every probe until a component generation changes
     (recorded in the meta; ivfadc_index_exists then reports a miss).
     Same staged-atomic keep-winner publish as the sibling artifacts."""
-    cells, _centroids = load_ivf_index(spark, ivf_path)
-    codes, _books = load_pq_index(spark, pq_path)
-    composed = cells.select("id", "cell").join(codes, "id")
+    # Snapshot the component generations BEFORE building, filter the
+    # scans to exactly that snapshot, and record the SAME snapshot in the
+    # composed meta — recording a re-read taken after the build would let
+    # a concurrent component append land between build and publish and
+    # produce a composed artifact that is stale but reports current.
+    ivf_meta, pq_meta = _read_meta(ivf_path), _read_meta(pq_path)
+    if not (ivf_meta and ivf_meta.get("ingests")):
+        raise ValueError(f"{ivf_path!r} does not hold a committed IVF index")
+    if not (pq_meta and pq_meta.get("ingests")):
+        raise ValueError(f"{pq_path!r} does not hold a committed PQ index")
+    comp = {
+        "ivf_ingests": ivf_meta["ingests"],
+        "pq_ingests": pq_meta["ingests"],
+    }
+    # bare data scans, partition-filtered to the snapshot (load_ivf_index/
+    # load_pq_index would also collect centroids/codebooks to the driver —
+    # jobs the writer has no use for)
+    cells = (
+        spark.read.parquet(os.path.join(ivf_path, "cells"))
+        .filter(F.col("ingest").isin([int(i) for i in comp["ivf_ingests"]]))
+        .select("id", F.col("cell").cast("long").alias("cell"))
+    )
+    codes = (
+        spark.read.parquet(os.path.join(pq_path, "pq_codes"))
+        .filter(F.col("ingest").isin([int(i) for i in comp["pq_ingests"]]))
+        .drop("ingest")
+    )
+    composed = cells.join(codes, "id")
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
     composed.write.partitionBy("cell").mode("overwrite").parquet(
         os.path.join(tmp, "codes", "ingest=1")
     )
-    comp = {
-        "ivf_ingests": (_read_meta(ivf_path) or {}).get("ingests"),
-        "pq_ingests": (_read_meta(pq_path) or {}).get("ingests"),
-    }
     with open(os.path.join(tmp, _META_NAME), "w", encoding="utf-8") as f:
         json.dump(
             dict(_ivfadc_meta(k, n_sub, pk), batches=1, ingests=[1],

@@ -95,13 +95,23 @@ def write_bpe_tokenizer(
 
 
 def load_bpe_tokenizer(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, steps: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """(merges, vocab) read from storage — no training jobs. Raises on a
-    missing/mismatched artifact rather than returning half a tokenizer."""
+    missing artifact, a different trainer VERSION, or (when ``steps`` is
+    given) a different merge count — a direct load must be as strict as
+    the ``bpe_tokenizer_exists`` gate, or a caller that skips the gate
+    (or races a concurrent replace=True retrain past it) silently gets a
+    tokenizer trained with different parameters."""
     meta = _read_meta(path)
-    if meta is None or meta.get("format") != "bpe_tokenizer":
+    if meta is None:
         raise ValueError(f"{path!r} does not hold a committed BPE tokenizer")
+    want_steps = meta.get("steps", -1) if steps is None else steps
+    if meta != _tok_meta(want_steps):
+        raise ValueError(
+            f"{path!r} does not hold a committed current-version BPE "
+            f"tokenizer (found meta {meta!r})"
+        )
     merges = spark.read.parquet(os.path.join(path, "merges"))
     vocab = spark.read.parquet(os.path.join(path, "vocab"))
     return merges, vocab

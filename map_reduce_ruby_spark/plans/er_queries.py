@@ -43,6 +43,71 @@ _ER_THRESHOLD = 0.2  # shingle-Jaccard verify cut (dedup-family convention)
 _TOKENS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
 
 
+# Session memo of the shingled+keyed record table — ONE cached copy shared
+# by both SNM entries and both blocking passes (same memo rules as the
+# IVF/PQ/BPE memos: keyed by applicationId, bounded, unpersist on
+# eviction). A per-invocation .cache() would pin a fresh copy every call.
+_ER_KEYED_MEMO: dict = {}
+
+
+def _keyed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rec_id, sh, k1, k2) for documents with >= 3 tokens: the distinct
+    3-gram shingle set (the verify metric's universe) and the two SNM
+    blocking keys (leading and trailing token bigram)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ER_KEYED_MEMO:
+        if len(_ER_KEYED_MEMO) > 8:
+            for cached in _ER_KEYED_MEMO.values():
+                cached.unpersist()
+            _ER_KEYED_MEMO.clear()
+        docs = load_table(spark, sf_dir, "documents")
+        tok = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+        toks = docs.select(
+            F.col("doc_id").alias("rec_id"), tok.alias("tok")
+        ).filter(F.size("tok") >= 3)
+        sh = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tok") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("tok", (i + 1).cast("int")),
+                    F.element_at("tok", (i + 2).cast("int")),
+                    F.element_at("tok", (i + 3).cast("int")),
+                ),
+            )
+        )
+        _ER_KEYED_MEMO[key] = toks.select(
+            "rec_id",
+            sh.alias("sh"),
+            F.concat_ws(
+                " ", F.element_at("tok", 1), F.element_at("tok", 2)
+            ).alias("k1"),
+            F.concat_ws(
+                " ", F.element_at("tok", -2), F.element_at("tok", -1)
+            ).alias("k2"),
+        ).cache()
+    return _ER_KEYED_MEMO[key]
+
+
+def _verify_jaccard(
+    cand: DataFrame, keyed: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Exact shingle-Jaccard verify of candidate pairs: two equi-joins
+    back to the shingle sets, one rounded division, threshold filter."""
+    la = keyed.select(F.col("rec_id").alias(a_col), F.col("sh").alias("sh_a"))
+    lb = keyed.select(F.col("rec_id").alias(b_col), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jacc = F.round(
+        inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter), 6
+    )
+    return (
+        cand.join(la, a_col)
+        .join(lb, b_col)
+        .select(a_col, b_col, jacc.alias("jacc"))
+        .filter(F.col("jacc") >= _ER_THRESHOLD)
+    )
+
+
 @register(
     "er_sorted_neighborhood",
     oracle=f"""
@@ -101,63 +166,16 @@ _TOKENS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
     tags=("er", "dedup", "blocking", "extension", "custom-operator"),
 )
 def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    tok = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
-    toks = docs.select(
-        "doc_id", (F.col("doc_id") % 2).alias("side"), tok.alias("tok")
-    ).filter(F.size("tok") >= 3)
-    if toks.isEmpty():  # schema-stable empty result
-        return spark.createDataFrame([], "left_id long, right_id long, jacc double")
-
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size("tok") - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at("tok", (i + 1).cast("int")),
-                F.element_at("tok", (i + 2).cast("int")),
-                F.element_at("tok", (i + 3).cast("int")),
-            ),
-        )
-    )
-    keyed = toks.select(
-        "doc_id",
-        "side",
-        sh.alias("sh"),
-        F.concat_ws(
-            " ", F.element_at("tok", 1), F.element_at("tok", 2)
-        ).alias("k1"),
-        F.concat_ws(
-            " ", F.element_at("tok", -2), F.element_at("tok", -1)
-        ).alias("k2"),
-    )
-    # shared by both passes' rank scans and the verify joins
-    keyed = keyed.cache()
-
     from map_reduce_ruby_spark.operators.er import sorted_neighborhood_candidates
 
+    keyed = _keyed_shingles(spark, sf_dir)
+    if keyed.isEmpty():  # schema-stable empty result
+        return spark.createDataFrame([], "left_id long, right_id long, jacc double")
+    records = keyed.withColumn("side", F.col("rec_id") % 2)
     cand = sorted_neighborhood_candidates(
-        keyed.withColumnRenamed("doc_id", "rec_id"),
-        keys=["k1", "k2"],
-        window=_ER_WINDOW,
-        cross_side_only=True,
-    ).select(
-        F.col("a_id").alias("left_id"), F.col("b_id").alias("right_id")
-    )
-    la = keyed.select(F.col("doc_id").alias("left_id"), F.col("sh").alias("sh_a"))
-    lb = keyed.select(F.col("doc_id").alias("right_id"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jacc = F.round(
-        inter.cast("double")
-        / (F.size("sh_a") + F.size("sh_b") - inter),
-        6,
-    )
-    return (
-        cand.join(la, "left_id")
-        .join(lb, "right_id")
-        .select("left_id", "right_id", jacc.alias("jacc"))
-        .filter(F.col("jacc") >= _ER_THRESHOLD)
-    )
+        records, keys=["k1", "k2"], window=_ER_WINDOW, cross_side_only=True
+    ).select(F.col("a_id").alias("left_id"), F.col("b_id").alias("right_id"))
+    return _verify_jaccard(cand, keyed, "left_id", "right_id")
 
 
 @register(
@@ -219,47 +237,11 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_ruby_spark.operators.er import sorted_neighborhood_candidates
 
-    docs = load_table(spark, sf_dir, "documents")
-    tok = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
-    toks = docs.select("doc_id", tok.alias("tok")).filter(F.size("tok") >= 3)
-    if toks.isEmpty():  # schema-stable empty result
+    keyed = _keyed_shingles(spark, sf_dir)
+    if keyed.isEmpty():  # schema-stable empty result
         return spark.createDataFrame([], "doc_a long, doc_b long, jacc double")
-
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size("tok") - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at("tok", (i + 1).cast("int")),
-                F.element_at("tok", (i + 2).cast("int")),
-                F.element_at("tok", (i + 3).cast("int")),
-            ),
-        )
-    )
-    keyed = toks.select(
-        F.col("doc_id").alias("rec_id"),
-        F.lit(0).alias("side"),  # one corpus: side is a constant
-        sh.alias("sh"),
-        F.concat_ws(
-            " ", F.element_at("tok", 1), F.element_at("tok", 2)
-        ).alias("k1"),
-        F.concat_ws(
-            " ", F.element_at("tok", -2), F.element_at("tok", -1)
-        ).alias("k2"),
-    ).cache()
-
+    records = keyed.withColumn("side", F.lit(0))  # one corpus: constant side
     cand = sorted_neighborhood_candidates(
-        keyed, keys=["k1", "k2"], window=_ER_WINDOW, cross_side_only=False
+        records, keys=["k1", "k2"], window=_ER_WINDOW, cross_side_only=False
     ).select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
-    la = keyed.select(F.col("rec_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    lb = keyed.select(F.col("rec_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jacc = F.round(
-        inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter), 6
-    )
-    return (
-        cand.join(la, "doc_a")
-        .join(lb, "doc_b")
-        .select("doc_a", "doc_b", jacc.alias("jacc"))
-        .filter(F.col("jacc") >= _ER_THRESHOLD)
-    )
+    return _verify_jaccard(cand, keyed, "doc_a", "doc_b")

@@ -421,12 +421,6 @@ def streaming_chunk_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(stream, f"catalog_chunk_stream_wc_{tag}")
 
 
-def _probe_oracle() -> str:
-    from map_reduce_ruby_spark.plans.dedup_queries import _INCR_MINHASH_ORACLE
-
-    return _INCR_MINHASH_ORACLE
-
-
 def _streaming_index_oracle() -> str:
     from map_reduce_ruby_spark.plans.dedup_queries import _INCR_MINHASH_ORACLE
 
@@ -526,7 +520,7 @@ def streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SAME oracle as dedup_persisted_index / dedup_incremental_minhash:
     # probing is per-document and stateless, so probe-on-arrival through
     # micro-batches must equal the one-shot batch probe exactly.
-    oracle=_probe_oracle(),
+    oracle=_streaming_index_oracle(),
     doc="The INGEST GATE of a pretraining pipeline run through the "
     "streaming engine: new documents arrive as a parquet file stream "
     "(maxFilesPerTrigger=1 — several genuine micro-batches) and EACH "

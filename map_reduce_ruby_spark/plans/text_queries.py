@@ -1691,7 +1691,7 @@ def text_bpe_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not bpe_tokenizer_exists(path, _BPE_STEPS):
         merges, vocab = _bpe_learn(spark, docs, return_tokens=True)
         write_bpe_tokenizer(merges, vocab, path, steps=_BPE_STEPS)
-    _, vocab = load_bpe_tokenizer(spark, path)
+    _, vocab = load_bpe_tokenizer(spark, path, steps=_BPE_STEPS)
     wt = vocab.select(
         "word",
         F.length("word").cast("long").alias("n_before"),
