@@ -126,6 +126,7 @@ HEADLINE = [
     "events_rolling_median",
     "events_value_histogram",
     "corpus_materialize",
+    "corpus_constraint_checks",
 ]
 
 

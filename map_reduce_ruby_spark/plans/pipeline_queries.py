@@ -1136,3 +1136,98 @@ def contamination_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") + (_CONTAM_N - 1)).alias("span_end_tok"),
         (F.max("pos") + (_CONTAM_N - 1) - F.min("pos") + 1).alias("span_tokens"),
     ).drop("grp")
+
+
+@register(
+    "corpus_constraint_checks",
+    oracle="""
+    SELECT 'documents_doc_id_unique' AS check_name,
+           CAST((SELECT COALESCE(SUM(c - 1), 0) FROM (
+               SELECT COUNT(*) AS c FROM documents GROUP BY doc_id
+           ) WHERE c > 1) AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'documents_text_not_null',
+           CAST((SELECT COUNT(*) FROM documents
+                 WHERE text IS NULL OR text = '') AS BIGINT)
+    UNION ALL
+    SELECT 'documents_n_chars_consistent',
+           CAST((SELECT COUNT(*) FROM documents
+                 WHERE n_chars <> length(text)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_custkey_references_customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_orderkey_references_orders',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_quantity_in_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_discount_in_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT)
+    ORDER BY check_name
+    """,
+    doc="Data-quality CONSTRAINT GATE — the dbt-test / expectations suite "
+    "a scheduled corpus pipeline runs before promoting a snapshot: "
+    "uniqueness (grouped count, map-side partials), not-null/derived-"
+    "column consistency (narrow scan-aggregates), referential integrity "
+    "(LEFT ANTI joins — the dimension side broadcasts, no row explosion "
+    "on violations), and range checks. Each constraint reports its exact "
+    "violation count, so the gate is also the diagnostic. All checks are "
+    "independent single-pass aggregates unioned into one bounded report "
+    "(7 rows however large the corpus); at 100 TB nothing here is worse "
+    "than one scan per referenced table.",
+    tags=("pipeline", "quality", "extension"),
+)
+def corpus_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def check(name, n):
+        return n.select(
+            F.lit(name).alias("check_name"),
+            F.coalesce(F.first("v"), F.lit(0)).cast("long").alias("n_violations"),
+        )
+
+    dup_ids = (
+        docs.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.sum(F.col("c") - 1).alias("v"))
+    )
+    null_text = docs.filter(
+        F.col("text").isNull() | (F.col("text") == "")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    chars = docs.filter(F.col("n_chars") != F.length("text")).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    orphan_orders = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_anti"
+    ).agg(F.count(F.lit(1)).alias("v"))
+    orphan_lines = li.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_anti"
+    ).agg(F.count(F.lit(1)).alias("v"))
+    qty = li.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    disc = li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    report = (
+        check("documents_doc_id_unique", dup_ids)
+        .unionAll(check("documents_text_not_null", null_text))
+        .unionAll(check("documents_n_chars_consistent", chars))
+        .unionAll(check("orders_custkey_references_customer", orphan_orders))
+        .unionAll(check("lineitem_orderkey_references_orders", orphan_lines))
+        .unionAll(check("lineitem_quantity_in_range", qty))
+        .unionAll(check("lineitem_discount_in_range", disc))
+    )
+    return report.orderBy("check_name")

@@ -66,6 +66,7 @@ REPRESENTATIVE = [
     "text_bpe_persisted",           # empty trainer -> empty stored vocab
     "streaming_dedup_probe",        # zero arrivals -> schema-stable empty
     "dedup_sorted_neighborhood",    # empty record set -> schema-stable empty
+    "corpus_constraint_checks",     # zero-row tables -> 7 zero-violation rows
 ]
 
 
@@ -79,10 +80,22 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory):
     return str(d)
 
 
+# Fixed-shape report queries: their row count is the REPORT's size, not
+# the input's — on empty tables they must return the full report with
+# zero counts, not zero rows.
+FIXED_REPORT_ROWS = {
+    "corpus_constraint_checks": 7,  # one row per constraint, all zeros
+}
+
+
 @pytest.mark.parametrize("name", REPRESENTATIVE)
 def test_query_survives_empty_tables(spark, empty_sf_dir, name):
     df = all_entries()[name].fn(spark, empty_sf_dir)
     rows = df.collect()
+    if name in FIXED_REPORT_ROWS:
+        assert len(rows) == FIXED_REPORT_ROWS[name], rows
+        assert all(r.n_violations == 0 for r in rows), rows
+        return
     # empty input -> zero GROUPED rows (no NULL-aggregate phantom rows leak
     # out of any catalog query; global-agg queries coalesce to one row max)
     assert len(rows) <= 1, rows
