@@ -19,10 +19,12 @@ from map_reduce_ruby_spark.operators.ann_index import (
     load_ivf_index,
     load_pq_index,
     pq_index_exists,
-    read_index_meta,
-    vacuum_index,
     write_ivf_index,
     write_pq_index,
+)
+from map_reduce_ruby_spark.operators.artifact_store import (
+    read_index_meta,
+    vacuum_index,
 )
 from map_reduce_ruby_spark.operators.text_index import (
     append_bm25_batch,

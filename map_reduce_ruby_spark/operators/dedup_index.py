@@ -38,7 +38,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from map_reduce_ruby_spark.operators.ann_index import _AppendLock
+from map_reduce_ruby_spark.operators.artifact_store import _AppendLock
 
 
 def _maintenance_lock(spark: SparkSession, table: str) -> _AppendLock:

@@ -20,9 +20,14 @@ Guarantees that make it 100 TB-shaped:
 - The neighbor pairing is an equi-join on rank+offset (offsets exploded
   1..window) — no range join, no BroadcastNestedLoopJoin.
 
-Constraint inherited from the prefix scan: a key's FIRST BYTE must order
-consistently with the full string (true for ASCII keys; supply a
-``bucket_fn`` for other domains).
+The default bucket is the key's first UTF-8 BYTE (binary(1)), which
+orders consistently with the full string for EVERY string domain: Spark
+compares strings by unsigned UTF-8 bytes (UTF8String.compareTo), and a
+byte-wise prefix is monotone in that order — ASCII, multi-byte unicode,
+and empty keys all bucket correctly (pinned by a hypothesis property
+test with unicode keys). ``bucket_fn`` remains available as an
+OPTIMIZATION (e.g. wider prefixes for corpora whose keys share a first
+byte), not a correctness obligation.
 """
 
 from __future__ import annotations
@@ -38,10 +43,16 @@ def _global_rank(
 ) -> DataFrame:
     from map_reduce_ruby_spark.operators.prefix_sum import exclusive_prefix_sum
 
+    # Default bucket: the key's first UTF-8 byte. Spark orders strings by
+    # unsigned UTF-8 bytes, so a 1-byte binary prefix is a monotone
+    # coarsening of the key order for ANY string (the previous
+    # ascii(substring(k,1,1)) default returned the first CODEPOINT, whose
+    # int ordering also matches — but only for keys it could represent;
+    # the byte prefix needs no domain caveat at all).
     bucket = (
         bucket_fn(F.col("__k"))
         if bucket_fn is not None
-        else F.ascii(F.substring(F.col("__k"), 1, 1))
+        else F.substring(F.encode(F.col("__k"), "UTF-8"), 1, 1)
     )
     ranked = exclusive_prefix_sum(
         records.select(
@@ -70,15 +81,25 @@ def sorted_neighborhood_candidates(
     whose sides differ survive, canonicalized as (side-0 id, side-1 id);
     without it (within-corpus dedup) pairs are canonicalized a_id < b_id.
     """
+    if not keys:
+        raise ValueError(
+            "sorted_neighborhood_candidates needs at least one blocking key"
+        )
+    if int(window) < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
     per_pass = []
     for key in keys:
         ranked = _global_rank(records, key, bucket_fn)
-        offs = F.explode(F.sequence(F.lit(1), F.lit(window))).alias("off")
+        # two selects: materialize the exploded offset FIRST, then compute
+        # rk_b from it — a single select computing (rk + off) alongside the
+        # explode that defines 'off' resolves only through the analyzer's
+        # Generate extraction, which is undocumented, version-sensitive
+        # behavior
         left = ranked.select(
             F.col("rec_id").alias("da"), F.col("side").alias("sa"),
-            (F.col("rk") + F.col("off")).alias("rk_b"),
-            offs,
-        ).select("da", "sa", "rk_b")
+            F.col("rk"),
+            F.explode(F.sequence(F.lit(1), F.lit(window))).alias("off"),
+        ).select("da", "sa", (F.col("rk") + F.col("off")).alias("rk_b"))
         right = ranked.select(
             F.col("rec_id").alias("db"), F.col("side").alias("sb"),
             F.col("rk").alias("rk_b"),

@@ -50,6 +50,10 @@ def exclusive_prefix_sum(
         .agg(F.sum(value_col).alias("__total"))
         .collect()
     )
+    if not totals:
+        # empty input: no buckets to offset — the scan is identically 0
+        # (createDataFrame cannot infer a schema from zero offset rows)
+        return bucketed.withColumn(out_col, F.lit(0).cast("long")).drop("__bucket")
     offsets, running = [], 0
     for row in sorted(totals, key=lambda r: r["__bucket"]):
         offsets.append((row["__bucket"], running))

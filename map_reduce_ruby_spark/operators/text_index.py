@@ -54,7 +54,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from map_reduce_ruby_spark.operators.ann_index import (
+from map_reduce_ruby_spark.operators.artifact_store import (
     _META_NAME,
     _AppendLock,
     _clean_orphan_stages,

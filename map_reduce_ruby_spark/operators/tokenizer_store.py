@@ -41,7 +41,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from map_reduce_ruby_spark.operators.ann_index import (
+from map_reduce_ruby_spark.operators.artifact_store import (
     _META_NAME,
     _publish_atomic,
     _read_meta,
@@ -102,7 +102,14 @@ def load_bpe_tokenizer(
     given) a different merge count — a direct load must be as strict as
     the ``bpe_tokenizer_exists`` gate, or a caller that skips the gate
     (or races a concurrent replace=True retrain past it) silently gets a
-    tokenizer trained with different parameters."""
+    tokenizer trained with different parameters.
+
+    ``steps=None`` accepts WHATEVER merge count the stored meta records
+    (the check degrades to format+version — the meta's own ``steps`` is
+    trivially equal to itself): use it only for introspection tools that
+    genuinely accept any artifact at the path. A caller that trained (or
+    expects) a specific tokenizer must pass its ``steps`` to get the full
+    strict gate — the plan-facing entries all do."""
     meta = _read_meta(path)
     if meta is None:
         raise ValueError(f"{path!r} does not hold a committed BPE tokenizer")

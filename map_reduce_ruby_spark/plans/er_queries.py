@@ -45,9 +45,11 @@ _TOKENS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
 
 # Session memo of the shingled+keyed record table — ONE cached copy shared
 # by both SNM entries and both blocking passes (same memo rules as the
-# IVF/PQ/BPE memos: keyed by applicationId, bounded, unpersist on
+# IVF/PQ/BPE memos: keyed by applicationId, bounded LRU, unpersist on
 # eviction). A per-invocation .cache() would pin a fresh copy every call.
-_ER_KEYED_MEMO: dict = {}
+from map_reduce_ruby_spark.plans.memo import LruMemo
+
+_ER_KEYED_MEMO = LruMemo(capacity=8, unpersist=lambda df: df.unpersist())
 
 
 def _keyed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,38 +57,36 @@ def _keyed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-gram shingle set (the verify metric's universe) and the two SNM
     blocking keys (leading and trailing token bigram)."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _ER_KEYED_MEMO:
-        if len(_ER_KEYED_MEMO) > 8:
-            for cached in _ER_KEYED_MEMO.values():
-                cached.unpersist()
-            _ER_KEYED_MEMO.clear()
-        docs = load_table(spark, sf_dir, "documents")
-        tok = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
-        toks = docs.select(
-            F.col("doc_id").alias("rec_id"), tok.alias("tok")
-        ).filter(F.size("tok") >= 3)
-        sh = F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size("tok") - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("tok", (i + 1).cast("int")),
-                    F.element_at("tok", (i + 2).cast("int")),
-                    F.element_at("tok", (i + 3).cast("int")),
-                ),
-            )
+    return _ER_KEYED_MEMO.get_or_build(key, lambda: _build_keyed(spark, sf_dir))
+
+
+def _build_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    toks = docs.select(
+        F.col("doc_id").alias("rec_id"), tok.alias("tok")
+    ).filter(F.size("tok") >= 3)
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("tok") - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("tok", (i + 1).cast("int")),
+                F.element_at("tok", (i + 2).cast("int")),
+                F.element_at("tok", (i + 3).cast("int")),
+            ),
         )
-        _ER_KEYED_MEMO[key] = toks.select(
-            "rec_id",
-            sh.alias("sh"),
-            F.concat_ws(
-                " ", F.element_at("tok", 1), F.element_at("tok", 2)
-            ).alias("k1"),
-            F.concat_ws(
-                " ", F.element_at("tok", -2), F.element_at("tok", -1)
-            ).alias("k2"),
-        ).cache()
-    return _ER_KEYED_MEMO[key]
+    )
+    return toks.select(
+        "rec_id",
+        sh.alias("sh"),
+        F.concat_ws(
+            " ", F.element_at("tok", 1), F.element_at("tok", 2)
+        ).alias("k1"),
+        F.concat_ws(
+            " ", F.element_at("tok", -2), F.element_at("tok", -1)
+        ).alias("k2"),
+    ).cache()
 
 
 def _verify_jaccard(

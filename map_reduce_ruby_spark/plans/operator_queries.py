@@ -16,6 +16,7 @@ from map_reduce_ruby_spark.operators import (
     salted_agg,
 )
 from map_reduce_ruby_spark.plans.catalog import register
+from map_reduce_ruby_spark.plans.memo import LruMemo
 from map_reduce_ruby_spark.sources import load_table
 
 
@@ -719,7 +720,10 @@ def _ivf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # production this is the persisted index the ingest maintains — the memo is
 # its in-session stand-in. Keyed by Spark applicationId so a new session
 # never sees a stale DataFrame.
-_IVF_INDEX_MEMO: dict = {}
+# build_ivf_index returns a .cache()'d assignments frame (the persisted-
+# index stand-in): release it on LRU eviction, or the pinned entries
+# outlive their dict slots. A handful of sf_dirs per session at most.
+_IVF_INDEX_MEMO = LruMemo(capacity=8, unpersist=lambda val: val[0].unpersist())
 
 
 def ivf_index_for(spark: SparkSession, sf_dir: str):
@@ -727,19 +731,14 @@ def ivf_index_for(spark: SparkSession, sf_dir: str):
     from map_reduce_ruby_spark.operators import build_ivf_index
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _IVF_INDEX_MEMO:
-        v = _ivf_vectors(spark, sf_dir)
-        if v.isEmpty():
-            return None
-        if len(_IVF_INDEX_MEMO) > 8:  # a handful of sf_dirs per session at most
-            # build_ivf_index returns a .cache()'d assignments frame (the
-            # persisted-index stand-in): release it on eviction like the
-            # sibling memos, or the pinned entries outlive their dict slots
-            for cached_assignments, _c in _IVF_INDEX_MEMO.values():
-                cached_assignments.unpersist()
-            _IVF_INDEX_MEMO.clear()
-        _IVF_INDEX_MEMO[key] = build_ivf_index(v, k=None, iterations=2)
-    return _IVF_INDEX_MEMO[key]
+    if key in _IVF_INDEX_MEMO:
+        return _IVF_INDEX_MEMO.get(key)
+    v = _ivf_vectors(spark, sf_dir)
+    if v.isEmpty():
+        return None
+    return _IVF_INDEX_MEMO.get_or_build(
+        key, lambda: build_ivf_index(v, k=None, iterations=2)
+    )
 
 
 @register(
@@ -1521,7 +1520,7 @@ def knn_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Session memo of the composed (id, cell, codes) table — the persisted
 # IVF-PQ index in production; here built once per (session, sf) by joining
 # the two memoized component indexes and cached.
-_IVFPQ_INDEX_MEMO: dict = {}
+_IVFPQ_INDEX_MEMO = LruMemo(capacity=8, unpersist=lambda val: val[0].unpersist())
 
 
 def ivf_pq_index_for(spark: SparkSession, sf_dir: str):
@@ -1529,30 +1528,26 @@ def ivf_pq_index_for(spark: SparkSession, sf_dir: str):
     from map_reduce_ruby_spark.operators import build_ivf_pq_index
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _IVFPQ_INDEX_MEMO:
-        ivf = ivf_index_for(spark, sf_dir)
-        pq = pq_index_for(spark, sf_dir)
-        if ivf is None or pq is None:
-            return None
-        assignments, centroids = ivf
-        codes, books = pq
-        if len(_IVFPQ_INDEX_MEMO) > 8:
-            for cached, _c, _b in _IVFPQ_INDEX_MEMO.values():
-                cached.unpersist()
-            _IVFPQ_INDEX_MEMO.clear()
-        _IVFPQ_INDEX_MEMO[key] = (
-            build_ivf_pq_index(assignments, codes).cache(),
-            centroids,
-            books,
-        )
-    return _IVFPQ_INDEX_MEMO[key]
+    if key in _IVFPQ_INDEX_MEMO:
+        return _IVFPQ_INDEX_MEMO.get(key)
+    ivf = ivf_index_for(spark, sf_dir)
+    pq = pq_index_for(spark, sf_dir)
+    if ivf is None or pq is None:
+        return None
+    assignments, centroids = ivf
+    codes, books = pq
+    return _IVFPQ_INDEX_MEMO.get_or_build(
+        key,
+        lambda: (build_ivf_pq_index(assignments, codes).cache(), centroids, books),
+    )
 
 
 # Session-scoped memo of the PQ index build — same rationale (and staleness
 # rule) as _IVF_INDEX_MEMO: the codebook training runs driver-coordinated
 # jobs that re-execute per consumer; in production the codes + codebooks
 # are the persisted index.
-_PQ_INDEX_MEMO: dict = {}
+# build_pq_index returns the codes already cached + materialized
+_PQ_INDEX_MEMO = LruMemo(capacity=8, unpersist=lambda val: val[0].unpersist())
 
 
 def pq_index_for(spark: SparkSession, sf_dir: str):
@@ -1560,20 +1555,15 @@ def pq_index_for(spark: SparkSession, sf_dir: str):
     from map_reduce_ruby_spark.operators import build_pq_index
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _PQ_INDEX_MEMO:
-        v = _ivf_vectors(spark, sf_dir)
-        if v.isEmpty():
-            return None
-        if len(_PQ_INDEX_MEMO) > 8:
-            for cached_codes, _b in _PQ_INDEX_MEMO.values():
-                cached_codes.unpersist()
-            _PQ_INDEX_MEMO.clear()
-        codes, books = build_pq_index(
-            v, dim=_IVF_DIM, n_sub=_PQ_NSUB, k=_PQ_K, iterations=1
-        )
-        # build_pq_index returns the codes already cached + materialized
-        _PQ_INDEX_MEMO[key] = (codes, books)
-    return _PQ_INDEX_MEMO[key]
+    if key in _PQ_INDEX_MEMO:
+        return _PQ_INDEX_MEMO.get(key)
+    v = _ivf_vectors(spark, sf_dir)
+    if v.isEmpty():
+        return None
+    return _PQ_INDEX_MEMO.get_or_build(
+        key,
+        lambda: build_pq_index(v, dim=_IVF_DIM, n_sub=_PQ_NSUB, k=_PQ_K, iterations=1),
+    )
 
 
 @register(

@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from map_reduce_ruby_spark.plans.catalog import register
+from map_reduce_ruby_spark.plans.memo import LruMemo
 from map_reduce_ruby_spark.sources import load_table
 
 _DIM = 64
@@ -557,14 +558,14 @@ _SQ_LEVELS = 255
 # Session-scoped memo of the SQ8 quantizer (bounds collect + reconstructed
 # corpus) — same rationale and staleness rule as the IVF/PQ index memos in
 # plans/operator_queries.py.
-_SQ8_MEMO: dict = {}
+_SQ8_MEMO = LruMemo(capacity=8, unpersist=lambda val: val[1].unpersist())
 
 
 def _sq8_recon_for(spark: SparkSession, sf_dir: str):
     """(v flattened, recon cached) for the corpus, or None when empty."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _SQ8_MEMO:
-        return _SQ8_MEMO[key]
+        return _SQ8_MEMO.get(key)
     emb = load_table(spark, sf_dir, "embeddings")
     if emb.isEmpty():
         return None
@@ -605,12 +606,7 @@ def _sq8_recon_for(spark: SparkSession, sf_dir: str):
         "rnrm",
         F.expr("sqrt(" + " + ".join(f"(r{i} * r{i})" for i in range(1, _DIM + 1)) + ")"),
     ).cache()
-    if len(_SQ8_MEMO) > 8:
-        for _v, cached_recon in _SQ8_MEMO.values():
-            cached_recon.unpersist()
-        _SQ8_MEMO.clear()
-    _SQ8_MEMO[key] = (v, recon)
-    return _SQ8_MEMO[key]
+    return _SQ8_MEMO.get_or_build(key, lambda: (v, recon))
 
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from map_reduce_ruby_spark.functions import h32_sql
 from map_reduce_ruby_spark.plans.catalog import register
+from map_reduce_ruby_spark.plans.memo import LruMemo
 from map_reduce_ruby_spark.sources import load_table
 
 # The redaction lexicon pattern: ONE Spark-side source of truth shared by
@@ -1366,13 +1367,12 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frames stay valid for the session) — the production split:
     # bpe_merge_steps benchmarks TRAINING, this entry benchmarks encoding
     # the corpus with a trained tokenizer. Same memo rules as the IVF/PQ
-    # indexes (keyed by applicationId, bounded, cleared wholesale).
+    # indexes (keyed by applicationId, bounded LRU; checkpointed RDDs are
+    # GC-managed so eviction needs no unpersist hook).
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _BPE_ENCODE_MEMO:
-        if len(_BPE_ENCODE_MEMO) > 8:
-            _BPE_ENCODE_MEMO.clear()  # checkpointed RDDs are GC-managed
-        _BPE_ENCODE_MEMO[key] = _bpe_learn(spark, docs, return_tokens=True)
-    _, vocab = _BPE_ENCODE_MEMO[key]
+    _, vocab = _BPE_ENCODE_MEMO.get_or_build(
+        key, lambda: _bpe_learn(spark, docs, return_tokens=True)
+    )
     # the encoded-vocab artifact: word -> (chars before, BPE tokens after)
     wt = vocab.select(
         "word",
@@ -1395,7 +1395,7 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BPE_ENCODE_MEMO: dict = {}
+_BPE_ENCODE_MEMO = LruMemo(capacity=8)
 
 
 # --- Winnowing fingerprints (Schleimer et al., "Winnowing: Local

@@ -347,10 +347,10 @@ def test_append_lock_heartbeat_keeps_live_lock_fresh(tmp_path, monkeypatch):
     never mistaken for a dead writer and broken mid-flight)."""
     import time
 
-    from map_reduce_ruby_spark.operators import ann_index
+    from map_reduce_ruby_spark.operators import artifact_store
 
-    monkeypatch.setattr(ann_index, "_LOCK_HEARTBEAT_SEC", 0.1)
-    lock = ann_index._AppendLock(str(tmp_path))
+    monkeypatch.setattr(artifact_store, "_LOCK_HEARTBEAT_SEC", 0.1)
+    lock = artifact_store._AppendLock(str(tmp_path))
     with lock:
         t0 = os.path.getmtime(lock._lock)
         time.sleep(0.5)

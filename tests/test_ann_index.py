@@ -506,3 +506,48 @@ def test_ivfadc_goes_stale_when_a_component_moves(spark, sf_dir, tmp_path):
     assert not ivfadc_index_exists(
         adc_p, None, 8, 16, ivf_path=ivf_p, pq_path=pq_p
     ), "component append did not invalidate the composed artifact"
+
+
+def test_load_ivfadc_is_as_strict_as_the_exists_gate(spark, sf_dir, tmp_path):
+    """load_ivfadc_index raises on a foreign-format or wrong-version meta,
+    and (when given the component paths) on a composed table that is stale
+    w.r.t. a component append — a caller that skips ivfadc_index_exists,
+    or races a rebuild past it, must never silently serve stale bytes."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from map_reduce_ruby_spark.operators.ann_index import (
+        append_ivf_batch,
+        load_ivfadc_index,
+        write_ivf_index,
+        write_ivfadc_index,
+        write_pq_index,
+    )
+
+    v = _vectors(spark, sf_dir)
+    half = v.count() // 2
+    ivf_p, pq_p, adc_p = (str(tmp_path / d) for d in ("ivf", "pq", "adc"))
+    write_ivf_index(spark, v.filter(F.col("id") < half), ivf_p, k=None)
+    write_pq_index(spark, v.filter(F.col("id") < half), pq_p, dim=64, n_sub=8, k=16)
+    write_ivfadc_index(spark, ivf_p, pq_p, adc_p, k=None, n_sub=8, pk=16)
+
+    # healthy load, with and without component re-verification
+    assert load_ivfadc_index(spark, adc_p).count() == half
+    assert load_ivfadc_index(spark, adc_p, ivf_path=ivf_p, pq_path=pq_p).count() == half
+
+    # component moved on: plain load still serves the recorded snapshot,
+    # but a component-verified load refuses
+    append_ivf_batch(spark, v.filter(F.col("id") >= half), ivf_p, batch_id="b2")
+    with _pytest.raises(ValueError, match="stale"):
+        load_ivfadc_index(spark, adc_p, ivf_path=ivf_p, pq_path=pq_p)
+
+    # wrong version / foreign format refuse outright
+    meta_path = os.path.join(adc_p, "_META.json")
+    meta = _json.load(open(meta_path))
+    _json.dump(dict(meta, version=meta["version"] + 1), open(meta_path, "w"))
+    with _pytest.raises(ValueError, match="current-version"):
+        load_ivfadc_index(spark, adc_p)
+    _json.dump(dict(meta, format="bpe_tokenizer"), open(meta_path, "w"))
+    with _pytest.raises(ValueError, match="current-version"):
+        load_ivfadc_index(spark, adc_p)

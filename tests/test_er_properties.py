@@ -134,3 +134,65 @@ def test_kneser_ney_matches_python_model(spark, tmp_path_factory, texts):
     model = _kn_model(texts)
     top = sorted(model.items(), key=lambda kv: (-kv[1][0], kv[0]))[:50]
     assert got == dict(top)
+
+
+# --- unicode keys under the DEFAULT bucket ------------------------------------
+
+# Mixed-script words: ASCII, Latin-1 accents, Greek, CJK, and an emoji —
+# first UTF-8 bytes span 0x41..0xF0, which the old ascii(substring(k,1,1))
+# codepoint bucket handled only as long as codepoint order matched; the
+# byte-prefix default must rank them exactly like Spark's UTF-8 string
+# order (== Python's codepoint sort order, since UTF-8 is order-preserving).
+_UNI_WORDS = ["ant", "Zebra", "ábaco", "Ωmega", "中文", "日本語", "🦀crab", "ému", ""]
+
+_uni_recs = st.lists(
+    st.tuples(st.sampled_from(_UNI_WORDS), st.sampled_from(_UNI_WORDS)),
+    min_size=2,
+    max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_uni_recs, w=st.integers(min_value=1, max_value=4),
+       cross=st.booleans())
+def test_snm_unicode_keys_default_bucket(spark, rows, w, cross):
+    """The default bucket (first UTF-8 byte) is an optimization detail, not
+    a correctness obligation: non-ASCII and empty keys need no bucket_fn."""
+    from map_reduce_ruby_spark.operators.er import (
+        sorted_neighborhood_candidates,
+    )
+
+    recs = spark.createDataFrame(
+        [(i, i % 2, k1, k2) for i, (k1, k2) in enumerate(rows)],
+        "rec_id long, side long, k1 string, k2 string",
+    )
+    got = {
+        (r.a_id, r.b_id)
+        for r in sorted_neighborhood_candidates(
+            recs, ["k1", "k2"], w, cross_side_only=cross
+        ).collect()
+    }
+    want = _snm_model(rows, (0, 1), w, cross)
+    assert got == want
+
+
+def test_snm_empty_inputs_and_bad_args(spark):
+    """Standalone-operator guards: keys=[] and window<1 raise clearly; an
+    EMPTY records frame flows through (the prefix scan short-circuits its
+    zero-bucket case) and yields zero candidates."""
+    import pytest
+
+    from map_reduce_ruby_spark.operators.er import (
+        sorted_neighborhood_candidates,
+    )
+
+    recs = spark.createDataFrame(
+        [], "rec_id long, side long, k1 string, k2 string"
+    )
+    with pytest.raises(ValueError, match="blocking key"):
+        sorted_neighborhood_candidates(recs, [], 3)
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_candidates(recs, ["k1"], 0)
+    out = sorted_neighborhood_candidates(recs, ["k1", "k2"], 3)
+    assert out.columns == ["a_id", "b_id"]
+    assert out.count() == 0
