@@ -173,21 +173,31 @@ def main() -> int:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     times: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in only:
         fn = entries[name].fn
-        best = None
+        samples = []
         for _ in range(max(1, runs)):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(min(samples), 3)
+        # within-session noise floor per query: (max - min) across the
+        # WARM repeat runs (run 1 is the JVM/catalog warmup — including it
+        # would report warmup cost, not noise). A reader comparing two
+        # records can tell a real regression from ambient noise when the
+        # delta is inside the spread band; cross-session variance (the
+        # stronger signal) comes from tools/bench_stability.py.
+        warm = samples[1:] if len(samples) > 2 else samples
+        spread[name] = round(max(warm) - min(warm), 3)
 
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "query_spread": spread,
+        "runs_per_query": max(1, runs),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # provenance: was the host quiet when this record was taken?
         # (bench's own local[32] run inflates load_1m_end — the trust

@@ -1594,7 +1594,17 @@ _KN_TOPN = 50
     tags=("text", "lm", "extension"),
 )
 def text_kneser_ney_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    return kn_trigram_scores(load_table(spark, sf_dir, "documents"))
+
+
+def kn_trigram_scores(
+    docs: DataFrame, d_discount: float = _KN_D, top_n: int = _KN_TOPN
+) -> DataFrame:
+    """The KN estimator as a reusable operator over any (doc_id, text)
+    frame, with the discount and top-k as parameters — the catalog entry
+    pins (0.75, 50); the differential fuzzer drives random discounts and
+    corpora against a from-scratch Python model (tests/
+    test_differential_fuzz.py, tests/test_er_properties.py)."""
     toks = docs.select("doc_id", _tokens_spark(F.col("text")).alias("tok"))
     tri = (
         toks.select(
@@ -1628,7 +1638,7 @@ def text_kneser_ney_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uni = cont.groupBy("w3").agg(F.count(F.lit(1)).alias("n1u"))
     tot = cont.agg(F.count(F.lit(1)).alias("t"))
-    d = F.lit(_KN_D)
+    d = F.lit(float(d_discount))
     # the same expression tree as the oracle's — exactly-rounded IEEE
     # ops over integer counts, so the doubles are bit-identical
     p_uni = F.col("n1u").cast("double") / F.col("t")
@@ -1651,7 +1661,7 @@ def text_kneser_ney_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.orderBy(
         F.desc("c3"), F.asc("w1"), F.asc("w2"), F.asc("w3")
-    ).limit(_KN_TOPN)
+    ).limit(int(top_n))
 
 
 @register(

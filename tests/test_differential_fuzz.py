@@ -23,7 +23,7 @@ NUMERIC = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 STRINGS = [("l_returnflag", ["A", "N", "R"]), ("l_linestatus", ["O", "F"])]
 GROUPS = ["l_returnflag", "l_linestatus", "l_suppkey % 7", "l_partkey % 5"]
 
-N_QUERIES = 52  # 13 arms x 4 runs each per seed
+N_QUERIES = 60  # 15 arms x 4 runs each per seed
 
 
 # (l_orderkey, l_linenumber) is NOT unique in the fixture; this 7-column
@@ -355,12 +355,109 @@ def _gen_decimal_boundary_query(rng: random.Random) -> str:
     )
 
 
+# --- operator arms (non-SQL): Spark operator vs pure-Python model -------------
+
+# mixed-script pool: exercises the SNM default bucket (first UTF-8 byte)
+# across 1-4 byte leading characters, plus the empty key
+_SNM_POOL = ["ant", "bee", "Zulu", "ábaco", "Ωmega", "中文", "🦀crab", ""]
+_KN_WORDS = ["the", "cat", "sat", "on", "mat", "dog", "ran"]
+
+
+def _gen_snm_arm(rng: random.Random):
+    """Sorted-neighborhood blocking with random window/keys/sides vs the
+    brute-force sort-and-window model (tests/test_er_properties.py)."""
+    import pandas as pd
+
+    rows = [
+        (rng.choice(_SNM_POOL), rng.choice(_SNM_POOL))
+        for _ in range(rng.randint(2, 20))
+    ]
+    w = rng.randint(1, 5)
+    cross = rng.random() < 0.5
+    keys = ["k1", "k2"] if rng.random() < 0.6 else ["k1"]
+    keys_idx = (0, 1) if len(keys) == 2 else (0,)
+
+    def spark_fn(spark):
+        from map_reduce_ruby_spark.operators.er import (
+            sorted_neighborhood_candidates,
+        )
+
+        recs = spark.createDataFrame(
+            [(i, i % 2, k1, k2) for i, (k1, k2) in enumerate(rows)],
+            "rec_id long, side long, k1 string, k2 string",
+        )
+        return sorted_neighborhood_candidates(
+            recs, keys, w, cross_side_only=cross
+        ).toPandas()
+
+    def model_fn():
+        import test_er_properties as erp
+
+        pairs = sorted(erp._snm_model(rows, keys_idx, w, cross))
+        return pd.DataFrame(pairs or None, columns=["a_id", "b_id"]).astype(
+            "int64"
+        )
+
+    return ("op", spark_fn, model_fn)
+
+
+def _gen_kn_arm(rng: random.Random):
+    """Kneser-Ney trigram estimation with a random discount, top-k, and
+    corpus vs the from-scratch Python model (tests/test_er_properties.py)."""
+    import pandas as pd
+
+    d = rng.choice([0.1, 0.25, 0.5, 0.75, 0.9])
+    top_n = rng.randint(5, 50)
+    texts = [
+        " ".join(rng.choice(_KN_WORDS) for _ in range(rng.randint(0, 12)))
+        for _ in range(rng.randint(1, 8))
+    ]
+
+    def spark_fn(spark):
+        from map_reduce_ruby_spark.plans.text_queries import kn_trigram_scores
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return kn_trigram_scores(docs, d_discount=d, top_n=top_n).toPandas()
+
+    def model_fn():
+        import test_er_properties as erp
+
+        model = erp._kn_model(texts, d=d)
+        top = sorted(model.items(), key=lambda kv: (-kv[1][0], kv[0]))[:top_n]
+        pdf = pd.DataFrame(
+            [(w1, w2, w3, c3, p) for (w1, w2, w3), (c3, p) in top] or None,
+            columns=["w1", "w2", "w3", "c3", "p_kn"],
+        )
+        return pdf.astype({"c3": "int64", "p_kn": "float64"})
+
+    return ("op", spark_fn, model_fn)
+
+
 def two_sided(gen_result) -> tuple[str, str]:
     """Arms return either one shared-dialect SQL string or a
     (spark_sql, duckdb_sql) pair; normalize to a pair."""
     if isinstance(gen_result, tuple):
         return gen_result
     return gen_result, gen_result
+
+
+def run_arm(spark, con, arm, rng: random.Random, tag: str):
+    """Run one arm on both sides and compare. SQL arms run Spark SQL vs
+    DuckDB; operator arms (('op', spark_fn, model_fn)) run a Spark
+    operator vs a pure-Python model. Returns (problems, description)."""
+    from tools.check_correctness import compare
+
+    r = arm(rng)
+    if isinstance(r, tuple) and len(r) == 3 and r[0] == "op":
+        _kind, spark_fn, model_fn = r
+        return compare(tag, spark_fn(spark), model_fn()), f"<operator arm {arm.__name__}>"
+    spark_sql, duck_sql = two_sided(r)
+    return (
+        compare(tag, spark.sql(spark_sql).toPandas(), con.sql(duck_sql).df()),
+        spark_sql,
+    )
 
 
 def _gen_query(rng: random.Random) -> str:
@@ -445,6 +542,8 @@ ARMS = [
     _gen_lateral_query,
     _gen_hof_lambda_query,
     _gen_decimal_boundary_query,
+    _gen_snm_arm,
+    _gen_kn_arm,
 ]
 
 
@@ -453,10 +552,9 @@ def test_differential_sql_corpus(spark, oracle, views, seed):
     rng = random.Random(seed)
     failures = []
     for i in range(N_QUERIES):
-        spark_sql, duck_sql = two_sided(ARMS[i % len(ARMS)](rng))
-        spark_pdf = spark.sql(spark_sql).toPandas()
-        oracle_pdf = oracle.sql(duck_sql).df()
-        problems = compare(f"fuzz{i}", spark_pdf, oracle_pdf)
+        problems, desc = run_arm(
+            spark, oracle, ARMS[i % len(ARMS)], rng, f"fuzz{i}"
+        )
         if problems:
-            failures.append((spark_sql, problems))
+            failures.append((desc, problems))
     assert not failures, failures[:3]

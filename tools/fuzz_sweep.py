@@ -40,18 +40,15 @@ def main() -> int:
     for seed in seeds:
         rng = random.Random(seed)
         for i in range(fz.N_QUERIES):
-            spark_sql, duck_sql = fz.two_sided(fz.ARMS[i % len(fz.ARMS)](rng))
             total += 1
             try:
-                problems = compare(
-                    f"s{seed}q{i}",
-                    spark.sql(spark_sql).toPandas(),
-                    con.sql(duck_sql).df(),
+                problems, desc = fz.run_arm(
+                    spark, con, fz.ARMS[i % len(fz.ARMS)], rng, f"s{seed}q{i}"
                 )
             except Exception as e:  # engine exception = divergence too
-                problems = [f"exception: {e}"]
+                problems, desc = [f"exception: {e}"], "<arm raised>"
             if problems:
-                fails.append((seed, i, spark_sql, problems))
+                fails.append((seed, i, desc, problems))
         print(f"seed {seed}: done ({total} total, {len(fails)} failures)", flush=True)
 
     print(f"SWEEP: {total} queries, {len(fails)} divergences")
