@@ -58,9 +58,11 @@ def port_1_compat_facade(spark) -> dict:
     """Smallest diff: the reference's exact two-class worker API.
 
     Mapper.map buffers driver-side (same as the reference worker's local
-    accumulation) — fine for worker-sized inputs; use port 2/3 for
-    cluster-sized sources."""
-    mapper = Mapper(WordCounter(), spark)
+    accumulation); pass memory_limit= to get the reference's bounded-buffer
+    spill discipline (pairs spill to sorted chunk files at the JSON-size
+    threshold, exactly mapper.rb:50-52). Use port 2/3 for cluster-sized
+    sources."""
+    mapper = Mapper(WordCounter(), spark, memory_limit=16 * 1024 * 1024)
     for text in TEXTS:
         mapper.map(text)  # thread-safe, like the reference's MonitorMixin
 

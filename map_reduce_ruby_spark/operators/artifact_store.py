@@ -338,8 +338,29 @@ def vacuum_index(path: str, grace_sec: float = 86400.0) -> list[str]:
         retired: dict = meta.get("retired", {})
         reclaimed_ids: set[str] = set()
         now = time.time()
-        for data_root_name in ("cells", "pq_codes", "postings"):
-            root = os.path.join(path, data_root_name)
+        # data roots are discovered, not hard-coded: any direct child dir
+        # holding ingest=*/.stage-* entries follows the per-ingest layout
+        # (cells, pq_codes, postings, and any future store) — the module
+        # is store-neutral, so its vacuum must be too
+        try:
+            children = os.listdir(path)
+        except OSError:
+            children = []
+        data_roots = []
+        for child in children:
+            root = os.path.join(path, child)
+            if not os.path.isdir(root) or child.startswith("."):
+                continue
+            try:
+                entries = os.listdir(root)
+            except OSError:
+                continue
+            if any(
+                e.startswith("ingest=") or e.startswith(".stage-")
+                for e in entries
+            ):
+                data_roots.append(root)
+        for root in data_roots:
             try:
                 names = os.listdir(root)
             except OSError:
