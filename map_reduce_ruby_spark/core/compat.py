@@ -210,6 +210,13 @@ class Mapper:
                 partitioner=self._partitioner,
                 num_partitions=n_parts,
             )
+            # shuffle CONSUMES the mapper state (reference mapper.rb:88-93
+            # ensure: spilled chunks deleted, buffer already reset — a
+            # second shuffle on the same mapper yields EMPTY partitions);
+            # the spill path gets this for free, the lazy path must take
+            # the inputs out of the mapper here.
+            with self._ingest_lock:
+                inputs, self._inputs = self._inputs, []
             # No-reduce mode defaults to FIFO-stable duplicates: the façade
             # advertises byte-compatible chunk files, and the reference's
             # merge keeps equal-key duplicates in input order
@@ -217,7 +224,7 @@ class Mapper:
             # spec/map_reduce/mapper_spec.rb:89-125). With a reduce impl the
             # flag is moot (keys are unique after the fold) and costs nothing.
             partitions = job.shuffle_to_files(
-                self._spark, self._inputs, out, stable=reduce_fn is None
+                self._spark, inputs, out, stable=reduce_fn is None
             )
         if block is None:
             return partitions

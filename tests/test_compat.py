@@ -441,3 +441,24 @@ def test_memory_limit_threaded_ingest_is_lossless(spark, tmp_path):
     [path] = mapper.shuffle(out_dir=str(tmp_path / "tspill")).values()
     counts = dict(json.loads(l) for l in open(path))
     assert counts == {f"w{i}": n_threads * per_thread // 10 for i in range(10)}
+
+
+def test_shuffle_consumes_mapper_state_both_paths(spark, tmp_path):
+    """A second shuffle on the same mapper yields EMPTY partitions — the
+    reference's shuffle deletes its chunks and the buffer was already
+    flushed (mapper.rb:81,88-93), so the state is consumed, not replayed."""
+    for ml in (None, 64):
+        mapper = Mapper(_word_count(), spark, partitioner=lambda k: 0,
+                        memory_limit=ml)
+        mapper.map("a b a")
+        first = mapper.shuffle(out_dir=str(tmp_path / f"c1_{ml}"))
+        assert first, "first shuffle must produce data"
+        second = mapper.shuffle(out_dir=str(tmp_path / f"c2_{ml}"))
+        assert second == {}, f"memory_limit={ml}: state must be consumed"
+        # mapping again after a shuffle works (the reference worker loops)
+        mapper.map("c")
+        third = mapper.shuffle(out_dir=str(tmp_path / f"c3_{ml}"))
+        assert len(third) == 1
+        for parts in (first, third):
+            for p in parts.values():
+                os.unlink(p)
