@@ -65,6 +65,75 @@ def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "compat_spill_wordcount",
+    oracle="""
+    SELECT word, COUNT(*) AS cnt
+    FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS word
+        FROM documents
+        WHERE doc_id % 50 = 0
+    )
+    GROUP BY word
+    """,
+    doc="The compat facade's BOUNDED-BUFFER spill path under the oracle "
+    "gate: a reference-style worker (Mapper with memory_limit set, "
+    "core/compat.py) ingests a 1-in-50 sample of the corpus through "
+    "driver-side map() calls — the facade IS the reference's "
+    "process-local worker surface, so the driver loop is the contract, "
+    "not an anti-pattern; the sample keeps it worker-sized at every SF. "
+    "The tiny memory_limit forces multiple spills of sorted, "
+    "pre-combined reference-format chunk files (reference "
+    "mapper.rb:50-52,123-141), shuffle merges the chunks THROUGH Spark, "
+    "and the partition files are read back and checked against a plain "
+    "SQL wordcount over the same sample. Complements mr_wordcount "
+    "(Arrow engine path) with the porting path's memory discipline.",
+    tags=("mapreduce", "compat", "core"),
+)
+def compat_spill_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from map_reduce_ruby_spark.core import HashPartitioner, Mapper
+
+    texts = [
+        r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .select("text")
+        .collect()  # worker-sized by construction (2% sample; facade ingest)
+    ]
+
+    class WordCount:
+        def map(self, text):
+            for w in text.split():
+                yield w, 1
+
+        def reduce(self, key, a, b):
+            return a + b
+
+    mapper = Mapper(
+        WordCount(), spark, partitioner=HashPartitioner(8),
+        memory_limit=8 * 1024,
+    )
+    for t in texts:
+        mapper.map(t)
+    out_dir = tempfile.mkdtemp(prefix="compat_spill_")
+    try:
+        parts = mapper.shuffle(out_dir=out_dir)
+        if not parts:
+            return spark.createDataFrame([], "word string, cnt long")
+        lines = spark.read.text(list(parts.values()))
+        # chunk line = json [word, count]: scalar JSON paths decode both
+        return lines.select(
+            F.get_json_object("value", "$[0]").alias("word"),
+            F.get_json_object("value", "$[1]").cast("long").alias("cnt"),
+        ).cache().localCheckpoint()  # materialize before the dir vanishes
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+@register(
     "mr_composite_key_agg",
     oracle="""
     SELECT l_returnflag, l_linestatus,
