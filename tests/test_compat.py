@@ -462,3 +462,24 @@ def test_shuffle_consumes_mapper_state_both_paths(spark, tmp_path):
         for parts in (first, third):
             for p in parts.values():
                 os.unlink(p)
+
+
+def test_memory_limit_spill_raises_on_incomparable_keys(spark):
+    """The spill sort compares keys exactly where the reference's
+    write_chunk sort_by does (mapper.rb:126): mixed-type keys forced into
+    one partition raise at the spill triggered inside map(), matching the
+    reference's ArgumentError timing."""
+    import pytest
+
+    from map_reduce_ruby_spark.core.keys import IncomparableKeyError
+
+    class MixedKeys:
+        def map(self, _x):
+            yield "a" * 40, 1
+            yield 1, 1  # number vs string: no Ruby <=> order
+
+    mapper = Mapper(MixedKeys(), spark, partitioner=lambda k: 0,
+                    memory_limit=32)
+    with pytest.raises(IncomparableKeyError):
+        for i in range(10):  # the first over-limit map() call spills
+            mapper.map(i)
