@@ -1597,38 +1597,38 @@ def text_kneser_ney_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kn_trigram_scores(load_table(spark, sf_dir, "documents"))
 
 
-def kn_trigram_scores(
-    docs: DataFrame, d_discount: float = _KN_D, top_n: int = _KN_TOPN
-) -> DataFrame:
-    """The KN estimator as a reusable operator over any (doc_id, text)
-    frame, with the discount and top-k as parameters — the catalog entry
-    pins (0.75, 50); the differential fuzzer drives random discounts and
-    corpora against a from-scratch Python model (tests/
-    test_differential_fuzz.py, tests/test_er_properties.py)."""
+def _trigram_occurrences(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2, w3) — one row per trigram TOKEN occurrence. Shared
+    by the KN estimator (which groups it to types, pruning doc_id from the
+    scan) and the perplexity filter (which keeps doc_id to score docs)."""
     toks = docs.select("doc_id", _tokens_spark(F.col("text")).alias("tok"))
-    tri = (
-        toks.select(
-            F.explode(
-                F.when(
-                    F.size("tok") >= 3,
-                    F.expr(
-                        "transform(sequence(1, size(tok) - 2),"
-                        " i -> struct(element_at(tok, i) AS w1,"
-                        "             element_at(tok, i + 1) AS w2,"
-                        "             element_at(tok, i + 2) AS w3))"
-                    ),
-                ).otherwise(
-                    F.expr(
-                        "CAST(array() AS"
-                        " array<struct<w1:string,w2:string,w3:string>>)"
-                    )
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("tok") >= 3,
+                F.expr(
+                    "transform(sequence(1, size(tok) - 2),"
+                    " i -> struct(element_at(tok, i) AS w1,"
+                    "             element_at(tok, i + 1) AS w2,"
+                    "             element_at(tok, i + 2) AS w3))"
+                ),
+            ).otherwise(
+                F.expr(
+                    "CAST(array() AS"
+                    " array<struct<w1:string,w2:string,w3:string>>)"
                 )
-            ).alias("g")
-        )
-        .select("g.w1", "g.w2", "g.w3")
-        .groupBy("w1", "w2", "w3")
-        .agg(F.count(F.lit(1)).alias("c3"))
-    )
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2", "g.w3")
+
+
+def kn_trigram_prob_table(tri: DataFrame, d_discount: float = _KN_D) -> DataFrame:
+    """(w1, w2, w3, c3, p) — interpolated Kneser-Ney probability per
+    trigram TYPE, from the trigram count table ``tri`` (w1, w2, w3, c3).
+    ``p`` is the unrounded double; callers round at their own grid. Shared
+    by kn_trigram_scores (top-k estimation) and text_kn_perplexity_filter
+    (per-document scoring)."""
     ctx = tri.groupBy("w1", "w2").agg(
         F.sum("c3").alias("c2"), F.count(F.lit(1)).alias("t3")
     )
@@ -1650,18 +1650,135 @@ def kn_trigram_scores(
         F.greatest(F.col("c3").cast("double") - d, F.lit(0.0)) / F.col("c2")
         + (d * F.col("t3") / F.col("c2")) * p_bi
     )
-    scored = (
+    return (
         tri.join(ctx, ["w1", "w2"])
         .join(cont, ["w2", "w3"])
         .join(mid, "w2")
         .join(uni, "w3")
         .crossJoin(F.broadcast(tot))  # 1-row scalar (bigram-type count)
         .select("w1", "w2", "w3", F.col("c3").cast("long").alias("c3"),
-                F.round(p_kn, 6).alias("p_kn"))
+                p_kn.alias("p"))
+    )
+
+
+def kn_trigram_scores(
+    docs: DataFrame, d_discount: float = _KN_D, top_n: int = _KN_TOPN
+) -> DataFrame:
+    """The KN estimator as a reusable operator over any (doc_id, text)
+    frame, with the discount and top-k as parameters — the catalog entry
+    pins (0.75, 50); the differential fuzzer drives random discounts and
+    corpora against a from-scratch Python model (tests/
+    test_differential_fuzz.py, tests/test_er_properties.py)."""
+    tri = (
+        _trigram_occurrences(docs)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    scored = kn_trigram_prob_table(tri, d_discount).select(
+        "w1", "w2", "w3", "c3", F.round(F.col("p"), 6).alias("p_kn")
     )
     return scored.orderBy(
         F.desc("c3"), F.asc("w1"), F.asc("w2"), F.asc("w3")
     ).limit(int(top_n))
+
+
+# --- Kneser-Ney document perplexity filter -----------------------------------
+
+# Band cuts on the per-doc mean KN log-probability. The grid-snapped mean
+# (round(lp*1e3) int64 sum, then /1e3/count rounded to 6dp) is an identical
+# double on both engines, so the comparisons below are deterministic; the
+# cuts land inside the observed cross-SF spread (sf0.001-0.1 medians range
+# -3.04..-3.35) so every fixture yields at least two non-trivial bands.
+_KNP_HEAD = -3.05
+_KNP_MID = -3.35
+
+
+@register(
+    "text_kn_perplexity_filter",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS tok FROM documents),
+    occ AS (
+        SELECT doc_id, tok[i] AS w1, tok[i+1] AS w2, tok[i+2] AS w3
+        FROM toks, UNNEST(range(1, len(tok) - 1)) AS t(i)
+    ),
+    tri AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM occ GROUP BY 1, 2, 3),
+    ctx AS (SELECT w1, w2, SUM(c3) AS c2, COUNT(*) AS t3 FROM tri GROUP BY w1, w2),
+    cont AS (SELECT w2, w3, COUNT(*) AS n1b FROM tri GROUP BY w2, w3),
+    mid AS (SELECT w2, SUM(n1b) AS nmid, COUNT(*) AS t2 FROM cont GROUP BY w2),
+    uni AS (SELECT w3, COUNT(*) AS n1u FROM cont GROUP BY w3),
+    tot AS (SELECT COUNT(*) AS t FROM cont),
+    ptab AS (
+        SELECT tri.w1, tri.w2, tri.w3,
+               GREATEST(CAST(tri.c3 AS DOUBLE) - {_KN_D}, 0.0) / ctx.c2
+               + ({_KN_D} * ctx.t3 / ctx.c2)
+                 * (GREATEST(CAST(cont.n1b AS DOUBLE) - {_KN_D}, 0.0) / mid.nmid
+                    + ({_KN_D} * mid.t2 / mid.nmid)
+                      * (CAST(uni.n1u AS DOUBLE) / tot.t)) AS p
+        FROM tri
+        JOIN ctx ON ctx.w1 = tri.w1 AND ctx.w2 = tri.w2
+        JOIN cont ON cont.w2 = tri.w2 AND cont.w3 = tri.w3
+        JOIN mid ON mid.w2 = tri.w2
+        JOIN uni ON uni.w3 = tri.w3
+        CROSS JOIN tot
+    ),
+    scored AS (
+        SELECT o.doc_id, ln(p.p) AS lp
+        FROM occ o
+        JOIN ptab p ON o.w1 = p.w1 AND o.w2 = p.w2 AND o.w3 = p.w3
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+               ROUND(SUM(CAST(ROUND(lp * 1000) AS BIGINT)) / 1000.0
+                     / COUNT(*), 6) AS avg_lp
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_trigrams, avg_lp,
+           CASE WHEN avg_lp >= {_KNP_HEAD} THEN 'head'
+                WHEN avg_lp >= {_KNP_MID} THEN 'middle'
+                ELSE 'tail' END AS band
+    FROM per_doc
+    """,
+    doc="CCNet's perplexity filter with the REAL n-gram LM: each document "
+    "is scored by the mean interpolated Kneser-Ney trigram log-probability "
+    "under the corpus-trained model (text_kneser_ney_trigram's estimator, "
+    "shared via kn_trigram_prob_table) and bucketed head/middle/tail — the "
+    "upgrade from text_bigram_lm_score's add-one bigram to the smoothing "
+    "production pipelines actually use. Per-trigram logprobs sum in scaled "
+    "int64 (round(lp*1e3) — the 1e3 grid keeps a last-ulp libm ln() "
+    "divergence between engines from flipping a rounding boundary) so the "
+    "per-doc mean is addition-order independent and hash-gateable. At "
+    "100 TB: the model is grouped trigram-TYPE count tables (uniform-keyed "
+    "aggregations with map-side partials), scoring is one equi-join of the "
+    "corpus-sized occurrence stream against the type-sized probability "
+    "table, and the per-doc mean is a doc_id groupBy — no document-pair "
+    "join, no global window, no driver loop. Docs under 3 tokens have no "
+    "trigrams and drop out, exactly as in the oracle.",
+    tags=("text", "pipeline", "lm", "quality", "extension"),
+)
+def text_kn_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    occ = _trigram_occurrences(docs)
+    tri = occ.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    ptab = kn_trigram_prob_table(tri).select("w1", "w2", "w3", "p")
+    scored = occ.join(ptab, ["w1", "w2", "w3"]).select(
+        "doc_id", F.log("p").alias("lp")
+    )
+    avg_lp = F.round(
+        F.sum(F.round(F.col("lp") * 1000).cast("long")) / F.lit(1000.0)
+        / F.count(F.lit(1)),
+        6,
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_trigrams"), avg_lp.alias("avg_lp"))
+        .withColumn(
+            "band",
+            F.when(F.col("avg_lp") >= _KNP_HEAD, "head")
+            .when(F.col("avg_lp") >= _KNP_MID, "middle")
+            .otherwise("tail"),
+        )
+    )
 
 
 @register(

@@ -126,24 +126,28 @@ def main() -> int:
 
     for name in REPLICATED:
         t = pq.read_table(os.path.join(src, f"{name}.parquet"))
-        copies = []
-        for c in range(k):
-            tc = t
-            if c > 0:
-                for col in t.column_names:
-                    dom = KEY_DOMAINS.get(col)
-                    if dom:
-                        idx = tc.schema.get_field_index(col)
-                        tc = tc.set_column(idx, col, _shift_column(tc[col], c * strides[dom]))
-                if name == "documents":
-                    tc = _tag_documents(tc, c)
-                if name == "embeddings":
-                    tc = _rotate_embeddings(tc, c)
-            copies.append(tc)
-        out = pa.concat_tables(copies)
-        assert out.schema.equals(t.schema), (name, out.schema, t.schema)
-        pq.write_table(out, os.path.join(dst, f"{name}.parquet"))
-        print(f"{name}: {t.num_rows} -> {out.num_rows} rows")
+        # Stream copies straight into the writer (one row group batch per
+        # copy) instead of concat-ing k tables in memory: at k=300 the
+        # concat of lineitem would hold ~18 GB of Arrow buffers for no
+        # semantic gain — the written rows are identical either way.
+        total = 0
+        with pq.ParquetWriter(os.path.join(dst, f"{name}.parquet"), t.schema) as w:
+            for c in range(k):
+                tc = t
+                if c > 0:
+                    for col in t.column_names:
+                        dom = KEY_DOMAINS.get(col)
+                        if dom:
+                            idx = tc.schema.get_field_index(col)
+                            tc = tc.set_column(idx, col, _shift_column(tc[col], c * strides[dom]))
+                    if name == "documents":
+                        tc = _tag_documents(tc, c)
+                    if name == "embeddings":
+                        tc = _rotate_embeddings(tc, c)
+                assert tc.schema.equals(t.schema), (name, tc.schema, t.schema)
+                w.write_table(tc)
+                total += tc.num_rows
+        print(f"{name}: {t.num_rows} -> {total} rows")
     return 0
 
 
