@@ -95,6 +95,7 @@ HEADLINE = [
     "contamination_span_removal",
     "tfidf_top_terms",
     "text_bigram_lm_score",
+    "text_kn_perplexity_filter",
     "text_bm25_search",
     "text_bm25_persisted",
     "text_redact_documents",

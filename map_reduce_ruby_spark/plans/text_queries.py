@@ -1757,10 +1757,23 @@ _KNP_MID = -3.35
     tags=("text", "pipeline", "lm", "quality", "extension"),
 )
 def text_kn_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    return kn_perplexity_scores(load_table(spark, sf_dir, "documents"))
+
+
+def kn_perplexity_scores(
+    docs: DataFrame,
+    d_discount: float = _KN_D,
+    head_cut: float = _KNP_HEAD,
+    mid_cut: float = _KNP_MID,
+) -> DataFrame:
+    """The perplexity filter as a reusable operator over any (doc_id,
+    text) frame, with the discount and band cuts as parameters — the
+    catalog entry pins (0.75, -3.05, -3.35); the differential fuzzer
+    drives random values against the from-scratch Python scorer
+    (tests/test_differential_fuzz.py _gen_knp_arm)."""
     occ = _trigram_occurrences(docs)
     tri = occ.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
-    ptab = kn_trigram_prob_table(tri).select("w1", "w2", "w3", "p")
+    ptab = kn_trigram_prob_table(tri, d_discount).select("w1", "w2", "w3", "p")
     scored = occ.join(ptab, ["w1", "w2", "w3"]).select(
         "doc_id", F.log("p").alias("lp")
     )
@@ -1774,8 +1787,8 @@ def text_kn_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_trigrams"), avg_lp.alias("avg_lp"))
         .withColumn(
             "band",
-            F.when(F.col("avg_lp") >= _KNP_HEAD, "head")
-            .when(F.col("avg_lp") >= _KNP_MID, "middle")
+            F.when(F.col("avg_lp") >= F.lit(float(head_cut)), "head")
+            .when(F.col("avg_lp") >= F.lit(float(mid_cut)), "middle")
             .otherwise("tail"),
         )
     )

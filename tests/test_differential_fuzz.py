@@ -424,13 +424,52 @@ def _gen_kn_arm(rng: random.Random):
     def model_fn():
         import test_er_properties as erp
 
-        model = erp._kn_model(texts, d=d)
+        model = {k: v[:2] for k, v in erp._kn_model(texts, d=d).items()}
         top = sorted(model.items(), key=lambda kv: (-kv[1][0], kv[0]))[:top_n]
         pdf = pd.DataFrame(
             [(w1, w2, w3, c3, p) for (w1, w2, w3), (c3, p) in top] or None,
             columns=["w1", "w2", "w3", "c3", "p_kn"],
         )
         return pdf.astype({"c3": "int64", "p_kn": "float64"})
+
+    return ("op", spark_fn, model_fn)
+
+
+def _gen_knp_arm(rng: random.Random):
+    """KN document-perplexity filter with a random discount, random band
+    cuts, and random corpus vs the from-scratch Python scorer."""
+    import pandas as pd
+
+    d = rng.choice([0.1, 0.25, 0.5, 0.75, 0.9])
+    head = round(rng.uniform(-3.2, -2.4), 2)
+    mid = round(head - rng.uniform(0.1, 1.0), 2)
+    texts = [
+        " ".join(rng.choice(_KN_WORDS) for _ in range(rng.randint(0, 12)))
+        for _ in range(rng.randint(1, 8))
+    ]
+
+    def spark_fn(spark):
+        from map_reduce_ruby_spark.plans.text_queries import kn_perplexity_scores
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return kn_perplexity_scores(
+            docs, d_discount=d, head_cut=head, mid_cut=mid
+        ).toPandas()
+
+    def model_fn():
+        import test_er_properties as erp
+
+        model = erp._kn_perplexity_model(texts, d=d, head=head, mid=mid)
+        pdf = pd.DataFrame(
+            [(i, n, avg, band) for i, (n, avg, band) in sorted(model.items())]
+            or None,
+            columns=["doc_id", "n_trigrams", "avg_lp", "band"],
+        )
+        return pdf.astype(
+            {"doc_id": "int64", "n_trigrams": "int64", "avg_lp": "float64"}
+        )
 
     return ("op", spark_fn, model_fn)
 
@@ -544,6 +583,7 @@ ARMS = [
     _gen_decimal_boundary_query,
     _gen_snm_arm,
     _gen_kn_arm,
+    _gen_knp_arm,
 ]
 
 

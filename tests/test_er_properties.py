@@ -103,7 +103,38 @@ def _kn_model(texts, d=0.75):
         p6 = float(
             Decimal(repr(p)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
         )
-        out[(w1, w2, w3)] = (c3, p6)
+        out[(w1, w2, w3)] = (c3, p6, p)
+    return out
+
+
+def _kn_perplexity_model(texts, d=0.75, head=-3.05, mid=-3.35):
+    """Per-doc mean KN trigram logprob + band, exactly as the filter entry
+    defines it: ln of the UNROUNDED type probability per occurrence,
+    snapped to the 1e3 int grid (Spark ROUND = HALF_UP over the double's
+    shortest repr), summed, divided, rounded to 6dp."""
+    import math
+
+    model = _kn_model(texts, d)
+    out = {}
+    for doc_id, t in enumerate(texts):
+        tok = t.split()
+        snapped, n = 0, 0
+        for i in range(len(tok) - 2):
+            p = model[(tok[i], tok[i + 1], tok[i + 2])][2]
+            lp = math.log(p)
+            snapped += int(
+                Decimal(repr(lp * 1000)).quantize(Decimal("1"), ROUND_HALF_UP)
+            )
+            n += 1
+        if n == 0:
+            continue  # no trigrams -> doc drops out, like the entry
+        avg = float(
+            Decimal(repr(snapped / 1000.0 / n)).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+        )
+        band = "head" if avg >= head else ("middle" if avg >= mid else "tail")
+        out[doc_id] = (n, avg, band)
     return out
 
 
@@ -131,9 +162,31 @@ def test_kneser_ney_matches_python_model(spark, tmp_path_factory, texts):
         (r.w1, r.w2, r.w3): (r.c3, r.p_kn)
         for r in all_entries()["text_kneser_ney_trigram"].fn(spark, str(d)).collect()
     }
-    model = _kn_model(texts)
+    model = {k: v[:2] for k, v in _kn_model(texts).items()}
     top = sorted(model.items(), key=lambda kv: (-kv[1][0], kv[0]))[:50]
     assert got == dict(top)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_texts)
+def test_kn_perplexity_filter_matches_python_model(
+    spark, tmp_path_factory, texts
+):
+    from map_reduce_ruby_spark.plans import all_entries
+
+    d = tmp_path_factory.mktemp("knp_prop")
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("s").alias("source"), F.length("text").alias("n_chars"),
+    )
+    docs.write.parquet(str(d / "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_trigrams, r.avg_lp, r.band)
+        for r in all_entries()["text_kn_perplexity_filter"].fn(spark, str(d)).collect()
+    }
+    assert got == _kn_perplexity_model(texts)
 
 
 # --- unicode keys under the DEFAULT bucket ------------------------------------

@@ -70,6 +70,7 @@ ONE_ROW_BROADCAST = {
     "text_pmi_collocations",        # corpus token total scalar
     "text_bm25_search",             # avg doc length scalar
     "text_kneser_ney_trigram",      # bigram-type-count scalar (KN base T)
+    "text_kn_perplexity_filter",    # same KN base-T scalar via shared helper
 }
 
 
