@@ -19,8 +19,13 @@ come from the repo's two-phase prefix scan (operators/prefix_sum.py —
 per-bucket totals collected once, windows only WITHIN buckets), and the
 window join is an equi-join on (rank + offset), never a range join.
 
-Verification is exact 3-gram shingle Jaccard (the dedup family's verify
-metric): the fixture's cross-side near-dup pairs separate cleanly
+Verification is 3-gram shingle Jaccard over the h32-HASHED shingle
+universe — the dedup family's convention (dedup_ngram_jaccard hashes its
+shingles the same way): both engines hash identically, so the gate stays
+exact, and the verify join shuffles primitive array<long> payloads
+instead of array<string> (~4x smaller; measured at sf30 the string-array
+form GC-thrashed the verify stage while candidates/rank stages stayed
+linear). The fixture's cross-side near-dup pairs separate cleanly
 (sf0.001: matched pairs >= 0.888, best non-match 0.027), so the 0.2
 threshold sits far from any rounding boundary on either engine.
 """
@@ -42,6 +47,12 @@ _ER_THRESHOLD = 0.2  # shingle-Jaccard verify cut (dedup-family convention)
 
 _TOKENS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
 
+# The oracle's twin of the Spark side's h32-hashed shingle (same md5-hex
+# contract as dedup_ngram_jaccard's shingle universe).
+from map_reduce_ruby_spark.functions import h32_sql
+
+_H32_SHINGLE = h32_sql("tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]")
+
 
 # Session memo of the shingled+keyed record table — ONE cached copy shared
 # by both SNM entries and both blocking passes (same memo rules as the
@@ -61,19 +72,28 @@ def _keyed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_ruby_spark.functions import h32
+
     docs = load_table(spark, sf_dir, "documents")
     tok = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
     toks = docs.select(
         F.col("doc_id").alias("rec_id"), tok.alias("tok")
     ).filter(F.size("tok") >= 3)
+    # shingles are h32-HASHED (array<long>, distinct AFTER hashing): the
+    # verify join carries this array through two pair-keyed shuffles, and
+    # at sf30 the raw-string form (~6 KB/doc of string objects) GC-thrashed
+    # that stage while every other stage scaled linearly; 8-byte primitive
+    # elements shuffle ~4x less and never touch the JVM object heap.
     sh = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size("tok") - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at("tok", (i + 1).cast("int")),
-                F.element_at("tok", (i + 2).cast("int")),
-                F.element_at("tok", (i + 3).cast("int")),
+            lambda i: h32(
+                F.concat_ws(
+                    " ",
+                    F.element_at("tok", (i + 1).cast("int")),
+                    F.element_at("tok", (i + 2).cast("int")),
+                    F.element_at("tok", (i + 3).cast("int")),
+                )
             ),
         )
     )
@@ -119,7 +139,7 @@ def _verify_jaccard(
     keyed AS (
         SELECT doc_id, side,
                list_distinct(list_transform(range(1, len(tok) - 1),
-                   i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS sh,
+                   i -> {_H32_SHINGLE})) AS sh,
                concat_ws(' ', tok[1], tok[2]) AS k1,
                concat_ws(' ', tok[-2], tok[-1]) AS k2
         FROM toks
@@ -159,7 +179,8 @@ def _verify_jaccard(
     "(NO single-partition window) and window-joins rank to rank+offset "
     "(equi-join on exploded offsets 1..w — candidates are exactly n*w per "
     "pass, data-independent, unlike hot LSH bands), passes union, and "
-    "cross-side candidates are verified by exact 3-gram shingle Jaccard. "
+    "cross-side candidates are verified by 3-gram shingle Jaccard over "
+    "the h32-hashed universe (the dedup-family convention). "
     "The oracle re-derives both sort orders with row_number() and a range "
     "self-join — the engine plan must produce the identical candidate "
     "universe and verdicts.",
@@ -189,7 +210,7 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed AS (
         SELECT doc_id,
                list_distinct(list_transform(range(1, len(tok) - 1),
-                   i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS sh,
+                   i -> {_H32_SHINGLE})) AS sh,
                concat_ws(' ', tok[1], tok[2]) AS k1,
                concat_ws(' ', tok[-2], tok[-1]) AS k2
         FROM toks
@@ -228,7 +249,7 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     "keys distribute. The trade is recall-by-construction (LSH) vs "
     "volume-by-construction (SNM): production pipelines run SNM when the "
     "corpus has adversarial/hot key regions. Verification is the same "
-    "exact 3-gram shingle Jaccard at the same 0.2 threshold, so this "
+    "h32-hashed 3-gram shingle Jaccard at the same 0.2 threshold, so this "
     "entry's pairs are directly comparable to dedup_ngram_jaccard's "
     "(SNM finds the subset whose members sort near each other — the "
     "window is the recall knob).",
