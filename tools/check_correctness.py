@@ -23,6 +23,12 @@ import pandas as pd
 
 def oracle_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # In-memory DuckDB cannot spill without an explicit temp_directory, so
+    # big-SF oracle runs (sf30 BPE training rebuilt in SQL) die with
+    # "Out of Memory Error" instead of offloading; give it a spill dir and
+    # leave headroom for the co-resident Spark JVM.
+    con.sql("SET temp_directory = '/tmp/duckdb_oracle_spill'")
+    con.sql("SET memory_limit = '48GB'")
     from map_reduce_ruby_spark.sources import TABLES
 
     for t in TABLES:
