@@ -189,7 +189,7 @@ def main() -> int:
         # records can tell a real regression from ambient noise when the
         # delta is inside the spread band; cross-session variance (the
         # stronger signal) comes from tools/bench_stability.py.
-        warm = samples[1:] if len(samples) > 2 else samples
+        warm = samples[1:] if len(samples) > 1 else samples
         spread[name] = round(max(warm) - min(warm), 3)
 
     out = {

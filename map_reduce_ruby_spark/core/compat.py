@@ -194,7 +194,8 @@ class Mapper:
         (mapper.rb:83-96). The spilled chunks are deleted afterwards even
         on error (the reference's ``ensure``), and the partition files are
         byte-identical to the unbounded path's (pinned by
-        tests/test_compat.py::test_memory_limit_output_byte_identical).
+        tests/test_compat.py::test_memory_limit_output_byte_identical_with_reduce
+        and ..._no_reduce_fifo).
         """
         _check_chunk_limit(chunk_limit)
         impl_map = self._impl.map

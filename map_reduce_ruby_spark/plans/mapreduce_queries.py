@@ -128,7 +128,7 @@ def compat_spill_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lines.select(
             F.get_json_object("value", "$[0]").alias("word"),
             F.get_json_object("value", "$[1]").cast("long").alias("cnt"),
-        ).cache().localCheckpoint()  # materialize before the dir vanishes
+        ).localCheckpoint()  # eager: materialize before the dir vanishes
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -23,7 +23,7 @@ NUMERIC = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 STRINGS = [("l_returnflag", ["A", "N", "R"]), ("l_linestatus", ["O", "F"])]
 GROUPS = ["l_returnflag", "l_linestatus", "l_suppkey % 7", "l_partkey % 5"]
 
-N_QUERIES = 60  # 15 arms x 4 runs each per seed
+N_QUERIES = 64  # 16 arms x 4 runs each per seed
 
 
 # (l_orderkey, l_linenumber) is NOT unique in the fixture; this 7-column

@@ -26,9 +26,16 @@ def oracle_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # In-memory DuckDB cannot spill without an explicit temp_directory, so
     # big-SF oracle runs (sf30 BPE training rebuilt in SQL) die with
     # "Out of Memory Error" instead of offloading; give it a spill dir and
-    # leave headroom for the co-resident Spark JVM.
+    # cap memory at ~40% of PHYSICAL RAM (not a fixed number — a fixed
+    # 48GB would exceed RAM on smaller hosts and trade DuckDB's clean
+    # spill for a kernel OOM kill), leaving headroom for the co-resident
+    # Spark JVM.
     con.sql("SET temp_directory = '/tmp/duckdb_oracle_spill'")
-    con.sql("SET memory_limit = '48GB'")
+    try:
+        total_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 2**30
+        con.sql(f"SET memory_limit = '{max(2, int(total_gb * 0.4))}GB'")
+    except (ValueError, OSError):
+        pass  # platform without sysconf: keep DuckDB's default (80% of RAM)
     from map_reduce_ruby_spark.sources import TABLES
 
     for t in TABLES:

@@ -46,7 +46,8 @@ def main() -> int:
                     spark, con, fz.ARMS[i % len(fz.ARMS)], rng, f"s{seed}q{i}"
                 )
             except Exception as e:  # engine exception = divergence too
-                problems, desc = [f"exception: {e}"], "<arm raised>"
+                arm = fz.ARMS[i % len(fz.ARMS)].__name__
+                problems, desc = [f"exception: {e}"], f"<{arm} raised>"
             if problems:
                 fails.append((seed, i, desc, problems))
         print(f"seed {seed}: done ({total} total, {len(fails)} failures)", flush=True)
