@@ -128,6 +128,9 @@ HEADLINE = [
     "events_value_histogram",
     "corpus_materialize",
     "corpus_constraint_checks",
+    "corpus_dsir_weights",
+    "corpus_dsir_select",
+    "text_nb_langid",
 ]
 
 

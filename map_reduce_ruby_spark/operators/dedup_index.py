@@ -86,6 +86,27 @@ def write_minhash_index(
     )
 
 
+def register_minhash_index(
+    spark: SparkSession, table: str, path: str, n_buckets: int = 16
+) -> None:
+    """ATTACH a completed band-index directory as ``table`` in THIS
+    process's catalog — the cross-process reuse path. ``tableExists`` is
+    per-process (each Spark app has its own catalog), so a fresh process
+    finding the content-addressed ``path`` already built must register
+    the existing files, NOT rebuild: ``write_minhash_index``'s
+    mode=overwrite deletes the live files first, and a sibling process
+    whose readers planned against them dies with FILED_READ_FILE
+    mid-scan (observed exactly that under two concurrent suites). The
+    DDL recreates the bucket spec the writer used, so probe joins stay
+    bucketed and corpus-shuffle-free (asserted equal row-for-row and
+    plan-shape in tests/test_dedup_index.py)."""
+    spark.sql(
+        f"CREATE TABLE {table} (doc_id BIGINT, band_idx INT, band_hash STRING) "
+        f"USING parquet CLUSTERED BY (band_hash) SORTED BY (band_hash) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )
+
+
 def append_minhash_batch(docs: DataFrame, table: str) -> None:
     """Incremental index maintenance: sketch ONLY the new batch and append
     its (doc_id, band_idx, band_hash) rows into the persisted band index —

@@ -46,6 +46,7 @@ def all_entries() -> dict[str, CatalogEntry]:
     registry in a stable order."""
     from map_reduce_ruby_spark.plans import (  # noqa: F401
         dedup_queries,
+        dsir_queries,
         er_queries,
         events_queries,
         mapreduce_queries,

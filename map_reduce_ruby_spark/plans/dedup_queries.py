@@ -1064,6 +1064,7 @@ def dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_ruby_spark.operators.dedup_index import (
         append_minhash_batch,
         dedup_against_index,
+        register_minhash_index,
         write_minhash_index,
     )
     from map_reduce_ruby_spark.sources import load_table
@@ -1087,12 +1088,17 @@ def dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = f"mh_idx_append_{tag}"
     path = os.path.join(tempfile.gettempdir(), f"mh_idx_append_{tag}")
     marker = os.path.join(path, "_APPEND_COMMITTED")
-    if not (os.path.exists(marker) and spark.catalog.tableExists(table)):
-        # cold (or half-built, or new session without the catalog entry):
-        # overwrite resets A cleanly, then the incremental append runs
+    if not os.path.exists(marker):
+        # cold or half-built: overwrite resets A cleanly, then the
+        # incremental append runs; the marker commits B's membership last
         write_minhash_index(corpus_a, table, path)
         append_minhash_batch(batch_b, table)
         open(marker, "w").close()
+    elif not spark.catalog.tableExists(table):
+        # committed by a sibling process: ATTACH the existing layout —
+        # rebuilding would delete its live files under that process's
+        # readers (register_minhash_index docstring)
+        register_minhash_index(spark, table, path)
     return dedup_against_index(spark, probe, table)
 
 
@@ -1132,6 +1138,7 @@ def dedup_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_minhash_batch,
         compact_minhash_index,
         dedup_against_index,
+        register_minhash_index,
         write_minhash_index,
     )
     from map_reduce_ruby_spark.sources import load_table
@@ -1149,7 +1156,11 @@ def dedup_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_path = os.path.join(tempfile.gettempdir(), f"mh_idx_cmp_base_{tag}")
     cmp_path = os.path.join(tempfile.gettempdir(), f"mh_idx_cmp_gen2_{tag}")
     marker = os.path.join(cmp_path, "_COMPACT_COMMITTED")
-    if not (os.path.exists(marker) and spark.catalog.tableExists(table)):
+    if os.path.exists(marker) and not spark.catalog.tableExists(table):
+        # committed by a sibling process: attach the compacted generation
+        # instead of rebuilding over its live files
+        register_minhash_index(spark, table, cmp_path)
+    elif not os.path.exists(marker):
         shutil.rmtree(cmp_path, ignore_errors=True)
         if spark.catalog.tableExists(table):
             spark.sql(f"DROP TABLE {table}")
@@ -1618,6 +1629,7 @@ def dedup_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from map_reduce_ruby_spark.operators.dedup_index import (
         dedup_against_index,
+        register_minhash_index,
         write_minhash_index,
     )
 
@@ -1633,8 +1645,13 @@ def dedup_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # invalidates the cached index instead of silently serving stale bands.
     tag = table_fingerprint(sf_dir, "documents")
     table = f"mh_band_idx_{tag}"
-    # one build per (session, sf_dir): rebuilding is idempotent but wasteful
+    # one build per (session, sf_dir); a COMPLETE path built by a sibling
+    # process is ATTACHED, never rebuilt — overwrite would delete the live
+    # files under that process's readers (register_minhash_index docstring)
     if not spark.catalog.tableExists(table):
         path = os.path.join(tempfile.gettempdir(), f"mh_band_idx_{tag}")
-        write_minhash_index(corpus, table, path)
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            register_minhash_index(spark, table, path)
+        else:
+            write_minhash_index(corpus, table, path)
     return dedup_against_index(spark, batch, table)

@@ -1,0 +1,444 @@
+"""Data selection for language-model pretraining: DSIR importance
+resampling and a hashed-ngram Naive-Bayes classifier.
+
+Two published, closed-form data-selection methods over the documents
+table, both built on ONE shared feature extractor (hashed unigram+bigram
+bag-of-ngrams — the DSIR paper's feature space):
+
+* DSIR (Xie et al., "Data Selection for Language Models via Importance
+  Resampling", NeurIPS 2023): fit two smoothed bucket distributions — the
+  TARGET slice (here: lang='en', the in-domain proxy) and the RAW corpus —
+  and weight every document by its log importance ratio
+  sum_grams ln(p_target[bucket]/p_raw[bucket]). Selection is Gumbel
+  top-k over the log-weights, which samples WITHOUT replacement
+  proportionally to the importance weights; the Gumbel noise is derived
+  deterministically from h32(doc_id) so both engines draw the same
+  sample.
+* Naive Bayes over the same hashed features is the closed-form analog of
+  the fastText-style quality/language classifier used to filter GPT-3 /
+  LLaMA pretraining data: per-class bucket log-likelihoods + log-prior,
+  argmax over classes. Here it is self-trained on the corpus's lang
+  labels and evaluated in-corpus (per-doc prediction + the confusion
+  matrix a pipeline would monitor).
+
+Cross-engine float determinism follows the catalog's LM convention
+(text_bigram_lm_score, text_kneser_ney_trigram): every per-gram
+log-probability is snapped to a scaled-int64 1e-3 grid BEFORE summing, so
+document scores are exact integer sums — addition-order independent and
+hash-gateable — and the 1e3 grid keeps a last-ulp libm ln() divergence
+between engines ~1000x away from any rounding boundary.
+
+Scale shape (the part that must survive 100 TB): one explode of the
+corpus into hashed gram instances, ONE shuffle to (doc_id, bucket)
+counts, then every model table is tiny — the bucket distributions are
+<= _BUCKETS rows, the NB grid is n_classes * _BUCKETS rows — and every
+scoring join is a broadcast hash join against those tables followed by a
+partial-aggregated per-document sum. Selection is TakeOrdered (per
+-partition top-k, then a k-row merge on the driver), never a global
+single-partition window. No step is ever document x document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_ruby_spark.functions import h32, h32_sql
+from map_reduce_ruby_spark.plans.catalog import register
+from map_reduce_ruby_spark.plans.memo import LruMemo
+from map_reduce_ruby_spark.sources import load_table
+
+# Feature-space size. 256 hash buckets keeps the model tables broadcast-
+# trivial while leaving the synthetic vocabulary (~60 words -> ~3.6k
+# distinct grams) enough spread that bucket collisions don't flatten the
+# distributions. The DSIR paper uses 10k buckets at web scale — the knob
+# is free to raise; nothing below depends on its magnitude.
+_BUCKETS = 256
+
+# DSIR's in-domain target slice: English documents stand in for "the
+# distribution we want more of" (the paper's target corpus).
+_TARGET_LANG = "en"
+
+# Selected fraction for the resampling entry: top ceil(n/5) by
+# Gumbel-perturbed log-weight (integer arithmetic both engines).
+_SELECT_DENOM = 5
+
+_TOKENS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
+
+# The oracle's twin of _doc_gram_buckets: unigrams ++ space-joined
+# bigrams, h32-hashed into _BUCKETS buckets, counted per (doc, bucket).
+_DB_SQL = f"""
+    toks AS (
+        SELECT doc_id, lang, {_TOKENS_SQL} AS tok FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang, g
+        FROM toks, UNNEST(list_concat(tok,
+             CASE WHEN len(tok) >= 2
+                  THEN list_transform(range(1, len(tok)),
+                                      i -> tok[i] || ' ' || tok[i + 1])
+                  ELSE CAST([] AS VARCHAR[]) END)) AS t(g)
+    ),
+    db AS (
+        SELECT doc_id, lang, ({h32_sql('g')}) % {_BUCKETS} AS b,
+               COUNT(*) AS cnt
+        FROM grams GROUP BY 1, 2, 3
+    )
+"""
+
+# Bucket log-ratio table (DSIR's importance model), Laplace-smoothed on
+# both margins, snapped to the 1e-3 int grid per bucket.
+_LAM_SQL = f"""
+    ct AS (
+        SELECT b, SUM(cnt) AS c_t FROM db
+        WHERE lang = '{_TARGET_LANG}' GROUP BY b
+    ),
+    cr AS (
+        SELECT b, SUM(cnt) AS c_r FROM db GROUP BY b
+    ),
+    tot AS (
+        SELECT SUM(CASE WHEN lang = '{_TARGET_LANG}' THEN cnt ELSE 0 END) AS n_t,
+               SUM(cnt) AS n_r
+        FROM db
+    ),
+    lam AS (
+        SELECT cr.b,
+               CAST(ROUND((ln((COALESCE(ct.c_t, 0) + 1.0) / (tot.n_t + {_BUCKETS}))
+                         - ln((cr.c_r + 1.0) / (tot.n_r + {_BUCKETS}))) * 1000)
+                    AS BIGINT) AS lam_milli
+        FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN tot
+    ),
+    weights AS (
+        SELECT db.doc_id,
+               MIN(db.lang) AS lang,
+               CAST(SUM(db.cnt) AS BIGINT) AS n_grams,
+               CAST(SUM(db.cnt * lam.lam_milli) AS BIGINT) AS weight_milli
+        FROM db JOIN lam ON db.b = lam.b
+        GROUP BY db.doc_id
+    )
+"""
+
+# Session memo of the (doc_id, lang, bucket, cnt) feature table — one
+# cached copy shared by all four entries in this module (same memo rules
+# as the IVF/PQ/SNM memos: keyed by applicationId+sf_dir, bounded LRU,
+# unpersist on eviction).
+_DSIR_DB_MEMO = LruMemo(capacity=8, unpersist=lambda df: df.unpersist())
+
+
+def _doc_gram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, b, cnt): hashed unigram+bigram bucket counts."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _DSIR_DB_MEMO.get_or_build(
+        key, lambda: gram_buckets_for(load_table(spark, sf_dir, "documents")).cache()
+    )
+
+
+def gram_buckets_for(docs: DataFrame) -> DataFrame:
+    """Hashed unigram+bigram bucket counts (doc_id, lang, b, cnt) for any
+    (doc_id, lang, text) frame — the docs-frame-level API the property
+    tests drive with randomized corpora."""
+    tok = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    toks = docs.select("doc_id", "lang", tok.alias("tok"))
+    grams = F.concat(
+        F.col("tok"),
+        F.when(
+            F.size("tok") >= 2,
+            F.expr(
+                "transform(sequence(1, size(tok) - 1),"
+                " i -> concat(element_at(tok, i), ' ', element_at(tok, i + 1)))"
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<string>)")),
+    )
+    g = toks.select("doc_id", "lang", F.explode(grams).alias("g"))
+    return (
+        g.select("doc_id", "lang", (h32(F.col("g")) % F.lit(_BUCKETS)).alias("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_grams, weight_milli): DSIR log importance weights
+    as exact scaled-int64 sums."""
+    return dsir_weights_for(_doc_gram_buckets(spark, sf_dir))
+
+
+def dsir_weights_for(db: DataFrame) -> DataFrame:
+    """DSIR weights over a (doc_id, lang, b, cnt) feature frame."""
+    ct = db.filter(F.col("lang") == _TARGET_LANG).groupBy("b").agg(
+        F.sum("cnt").alias("c_t")
+    )
+    cr = db.groupBy("b").agg(F.sum("cnt").alias("c_r"))
+    tot = db.agg(
+        F.sum(
+            F.when(F.col("lang") == _TARGET_LANG, F.col("cnt")).otherwise(F.lit(0))
+        ).alias("n_t"),
+        F.sum("cnt").alias("n_r"),
+    )
+    lam = (
+        cr.join(ct, "b", "left")
+        .crossJoin(F.broadcast(tot))  # 1-row scalar (corpus gram totals)
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("n_t") + F.lit(float(_BUCKETS)))
+                    )
+                    - F.log(
+                        (F.col("c_r") + F.lit(1.0))
+                        / (F.col("n_r") + F.lit(float(_BUCKETS)))
+                    )
+                )
+                * 1000
+            )
+            .cast("long")
+            .alias("lam_milli"),
+        )
+    )
+    return (
+        db.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.sum("cnt").alias("n_grams"),
+            F.sum(F.col("cnt") * F.col("lam_milli")).alias("weight_milli"),
+        )
+    )
+
+
+@register(
+    "corpus_dsir_weights",
+    oracle=f"""
+    WITH {_DB_SQL}, {_LAM_SQL}
+    SELECT doc_id, lang, n_grams, weight_milli,
+           ROUND(weight_milli / 1000.0, 6) AS weight
+    FROM weights
+    """,
+    doc="DSIR importance weights (Xie et al., NeurIPS 2023): hashed "
+    "unigram+bigram bucket distributions for the target slice (lang='en') "
+    "vs the raw corpus, Laplace-smoothed; each document's log importance "
+    "weight is the exact int64 sum of its grams' 1e-3-grid log-ratios. "
+    "One corpus explode + one (doc,bucket) shuffle; the importance model "
+    "is a <=256-row broadcast — the scoring pass is a broadcast hash join "
+    "plus partial-aggregated per-doc sum, never doc x doc.",
+    tags=("pipeline", "dsir", "quality", "extension"),
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _dsir_weights(spark, sf_dir)
+    return w.select(
+        "doc_id",
+        "lang",
+        "n_grams",
+        "weight_milli",
+        F.round(F.col("weight_milli") / F.lit(1000.0), 6).alias("weight"),
+    )
+
+
+@register(
+    "corpus_dsir_select",
+    oracle=f"""
+    WITH {_DB_SQL}, {_LAM_SQL},
+    scored AS (
+        SELECT doc_id, lang, weight_milli,
+               weight_milli + CAST(ROUND(-ln(-ln(
+                   (({h32_sql("CAST(doc_id AS VARCHAR)", seed="dsir")})
+                    + 0.5) / 4294967296.0)) * 1000) AS BIGINT) AS skey_milli
+        FROM weights
+    )
+    SELECT doc_id, lang, weight_milli, skey_milli
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (ORDER BY skey_milli DESC, doc_id)
+            <= (COUNT(*) OVER () + {_SELECT_DENOM - 1}) // {_SELECT_DENOM}
+    """,
+    doc="DSIR resampling step: Gumbel top-k over the log importance "
+    "weights — equivalent to sampling ceil(n/5) documents WITHOUT "
+    "replacement proportionally to their importance weights (the "
+    "Gumbel-max trick). The Gumbel draw is deterministic-portable: "
+    "u = (h32('dsir:'||doc_id)+0.5)/2^32, g = -ln(-ln(u)), snapped to "
+    "the same 1e-3 int grid as the weights so selection compares exact "
+    "integers. Spark plans TakeOrdered (per-partition top-k + k-row "
+    "driver merge), NOT a single-partition global window; k comes from "
+    "parquet-metadata count, integer arithmetic on both engines.",
+    tags=("pipeline", "dsir", "sampling", "extension"),
+)
+def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _dsir_weights(spark, sf_dir)
+    u = (
+        h32(F.col("doc_id").cast("string"), seed="dsir") + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    scored = w.select(
+        "doc_id",
+        "lang",
+        "weight_milli",
+        (
+            F.col("weight_milli")
+            + F.round(-F.log(-F.log(u)) * 1000).cast("long")
+        ).alias("skey_milli"),
+    )
+    # k from the parquet row count (metadata-only job): docs with zero
+    # grams can't exist here (n_chars >= 1 in every fixture), so the
+    # weights frame has exactly one row per document on both engines.
+    n = load_table(spark, sf_dir, "documents").count()
+    k = (n + _SELECT_DENOM - 1) // _SELECT_DENOM
+    return scored.orderBy(F.desc("skey_milli"), "doc_id").limit(k)
+
+
+def _nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, pred, best_milli): per-document argmax class of the
+    hashed-ngram Naive Bayes model, exact int64 scores."""
+    return nb_scores_for(_doc_gram_buckets(spark, sf_dir))
+
+
+def nb_scores_for(db: DataFrame) -> DataFrame:
+    """Naive Bayes argmax over a (doc_id, lang, b, cnt) feature frame."""
+    # Per-class bucket counts and totals; per-class document priors.
+    cb = db.groupBy(F.col("lang").alias("cls"), "b").agg(F.sum("cnt").alias("c_cb"))
+    ctot = cb.groupBy("cls").agg(F.sum("c_cb").alias("n_c"))
+    nd_c = db.select("doc_id", "lang").distinct().groupBy(
+        F.col("lang").alias("cls")
+    ).agg(F.count(F.lit(1)).alias("nd_c"))
+    nd = nd_c.agg(F.sum("nd_c").alias("nd"))
+    prior = nd_c.crossJoin(F.broadcast(nd)).select(  # 1-row scalar (doc total)
+        "cls",
+        F.round(F.log(F.col("nd_c") / F.col("nd")) * 1000).cast("long").alias(
+            "prior_milli"
+        ),
+    )
+    # Full class x bucket grid WITHOUT a cartesian plan: the class list is
+    # a bounded driver-side collect (|langs| rows — the same bounded-dims
+    # pattern as the ANN centroid collects), exploded over the <=256-row
+    # bucket table; absent (class, bucket) pairs get the Laplace floor.
+    classes = [r["cls"] for r in ctot.select("cls").collect()]
+    buckets = db.select("b").distinct()
+    grid = buckets.select(
+        "b", F.explode(F.array(*[F.lit(c) for c in sorted(classes)])).alias("cls")
+    )
+    llm = (
+        grid.join(cb, ["cls", "b"], "left")
+        .join(ctot, "cls")
+        .select(
+            "cls",
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c_cb"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("n_c") + F.lit(float(_BUCKETS)))
+                )
+                * 1000
+            )
+            .cast("long")
+            .alias("llm_milli"),
+        )
+    )
+    scores = (
+        db.join(F.broadcast(llm), "b")
+        .groupBy("doc_id", F.col("lang"), "cls")
+        .agg(F.sum(F.col("cnt") * F.col("llm_milli")).alias("s_milli"))
+        .join(F.broadcast(prior), "cls")
+        .select(
+            "doc_id",
+            "lang",
+            "cls",
+            (F.col("s_milli") + F.col("prior_milli")).alias("score_milli"),
+        )
+    )
+    # Exact-integer argmax; ties (possible only on identical int scores)
+    # break to the lexicographically LAST class name on both engines.
+    best = scores.groupBy("doc_id", "lang").agg(
+        F.max(F.struct("score_milli", "cls")).alias("m")
+    )
+    return best.select(
+        "doc_id", "lang", F.col("m.cls").alias("pred"), F.col("m.score_milli").alias("best_milli")
+    )
+
+
+_NB_SQL = f"""
+    cb AS (
+        SELECT lang AS cls, b, SUM(cnt) AS c_cb FROM db GROUP BY 1, 2
+    ),
+    ctot AS (
+        SELECT cls, SUM(c_cb) AS n_c FROM cb GROUP BY cls
+    ),
+    prior AS (
+        SELECT lang AS cls,
+               CAST(ROUND(ln(COUNT(DISTINCT doc_id)
+                             / (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE)
+                                FROM db)) * 1000) AS BIGINT) AS prior_milli
+        FROM db GROUP BY lang
+    ),
+    grid AS (
+        SELECT b, cls FROM (SELECT DISTINCT b FROM db)
+        CROSS JOIN (SELECT DISTINCT cls FROM ctot)
+    ),
+    llm AS (
+        SELECT grid.cls, grid.b,
+               CAST(ROUND(ln((COALESCE(cb.c_cb, 0) + 1.0)
+                             / (ctot.n_c + {_BUCKETS})) * 1000)
+                    AS BIGINT) AS llm_milli
+        FROM grid
+        LEFT JOIN cb ON grid.cls = cb.cls AND grid.b = cb.b
+        JOIN ctot ON grid.cls = ctot.cls
+    ),
+    nb_best AS (
+        SELECT doc_id, lang, cls AS pred, score_milli AS best_milli
+        FROM (
+            SELECT db.doc_id, db.lang, llm.cls,
+                   CAST(SUM(db.cnt * llm.llm_milli) + MIN(prior.prior_milli)
+                        AS BIGINT) AS score_milli
+            FROM db
+            JOIN llm ON db.b = llm.b
+            JOIN prior ON llm.cls = prior.cls
+            GROUP BY db.doc_id, db.lang, llm.cls
+        )
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score_milli DESC, cls DESC) = 1
+    )
+"""
+
+
+@register(
+    "text_nb_langid",
+    oracle=f"""
+    WITH {_DB_SQL}, {_NB_SQL}
+    SELECT doc_id, lang, pred, best_milli,
+           CASE WHEN pred = lang THEN 1 ELSE 0 END AS ok
+    FROM nb_best
+    """,
+    doc="Hashed-ngram Naive Bayes language classifier — the closed-form "
+    "analog of the fastText-style filter used on GPT-3/LLaMA pretraining "
+    "data: per-class Laplace bucket log-likelihoods + log-prior, exact "
+    "int64 argmax per document (1e-3 grid, ties to the last class name). "
+    "Model tables are n_classes x 256 rows broadcast; scoring multiplies "
+    "the (doc,bucket) table by n_classes through a broadcast join with "
+    "partial aggregation — linear in corpus size at any class count.",
+    tags=("text", "quality", "classifier", "extension"),
+)
+def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    best = _nb_scores(spark, sf_dir)
+    return best.select(
+        "doc_id",
+        "lang",
+        "pred",
+        "best_milli",
+        F.when(F.col("pred") == F.col("lang"), 1).otherwise(0).alias("ok"),
+    )
+
+
+@register(
+    "text_nb_confusion",
+    oracle=f"""
+    WITH {_DB_SQL}, {_NB_SQL}
+    SELECT lang, pred, COUNT(*) AS n_docs
+    FROM nb_best GROUP BY lang, pred
+    """,
+    doc="Confusion matrix of the Naive Bayes language classifier — the "
+    "n_classes^2-row monitoring view a filtering pipeline alerts on. "
+    "Same scoring plan as text_nb_langid (shared cached feature table) "
+    "plus one tiny aggregation.",
+    tags=("text", "quality", "classifier", "extension"),
+)
+def text_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    best = _nb_scores(spark, sf_dir)
+    return best.groupBy("lang", "pred").agg(F.count(F.lit(1)).alias("n_docs"))

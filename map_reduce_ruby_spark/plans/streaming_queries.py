@@ -549,6 +549,7 @@ def streaming_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from map_reduce_ruby_spark.operators.dedup_index import (
         dedup_against_index,
+        register_minhash_index,
         write_minhash_index,
     )
     from map_reduce_ruby_spark.sources import load_table
@@ -562,7 +563,14 @@ def streaming_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = f"mh_band_idx_{tag}"
     if not spark.catalog.tableExists(table):
         path = os.path.join(tempfile.gettempdir(), f"mh_band_idx_{tag}")
-        write_minhash_index(docs.filter(F.col("doc_id") % 5 != 0), table, path)
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            # a sibling process already built this content-addressed index:
+            # attach it — rebuilding would delete its live files mid-scan
+            register_minhash_index(spark, table, path)
+        else:
+            write_minhash_index(
+                docs.filter(F.col("doc_id") % 5 != 0), table, path
+            )
 
     # arrivals: the probe slice as a 3-file drop so the stream sees
     # multiple micro-batches (repartition, not coalesce — see

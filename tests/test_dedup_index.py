@@ -51,6 +51,47 @@ def test_probe_join_has_no_index_side_exchange(spark, sf_dir, tmp_path):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_register_attaches_existing_index_without_rewrite(
+    spark, sf_dir, tmp_path
+):
+    """A fresh process finding the content-addressed index already built
+    must ATTACH it (register_minhash_index), never rebuild: overwrite
+    deletes the live files under a sibling process's readers. Pinned:
+    dropping the table from the catalog and registering over the same
+    path leaves every data file byte-for-byte in place (mtimes) and the
+    probe result and bucketed plan are identical."""
+    import os
+
+    from map_reduce_ruby_spark.operators.dedup_index import (
+        register_minhash_index,
+    )
+
+    corpus, batch = _split(spark, sf_dir)
+    path = str(tmp_path / "idx_attach")
+    write_minhash_index(corpus, "mh_idx_attach", path)
+    want = dedup_against_index(spark, batch, "mh_idx_attach").toPandas()
+    files = {
+        os.path.join(path, f): os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    assert files, "writer produced no data files"
+
+    # simulate the fresh process: catalog entry gone, files remain
+    spark.sql("DROP TABLE mh_idx_attach")
+    register_minhash_index(spark, "mh_idx_attach", path)
+
+    probe_df = dedup_against_index(spark, batch, "mh_idx_attach")
+    got = probe_df.toPandas()
+    key = lambda df: df.sort_values("doc_id").reset_index(drop=True)
+    assert key(got)[sorted(got.columns)].equals(key(want)[sorted(want.columns)])
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan
+    assert {
+        p: os.path.getmtime(p) for p in files
+    } == files, "registration must not touch data files"
+
+
 def test_index_rebuild_is_idempotent(spark, sf_dir, tmp_path):
     corpus, batch = _split(spark, sf_dir)
     write_minhash_index(corpus, "mh_idx_twice", str(tmp_path / "idx3"))

@@ -23,7 +23,7 @@ NUMERIC = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 STRINGS = [("l_returnflag", ["A", "N", "R"]), ("l_linestatus", ["O", "F"])]
 GROUPS = ["l_returnflag", "l_linestatus", "l_suppkey % 7", "l_partkey % 5"]
 
-N_QUERIES = 64  # 16 arms x 4 runs each per seed
+N_QUERIES = 72  # 18 arms x 4 runs each per seed
 
 
 # (l_orderkey, l_linenumber) is NOT unique in the fixture; this 7-column
@@ -474,6 +474,96 @@ def _gen_knp_arm(rng: random.Random):
     return ("op", spark_fn, model_fn)
 
 
+_DSIR_LANGS = ["en", "de", "fr"]
+
+
+def _gen_dsir_corpus(rng: random.Random):
+    # non-empty pool words only: the DSIR docs frame round-trips tokens
+    # through " ".join + whitespace re-split, so an empty-string "token"
+    # would exist for the model but not for the engine
+    pool = [w for w in _SNM_POOL if w]
+    return [
+        (
+            i,
+            rng.choice(_DSIR_LANGS),
+            [rng.choice(pool) for _ in range(rng.randint(1, 12))],
+        )
+        for i in range(rng.randint(1, 16))
+    ]
+
+
+def _gen_dsir_arm(rng: random.Random):
+    """DSIR importance weights on a random multilingual corpus vs the
+    pure-Python model (tests/test_dsir.py)."""
+    import pandas as pd
+
+    rows = _gen_dsir_corpus(rng)
+
+    def spark_fn(spark):
+        from map_reduce_ruby_spark.plans.dsir_queries import (
+            dsir_weights_for,
+            gram_buckets_for,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, lang, " ".join(toks)) for i, lang, toks in rows],
+            "doc_id long, lang string, text string",
+        )
+        return (
+            dsir_weights_for(gram_buckets_for(docs))
+            .select("doc_id", "n_grams", "weight_milli")
+            .toPandas()
+        )
+
+    def model_fn():
+        import test_dsir as td
+
+        w, ng = td._model_weights(rows)
+        pdf = pd.DataFrame(
+            sorted((d, ng[d], w[d]) for d in w) or None,
+            columns=["doc_id", "n_grams", "weight_milli"],
+        )
+        return pdf.astype("int64")
+
+    return ("op", spark_fn, model_fn)
+
+
+def _gen_nb_arm(rng: random.Random):
+    """Hashed-ngram Naive Bayes argmax on a random labeled corpus vs the
+    pure-Python model (tests/test_dsir.py)."""
+    import pandas as pd
+
+    rows = _gen_dsir_corpus(rng)
+
+    def spark_fn(spark):
+        from map_reduce_ruby_spark.plans.dsir_queries import (
+            gram_buckets_for,
+            nb_scores_for,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, lang, " ".join(toks)) for i, lang, toks in rows],
+            "doc_id long, lang string, text string",
+        )
+        return (
+            nb_scores_for(gram_buckets_for(docs))
+            .select("doc_id", "pred", "best_milli")
+            .toPandas()
+        )
+
+    def model_fn():
+        import test_dsir as td
+
+        model = td._model_nb(rows)
+        pdf = pd.DataFrame(
+            sorted((d, p, s) for d, (p, s) in model.items()) or None,
+            columns=["doc_id", "pred", "best_milli"],
+        )
+        return pdf.astype({"doc_id": "int64", "best_milli": "int64"})
+
+    return ("op", spark_fn, model_fn)
+
+
 def two_sided(gen_result) -> tuple[str, str]:
     """Arms return either one shared-dialect SQL string or a
     (spark_sql, duckdb_sql) pair; normalize to a pair."""
@@ -566,7 +656,7 @@ def views(spark, sf_dir):
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
 
 
-# Round-robin over every arm: with N_QUERIES=44 each arm runs 4x per seed.
+# Round-robin over every arm: each arm runs N_QUERIES/len(ARMS) x per seed.
 ARMS = [
     _gen_query,
     _gen_window_query,
@@ -584,6 +674,8 @@ ARMS = [
     _gen_snm_arm,
     _gen_kn_arm,
     _gen_knp_arm,
+    _gen_dsir_arm,
+    _gen_nb_arm,
 ]
 
 

@@ -45,6 +45,9 @@ EXECUTING_ENTRIES = {
     "knn_pandas_udf",  # collects the 10-row query matrix at build time
     "ntile_customer_spend_deciles_ranged",  # collects 9 quantile boundaries at build time
 
+    "corpus_dsir_select",  # parquet-metadata count for k at build time
+    "text_nb_langid",  # collects the bounded class list at build time
+    "text_nb_confusion",  # same NB scoring helper (bounded class collect)
     "dedup_ngram_jaccard",  # localCheckpoints its shingle set at build time
     "bpe_merge_steps",  # localCheckpoints each merge round's token table
     "text_bpe_encode",  # same checkpointed trainer + final encode fold
@@ -71,6 +74,10 @@ ONE_ROW_BROADCAST = {
     "text_bm25_search",             # avg doc length scalar
     "text_kneser_ney_trigram",      # bigram-type-count scalar (KN base T)
     "text_kn_perplexity_filter",    # same KN base-T scalar via shared helper
+    "corpus_dsir_weights",          # corpus gram-total scalar (n_t, n_r)
+    "corpus_dsir_select",           # same DSIR weight helper's totals scalar
+    "text_nb_langid",               # document-total scalar for the NB prior
+    "text_nb_confusion",            # same NB scoring helper's prior scalar
 }
 
 
