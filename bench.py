@@ -131,6 +131,7 @@ HEADLINE = [
     "corpus_dsir_weights",
     "corpus_dsir_select",
     "text_nb_langid",
+    "text_nb_persisted",
 ]
 
 

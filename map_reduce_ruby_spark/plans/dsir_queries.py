@@ -292,13 +292,28 @@ def _nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def nb_scores_for(db: DataFrame) -> DataFrame:
-    """Naive Bayes argmax over a (doc_id, lang, b, cnt) feature frame."""
-    # Per-class bucket counts and totals; per-class document priors.
+    """Naive Bayes argmax over a (doc_id, lang, b, cnt) feature frame —
+    the SELF-TRAINED form (model statistics derived from the same frame
+    being scored)."""
     cb = db.groupBy(F.col("lang").alias("cls"), "b").agg(F.sum("cnt").alias("c_cb"))
-    ctot = cb.groupBy("cls").agg(F.sum("c_cb").alias("n_c"))
     nd_c = db.select("doc_id", "lang").distinct().groupBy(
         F.col("lang").alias("cls")
     ).agg(F.count(F.lit(1)).alias("nd_c"))
+    return nb_scores_from_model(db, cb, nd_c)
+
+
+def nb_scores_from_model(
+    db: DataFrame, cb: DataFrame, nd_c: DataFrame
+) -> DataFrame:
+    """Naive Bayes argmax of probe frame ``db`` (doc_id, lang, b, cnt)
+    under a MODEL given as its sufficient statistics: class-bucket gram
+    counts ``cb`` (cls, b, c_cb — may span persisted generations with
+    duplicate (cls, b) rows; summed here, which is what lets the durable
+    store append without rewriting) and per-class document counts
+    ``nd_c`` (cls, nd_c). Probe buckets the model never saw score at the
+    Laplace floor; probe docs score against the model's class set."""
+    cb = cb.groupBy("cls", "b").agg(F.sum("c_cb").alias("c_cb"))
+    ctot = cb.groupBy("cls").agg(F.sum("c_cb").alias("n_c"))
     nd = nd_c.agg(F.sum("nd_c").alias("nd"))
     prior = nd_c.crossJoin(F.broadcast(nd)).select(  # 1-row scalar (doc total)
         "cls",
@@ -417,6 +432,124 @@ _NB_SQL = f"""
 )
 def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = _nb_scores(spark, sf_dir)
+    return best.select(
+        "doc_id",
+        "lang",
+        "pred",
+        "best_milli",
+        F.when(F.col("pred") == F.col("lang"), 1).otherwise(0).alias("ok"),
+    )
+
+
+@register(
+    "text_nb_persisted",
+    oracle=f"""
+    WITH {_DB_SQL},
+    train AS (SELECT * FROM db WHERE doc_id % 5 >= 1),
+    probe AS (SELECT * FROM db WHERE doc_id % 5 = 0),
+    cb AS (
+        SELECT lang AS cls, b, SUM(cnt) AS c_cb FROM train GROUP BY 1, 2
+    ),
+    ctot AS (
+        SELECT cls, SUM(c_cb) AS n_c FROM cb GROUP BY cls
+    ),
+    prior AS (
+        SELECT lang AS cls,
+               CAST(ROUND(ln(COUNT(DISTINCT doc_id)
+                             / (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE)
+                                FROM train)) * 1000) AS BIGINT) AS prior_milli
+        FROM train GROUP BY lang
+    ),
+    grid AS (
+        SELECT b, cls FROM (SELECT DISTINCT b FROM probe)
+        CROSS JOIN (SELECT DISTINCT cls FROM ctot)
+    ),
+    llm AS (
+        SELECT grid.cls, grid.b,
+               CAST(ROUND(ln((COALESCE(cb.c_cb, 0) + 1.0)
+                             / (ctot.n_c + {_BUCKETS})) * 1000)
+                    AS BIGINT) AS llm_milli
+        FROM grid
+        LEFT JOIN cb ON grid.cls = cb.cls AND grid.b = cb.b
+        JOIN ctot ON grid.cls = ctot.cls
+    )
+    SELECT doc_id, lang, pred, best_milli,
+           CASE WHEN pred = lang THEN 1 ELSE 0 END AS ok
+    FROM (
+        SELECT doc_id, lang, cls AS pred, score_milli AS best_milli
+        FROM (
+            SELECT probe.doc_id, probe.lang, llm.cls,
+                   CAST(SUM(probe.cnt * llm.llm_milli)
+                        + MIN(prior.prior_milli) AS BIGINT) AS score_milli
+            FROM probe
+            JOIN llm ON probe.b = llm.b
+            JOIN prior ON llm.cls = prior.cls
+            GROUP BY probe.doc_id, probe.lang, llm.cls
+        )
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score_milli DESC, cls DESC) = 1
+    )
+    """,
+    doc="DURABLE Naive Bayes classifier (operators/nb_store.py) — the "
+    "persisted-artifact lifecycle applied to the data-selection family: "
+    "train the class-bucket count tables on corpus slice A, APPEND slice "
+    "B's counts as a new generation (every NB statistic is additive, so "
+    "the maintained model is bit-identical to a full retrain — stronger "
+    "than IVF, whose centroids freeze at batch-1), compact, vacuum, then "
+    "classify the probe slice from STORAGE with zero training jobs. The "
+    "oracle retrains from scratch over A union B and must hash-match: a "
+    "dropped batch, a stats drift, or a lossy compaction all fail the "
+    "gate. Classification cost is probe-batch-sized — the counts tables "
+    "broadcast; the training corpus is never re-read.",
+    tags=("text", "quality", "classifier", "persisted", "incremental",
+          "extension"),
+)
+def text_nb_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from map_reduce_ruby_spark.operators.artifact_store import (
+        read_index_meta,
+        vacuum_index,
+    )
+    from map_reduce_ruby_spark.operators.nb_store import (
+        NB_MODEL_VERSION,
+        append_nb_batch,
+        compact_nb_model,
+        load_nb_model,
+        nb_model_exists,
+        write_nb_model,
+    )
+    from map_reduce_ruby_spark.sources.tables import table_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    train_a = docs.filter(F.col("doc_id") % 5 >= 2)
+    batch_b = docs.filter(F.col("doc_id") % 5 == 1)
+    probe = docs.filter(F.col("doc_id") % 5 == 0)
+
+    # content-fingerprinted cache, hit only on the fully-compacted end
+    # state (the text_bm25_persisted rule)
+    tag = table_fingerprint(sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(), f"nb_model_v{NB_MODEL_VERSION}_{tag}"
+    )
+    meta = read_index_meta(path)
+    if not (
+        nb_model_exists(path, _BUCKETS)
+        and meta
+        and meta.get("batches") == 2
+        and len(meta.get("ingests", [])) == 1
+    ):
+        write_nb_model(spark, train_a, path, _BUCKETS)
+        append_nb_batch(spark, batch_b, path, batch_id="slice-1")
+        compact_nb_model(spark, path)
+        # grace=0: this session holds the only readers and they plan
+        # after the compaction commit (production drains first)
+        vacuum_index(path, grace_sec=0.0)
+    counts, class_docs, _meta = load_nb_model(spark, path)
+    best = nb_scores_from_model(gram_buckets_for(probe), counts, class_docs)
     return best.select(
         "doc_id",
         "lang",
