@@ -441,9 +441,12 @@ def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_nb_persisted",
-    oracle=f"""
+# Train on slices A u B (doc_id % 5 >= 1), classify the probe slice
+# (doc_id % 5 = 0) from scratch — the oracle for EVERY maintained form of
+# the durable NB model (single-append text_nb_persisted AND micro-batched
+# streaming_nb_ingest): additivity means any ingest decomposition must
+# reproduce this exact model.
+NB_AB_PROBE_ORACLE = f"""
     WITH {_DB_SQL},
     train AS (SELECT * FROM db WHERE doc_id % 5 >= 1),
     probe AS (SELECT * FROM db WHERE doc_id % 5 = 0),
@@ -489,7 +492,12 @@ def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
                                    ORDER BY score_milli DESC, cls DESC) = 1
     )
-    """,
+"""
+
+
+@register(
+    "text_nb_persisted",
+    oracle=NB_AB_PROBE_ORACLE,
     doc="DURABLE Naive Bayes classifier (operators/nb_store.py) — the "
     "persisted-artifact lifecycle applied to the data-selection family: "
     "train the class-bucket count tables on corpus slice A, APPEND slice "

@@ -609,3 +609,118 @@ def streaming_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
+
+
+def _streaming_nb_oracle() -> str:
+    from map_reduce_ruby_spark.plans.dsir_queries import NB_AB_PROBE_ORACLE
+
+    return NB_AB_PROBE_ORACLE
+
+
+@register(
+    "streaming_nb_ingest",
+    # SAME oracle as text_nb_persisted: every NB statistic is additive, so
+    # however slice B arrives — one append or several micro-batches through
+    # the streaming engine — the maintained model must equal the
+    # from-scratch retrain over A ∪ B.
+    oracle=_streaming_nb_oracle(),
+    doc="CONTINUOUS MODEL MAINTENANCE run through the streaming engine — "
+    "the classifier twin of streaming_index_ingest: the durable Naive "
+    "Bayes model (operators/nb_store.py) starts from corpus slice A "
+    "(doc_id % 5 in 2..4); slice B's labeled documents arrive as a "
+    "parquet file stream (maxFilesPerTrigger=1 — several genuine "
+    "micro-batches) and foreachBatch appends each micro-batch's count "
+    "statistics as a new index generation. Batch ids are CONTENT-derived "
+    "(md5 of the micro-batch's sorted doc_ids), so a fresh checkpoint's "
+    "replay — even one assigning different epoch numbers to the files — "
+    "skips exactly the already-committed micro-batches, never different "
+    "data hiding under a reused epoch id. After the availableNow drain "
+    "the probe slice (doc_id % 5 = 0) is classified FROM STORAGE; "
+    "hash-matching the full-retrain oracle proves micro-batched model "
+    "maintenance is exactly equivalent to batch training. At 100 TB each "
+    "arriving batch pays one batch-sized count aggregation; the model "
+    "tables stay <= classes x buckets rows per generation.",
+    tags=("streaming", "text", "classifier", "incremental", "persisted",
+          "custom-operator"),
+)
+def streaming_nb_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_ruby_spark.operators.nb_store import (
+        NB_MODEL_VERSION,
+        append_nb_batch,
+        load_nb_model,
+        nb_model_exists,
+        write_nb_model,
+    )
+    from map_reduce_ruby_spark.plans.dsir_queries import (
+        _BUCKETS,
+        gram_buckets_for,
+        nb_scores_from_model,
+    )
+    from map_reduce_ruby_spark.sources import load_table
+    from map_reduce_ruby_spark.sources.tables import table_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    train_a = docs.filter(F.col("doc_id") % 5 >= 2)
+    probe = docs.filter(F.col("doc_id") % 5 == 0)
+    tag = table_fingerprint(sf_dir, "documents")
+
+    # slice B as a 3-file drop (content-fingerprinted, _SUCCESS-gated) so
+    # the stream sees several genuine micro-batches
+    drop = os.path.join(tempfile.gettempdir(), f"nb_stream_drop_{tag}")
+    if not os.path.exists(os.path.join(drop, "_SUCCESS")):
+        docs.filter(F.col("doc_id") % 5 == 1).repartition(3).write.mode(
+            "overwrite"
+        ).parquet(drop)
+
+    # the STANDING model: content-addressed, built once from slice A;
+    # keep-winner publish makes concurrent builders safe, and the
+    # content-derived batch ids below make every re-drain idempotent, so
+    # repeated invocations converge to exactly A ∪ B
+    path = os.path.join(
+        tempfile.gettempdir(), f"nb_stream_model_v{NB_MODEL_VERSION}_{tag}"
+    )
+    if not nb_model_exists(path, _BUCKETS):
+        write_nb_model(spark, train_a, path, _BUCKETS)
+
+    def _ingest(batch_df, _eid):
+        ids = sorted(r.doc_id for r in batch_df.select("doc_id").collect())
+        if not ids:
+            return  # empty replay batch: nothing to commit
+        bid = hashlib.md5(",".join(map(str, ids)).encode()).hexdigest()[:16]
+        append_nb_batch(spark, batch_df, path, batch_id=bid)
+
+    ckpt = tempfile.mkdtemp(prefix="nb_stream_ckpt_")
+    try:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(drop)
+        )
+        q = (
+            stream.writeStream.foreachBatch(_ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    counts, class_docs, _meta = load_nb_model(spark, path)
+    best = nb_scores_from_model(gram_buckets_for(probe), counts, class_docs)
+    return best.select(
+        "doc_id",
+        "lang",
+        "pred",
+        "best_milli",
+        F.when(F.col("pred") == F.col("lang"), 1).otherwise(0).alias("ok"),
+    )

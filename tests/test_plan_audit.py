@@ -49,6 +49,7 @@ EXECUTING_ENTRIES = {
     "text_nb_langid",  # collects the bounded class list at build time
     "text_nb_confusion",  # same NB scoring helper (bounded class collect)
     "text_nb_persisted",  # builds/appends/compacts the durable NB model
+    "streaming_nb_ingest",  # drains the stream, appending NB generations
     "dedup_ngram_jaccard",  # localCheckpoints its shingle set at build time
     "bpe_merge_steps",  # localCheckpoints each merge round's token table
     "text_bpe_encode",  # same checkpointed trainer + final encode fold
@@ -80,6 +81,7 @@ ONE_ROW_BROADCAST = {
     "text_nb_langid",               # document-total scalar for the NB prior
     "text_nb_confusion",            # same NB scoring helper's prior scalar
     "text_nb_persisted",            # same prior scalar, stored-model form
+    "streaming_nb_ingest",          # same prior scalar, streamed-model form
 }
 
 
