@@ -32,13 +32,23 @@ single-consumer too, reducer.rb add_chunk.)
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from map_reduce_ruby_spark.operators.artifact_store import _AppendLock
+from map_reduce_ruby_spark.operators.artifact_store import (
+    _AppendLock,
+    _publish_atomic,
+)
+
+# Sidecar recording the writer's bucket spec next to _SUCCESS, so a fresh
+# process ATTACHING the index (register_minhash_index) recreates the
+# exact layout instead of guessing — "the bucket spec is the table's
+# identity, never a caller-supplied guess" (_table_bucket_count).
+_BUCKET_SPEC = "_BUCKET_SPEC.json"
 
 
 def _maintenance_lock(spark: SparkSession, table: str) -> _AppendLock:
@@ -68,26 +78,55 @@ def write_minhash_index(
     table: str,
     path: str,
     n_buckets: int = 16,
+    replace: bool = False,
 ) -> None:
     """Materialize the MinHash band index for ``docs`` (doc_id, text) as a
-    bucketed table: bucketed + sorted on band_hash so future probe joins are
-    corpus-shuffle-free. Re-running overwrites (idempotent full rebuild; an
-    append-mode daily maintenance writes only the new batch's bands)."""
+    bucketed table: bucketed + sorted on band_hash so future probe joins
+    are corpus-shuffle-free.
+
+    The data lands via STAGED build + one-rename publish with
+    content-addressed keep-winner semantics (artifact_store rules): two
+    processes cold-building the same path can never delete each other's
+    in-flight or live files — the loser discards its staging copy and
+    attaches the winner's. ``replace=True`` rebuilds over DIFFERENT data
+    at the same path (not reader-safe; only the per-invocation reset
+    entries use it). The writer's bucket spec is recorded in a sidecar so
+    a fresh process can attach the exact layout."""
+    import shutil
+
     from map_reduce_ruby_spark.plans.dedup_queries import _bands_for_docs
 
-    bands = _bands_for_docs(docs)
+    spark = docs.sparkSession
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    stage_table = f"{table}_stage_{uuid.uuid4().hex[:8]}"
     (
-        bands.write.bucketBy(n_buckets, "band_hash")
+        _bands_for_docs(docs)
+        .write.bucketBy(n_buckets, "band_hash")
         .sortBy("band_hash")
-        .option("path", path)
+        .option("path", tmp)
         .mode("overwrite")
         .format("parquet")
-        .saveAsTable(table)
+        .saveAsTable(stage_table)
     )
+    spark.sql(f"DROP TABLE {stage_table}")  # external: files remain at tmp
+    with open(os.path.join(tmp, _BUCKET_SPEC), "w", encoding="utf-8") as f:
+        json.dump({"n_buckets": int(n_buckets)}, f)
+    if replace:
+        if spark.catalog.tableExists(table):
+            spark.sql(f"DROP TABLE {table}")
+        shutil.rmtree(path, ignore_errors=True)
+    _publish_atomic(
+        tmp,
+        path,
+        keep_if_valid=lambda p: os.path.exists(os.path.join(p, "_SUCCESS")),
+    )
+    if spark.catalog.tableExists(table):
+        spark.sql(f"DROP TABLE {table}")
+    register_minhash_index(spark, table, path)
 
 
 def register_minhash_index(
-    spark: SparkSession, table: str, path: str, n_buckets: int = 16
+    spark: SparkSession, table: str, path: str, n_buckets: int | None = None
 ) -> None:
     """ATTACH a completed band-index directory as ``table`` in THIS
     process's catalog — the cross-process reuse path. ``tableExists`` is
@@ -97,9 +136,19 @@ def register_minhash_index(
     mode=overwrite deletes the live files first, and a sibling process
     whose readers planned against them dies with FILED_READ_FILE
     mid-scan (observed exactly that under two concurrent suites). The
-    DDL recreates the bucket spec the writer used, so probe joins stay
-    bucketed and corpus-shuffle-free (asserted equal row-for-row and
-    plan-shape in tests/test_dedup_index.py)."""
+    DDL recreates the bucket spec the writer used — read from the
+    ``_BUCKET_SPEC`` sidecar the writer published, never a caller guess
+    (a mismatched count would silently mis-place rows and drop matches) —
+    so probe joins stay bucketed and corpus-shuffle-free (asserted equal
+    row-for-row and plan-shape in tests/test_dedup_index.py)."""
+    if n_buckets is None:
+        spec_path = os.path.join(path, _BUCKET_SPEC)
+        try:
+            with open(spec_path, encoding="utf-8") as f:
+                n_buckets = int(json.load(f)["n_buckets"])
+        except (OSError, ValueError, KeyError):
+            # pre-sidecar layout: every historical writer used the default
+            n_buckets = 16
     spark.sql(
         f"CREATE TABLE {table} (doc_id BIGINT, band_idx INT, band_hash STRING) "
         f"USING parquet CLUSTERED BY (band_hash) SORTED BY (band_hash) "

@@ -63,30 +63,23 @@ def _nb_meta(n_buckets: int) -> dict:
     }
 
 
-def _counts_for(docs: DataFrame) -> DataFrame:
-    """(cls, b, c_cb) class-bucket gram counts for (doc_id, lang, text)
-    docs — the additive row half of the model's sufficient statistics."""
-    from map_reduce_ruby_spark.plans.dsir_queries import gram_buckets_for
-
-    return (
-        gram_buckets_for(docs)
-        .groupBy(F.col("lang").alias("cls"), "b")
-        .agg(F.sum("cnt").alias("c_cb"))
+def _counts_from_db(db: DataFrame) -> DataFrame:
+    """(cls, b, c_cb) class-bucket gram counts from a (doc_id, lang, b,
+    cnt) feature frame — the additive row half of the model's sufficient
+    statistics."""
+    return db.groupBy(F.col("lang").alias("cls"), "b").agg(
+        F.sum("cnt").alias("c_cb")
     )
 
 
-def _class_docs_for(docs: DataFrame) -> dict[str, int]:
-    """{cls: n_docs} — the additive meta-counter half (the prior's
-    sufficient statistics), bounded by |classes|. Counts documents that
-    contribute >= 1 gram (derived from the feature frame, matching the
-    in-query trainer and its oracle, which both count docs FROM the
-    feature table — a zero-token doc is invisible to either)."""
-    from map_reduce_ruby_spark.plans.dsir_queries import gram_buckets_for
-
+def _class_docs_from_db(db: DataFrame) -> dict[str, int]:
+    """{cls: n_docs} from the feature frame — the additive meta-counter
+    half (the prior's sufficient statistics), bounded by |classes|.
+    Counting FROM the feature frame matches the in-query trainer and its
+    oracle (a zero-token doc is invisible to either)."""
     return {
         r.cls: int(r.n)
-        for r in gram_buckets_for(docs)
-        .select("doc_id", F.col("lang").alias("cls"))
+        for r in db.select("doc_id", F.col("lang").alias("cls"))
         .distinct()
         .groupBy("cls")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -119,11 +112,19 @@ def write_nb_model(
     text): counts staged under a temp root, published by ONE rename with
     content-addressed keep-winner semantics (a concurrent builder's loser
     never deletes a live model out from under the winner's readers)."""
-    class_docs = _class_docs_for(docs)
-    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-    _counts_for(docs).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(tmp, "counts", "ingest=1")
-    )
+    from map_reduce_ruby_spark.plans.dsir_queries import gram_buckets_for
+
+    # ONE featurize pass feeds both statistic halves (cached, not
+    # recomputed per derivation — the batch scan is the whole cost here)
+    db = gram_buckets_for(docs).cache()
+    try:
+        class_docs = _class_docs_from_db(db)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        _counts_from_db(db).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "counts", "ingest=1")
+        )
+    finally:
+        db.unpersist()
     meta = dict(
         _nb_meta(n_buckets),
         class_docs=class_docs,
@@ -163,9 +164,15 @@ def append_nb_batch(
 
         ingests = [int(i) for i in meta["ingests"]]
         new_id = max(ingests) + 1
-        batch_docs = _class_docs_for(docs)
-        stage = os.path.join(path, "counts", f".stage-{uuid.uuid4().hex}")
-        _counts_for(docs).coalesce(1).write.mode("overwrite").parquet(stage)
+        from map_reduce_ruby_spark.plans.dsir_queries import gram_buckets_for
+
+        db = gram_buckets_for(docs).cache()  # one featurize pass, two stats
+        try:
+            batch_docs = _class_docs_from_db(db)
+            stage = os.path.join(path, "counts", f".stage-{uuid.uuid4().hex}")
+            _counts_from_db(db).coalesce(1).write.mode("overwrite").parquet(stage)
+        finally:
+            db.unpersist()
         _verify_meta_unchanged(path, meta)  # the count job was the long part
         _publish_atomic(stage, os.path.join(path, "counts", f"ingest={new_id}"))
         merged = dict(meta.get("class_docs", {}))

@@ -1166,10 +1166,13 @@ def dedup_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.sql(f"DROP TABLE {table}")
         write_minhash_index(corpus_a, table, base_path)
         append_minhash_batch(batch_b, table)
-        old_loc = compact_minhash_index(spark, table, cmp_path)
-        # old generation reclaimed immediately: this session holds the only
-        # readers and they plan post-swap (production drains first)
-        shutil.rmtree(old_loc.removeprefix("file:"), ignore_errors=True)
+        # the returned old generation is LEFT on disk for a drain window:
+        # the path is shared across processes (content-addressed in
+        # tempdir), so a sibling suite's readers may still hold pre-flip
+        # plans over it — an immediate rmtree is the same reader-kill the
+        # attach fix closed. A few MB of /tmp until the fixture's tag
+        # rotates is the price of never deleting files under a live scan.
+        compact_minhash_index(spark, table, cmp_path)
         open(marker, "w").close()
     return dedup_against_index(spark, probe, table)
 

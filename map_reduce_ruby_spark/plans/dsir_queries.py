@@ -277,10 +277,14 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.round(-F.log(-F.log(u)) * 1000).cast("long")
         ).alias("skey_milli"),
     )
-    # k from the parquet row count (metadata-only job): docs with zero
-    # grams can't exist here (n_chars >= 1 in every fixture), so the
-    # weights frame has exactly one row per document on both engines.
-    n = load_table(spark, sf_dir, "documents").count()
+    # k counts the docs the WEIGHTS frame contains — docs with >= 1 token
+    # (a whitespace-only text yields no grams and no weight row, and the
+    # oracle's COUNT(*) OVER () runs over its weights CTE): one cheap
+    # no-explode scan, never the raw table count, which would diverge by
+    # exactly the zero-token docs.
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    n = docs.filter(F.size(tok) > 0).count()
     k = (n + _SELECT_DENOM - 1) // _SELECT_DENOM
     return scored.orderBy(F.desc("skey_milli"), "doc_id").limit(k)
 
@@ -369,9 +373,15 @@ def nb_scores_from_model(
     )
 
 
-_NB_SQL = f"""
+def _nb_best_sql(train: str, probe: str) -> str:
+    """CTE chain (cb/ctot/prior/grid/llm/nb_best) of the NB model trained
+    on relation ``train`` and argmax-scored over relation ``probe`` — the
+    ONE definition behind the self-trained oracle (train = probe = db) and
+    the persisted/streamed A-union-B oracle, so a smoothing or tie-break
+    change can never fork the two."""
+    return f"""
     cb AS (
-        SELECT lang AS cls, b, SUM(cnt) AS c_cb FROM db GROUP BY 1, 2
+        SELECT lang AS cls, b, SUM(cnt) AS c_cb FROM {train} GROUP BY 1, 2
     ),
     ctot AS (
         SELECT cls, SUM(c_cb) AS n_c FROM cb GROUP BY cls
@@ -380,11 +390,11 @@ _NB_SQL = f"""
         SELECT lang AS cls,
                CAST(ROUND(ln(COUNT(DISTINCT doc_id)
                              / (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE)
-                                FROM db)) * 1000) AS BIGINT) AS prior_milli
-        FROM db GROUP BY lang
+                                FROM {train})) * 1000) AS BIGINT) AS prior_milli
+        FROM {train} GROUP BY lang
     ),
     grid AS (
-        SELECT b, cls FROM (SELECT DISTINCT b FROM db)
+        SELECT b, cls FROM (SELECT DISTINCT b FROM {probe})
         CROSS JOIN (SELECT DISTINCT cls FROM ctot)
     ),
     llm AS (
@@ -399,18 +409,21 @@ _NB_SQL = f"""
     nb_best AS (
         SELECT doc_id, lang, cls AS pred, score_milli AS best_milli
         FROM (
-            SELECT db.doc_id, db.lang, llm.cls,
-                   CAST(SUM(db.cnt * llm.llm_milli) + MIN(prior.prior_milli)
+            SELECT p.doc_id, p.lang, llm.cls,
+                   CAST(SUM(p.cnt * llm.llm_milli) + MIN(prior.prior_milli)
                         AS BIGINT) AS score_milli
-            FROM db
-            JOIN llm ON db.b = llm.b
+            FROM {probe} p
+            JOIN llm ON p.b = llm.b
             JOIN prior ON llm.cls = prior.cls
-            GROUP BY db.doc_id, db.lang, llm.cls
+            GROUP BY p.doc_id, p.lang, llm.cls
         )
         QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
                                    ORDER BY score_milli DESC, cls DESC) = 1
     )
 """
+
+
+_NB_SQL = _nb_best_sql("db", "db")
 
 
 @register(
@@ -450,48 +463,10 @@ NB_AB_PROBE_ORACLE = f"""
     WITH {_DB_SQL},
     train AS (SELECT * FROM db WHERE doc_id % 5 >= 1),
     probe AS (SELECT * FROM db WHERE doc_id % 5 = 0),
-    cb AS (
-        SELECT lang AS cls, b, SUM(cnt) AS c_cb FROM train GROUP BY 1, 2
-    ),
-    ctot AS (
-        SELECT cls, SUM(c_cb) AS n_c FROM cb GROUP BY cls
-    ),
-    prior AS (
-        SELECT lang AS cls,
-               CAST(ROUND(ln(COUNT(DISTINCT doc_id)
-                             / (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE)
-                                FROM train)) * 1000) AS BIGINT) AS prior_milli
-        FROM train GROUP BY lang
-    ),
-    grid AS (
-        SELECT b, cls FROM (SELECT DISTINCT b FROM probe)
-        CROSS JOIN (SELECT DISTINCT cls FROM ctot)
-    ),
-    llm AS (
-        SELECT grid.cls, grid.b,
-               CAST(ROUND(ln((COALESCE(cb.c_cb, 0) + 1.0)
-                             / (ctot.n_c + {_BUCKETS})) * 1000)
-                    AS BIGINT) AS llm_milli
-        FROM grid
-        LEFT JOIN cb ON grid.cls = cb.cls AND grid.b = cb.b
-        JOIN ctot ON grid.cls = ctot.cls
-    )
+    {_nb_best_sql("train", "probe")}
     SELECT doc_id, lang, pred, best_milli,
            CASE WHEN pred = lang THEN 1 ELSE 0 END AS ok
-    FROM (
-        SELECT doc_id, lang, cls AS pred, score_milli AS best_milli
-        FROM (
-            SELECT probe.doc_id, probe.lang, llm.cls,
-                   CAST(SUM(probe.cnt * llm.llm_milli)
-                        + MIN(prior.prior_milli) AS BIGINT) AS score_milli
-            FROM probe
-            JOIN llm ON probe.b = llm.b
-            JOIN prior ON llm.cls = prior.cls
-            GROUP BY probe.doc_id, probe.lang, llm.cls
-        )
-        QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
-                                   ORDER BY score_milli DESC, cls DESC) = 1
-    )
+    FROM nb_best
 """
 
 
@@ -553,9 +528,13 @@ def text_nb_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_nb_model(spark, train_a, path, _BUCKETS)
         append_nb_batch(spark, batch_b, path, batch_id="slice-1")
         compact_nb_model(spark, path)
-        # grace=0: this session holds the only readers and they plan
-        # after the compaction commit (production drains first)
-        vacuum_index(path, grace_sec=0.0)
+        # a REAL drain window, not grace=0: the model path is shared
+        # across processes (content-addressed in tempdir), so a sibling
+        # suite's classification scan may still hold the retired
+        # generations — deleting them immediately is the reader-kill the
+        # band-index attach fix closed. Retired count files are KBs; they
+        # wait out the hour.
+        vacuum_index(path, grace_sec=3600.0)
     counts, class_docs, _meta = load_nb_model(spark, path)
     best = nb_scores_from_model(gram_buckets_for(probe), counts, class_docs)
     return best.select(

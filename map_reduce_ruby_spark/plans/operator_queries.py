@@ -590,10 +590,12 @@ def knn_ivf_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_ivf_index(spark, batch1, path, k=None)
         append_ivf_batch(spark, batch2, path, batch_id="second-half")
         compact_ivf_index(spark, path)
-        # grace=0 is safe HERE: this session holds the only readers and
-        # they plan after the compaction commit (production keeps the
-        # default 24 h drain window)
-        vacuum_index(path, grace_sec=0.0)
+        # a REAL drain window, not grace=0: the index path is shared
+        # across processes (content-addressed in tempdir), so a sibling
+        # suite's serving scan may still hold the retired generations —
+        # deleting them immediately is the reader-kill the band-index
+        # attach fix closed (production keeps the default 24 h window)
+        vacuum_index(path, grace_sec=3600.0)
     assignments, centroids = load_ivf_index(spark, path)
     queries = v.filter(F.col("id") < _IVF_NQ).select(
         F.col("id").alias("qid"), F.col("e").alias("qe")

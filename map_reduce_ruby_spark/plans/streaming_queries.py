@@ -487,7 +487,10 @@ def streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ptag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     table = f"mh_idx_stream_{ptag}"
     path = os.path.join(tempfile.gettempdir(), f"mh_idx_stream_{ptag}")
-    write_minhash_index(corpus_a, table, path)
+    # replace=True: this entry's contract is a per-invocation reset (the
+    # checkpoint is fresh each call, so B's files re-append every run and
+    # a kept index would grow without bound)
+    write_minhash_index(corpus_a, table, path, replace=True)
 
     # the checkpoint is per-invocation BY DESIGN (a reused one would skip
     # the already-ingested files and the index table is reset each call) —

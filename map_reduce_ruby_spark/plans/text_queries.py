@@ -932,9 +932,12 @@ def text_bm25_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_bm25_index(spark, corpus_a, path)
         append_bm25_batch(spark, batch_b, path, batch_id="slice-1")
         compact_bm25_index(spark, path)
-        # grace=0: this session holds the only readers and they plan
-        # after the compaction commit (production drains first)
-        vacuum_index(path, grace_sec=0.0)
+        # a REAL drain window, not grace=0: the index path is shared
+        # across processes (content-addressed in tempdir), so a sibling
+        # suite's search scan may still hold the retired generations —
+        # deleting them immediately is the reader-kill the band-index
+        # attach fix closed
+        vacuum_index(path, grace_sec=3600.0)
     return bm25_search(
         spark, path, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, top_k=_BM25_TOPK
     )

@@ -92,6 +92,58 @@ def test_register_attaches_existing_index_without_rewrite(
     } == files, "registration must not touch data files"
 
 
+def test_second_cold_build_keeps_winner_files(spark, sf_dir, tmp_path):
+    """Two processes cold-building the same content-addressed path must
+    never delete each other's files: the second build stages its own
+    copy, loses the publish, discards the staging copy, and attaches the
+    winner's bytes (keep-winner). Simulated here with a second catalog
+    table name standing in for the second process."""
+    import os
+
+    corpus, batch = _split(spark, sf_dir)
+    path = str(tmp_path / "idx_winner")
+    write_minhash_index(corpus, "mh_idx_w1", path)
+    files = {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    want = dedup_against_index(spark, batch, "mh_idx_w1").toPandas()
+
+    write_minhash_index(corpus, "mh_idx_w2", path)  # the "loser" builder
+    after = {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    assert after == files, "loser must attach, never rewrite, the winner"
+    got = dedup_against_index(spark, batch, "mh_idx_w2").toPandas()
+    key = lambda df: df.sort_values("doc_id").reset_index(drop=True)
+    assert key(got)[sorted(got.columns)].equals(key(want)[sorted(want.columns)])
+
+
+def test_register_reads_bucket_spec_sidecar(spark, sf_dir, tmp_path):
+    """Attaching without an explicit bucket count must recreate the
+    WRITER's spec from the published sidecar — a guessed default over an
+    8-bucket layout would silently mis-place rows and drop matches."""
+    from map_reduce_ruby_spark.operators.dedup_index import (
+        _table_bucket_count,
+        register_minhash_index,
+    )
+
+    corpus, batch = _split(spark, sf_dir)
+    path = str(tmp_path / "idx_spec8")
+    write_minhash_index(corpus, "mh_spec_reg", path, n_buckets=8)
+    want = dedup_against_index(spark, batch, "mh_spec_reg").toPandas()
+    spark.sql("DROP TABLE mh_spec_reg")
+
+    register_minhash_index(spark, "mh_spec_reg", path)  # no count given
+    assert _table_bucket_count(spark, "mh_spec_reg") == 8
+    got = dedup_against_index(spark, batch, "mh_spec_reg").toPandas()
+    key = lambda df: df.sort_values("doc_id").reset_index(drop=True)
+    assert key(got)[sorted(got.columns)].equals(key(want)[sorted(want.columns)])
+
+
 def test_index_rebuild_is_idempotent(spark, sf_dir, tmp_path):
     corpus, batch = _split(spark, sf_dir)
     write_minhash_index(corpus, "mh_idx_twice", str(tmp_path / "idx3"))
