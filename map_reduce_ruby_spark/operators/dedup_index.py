@@ -146,9 +146,19 @@ def register_minhash_index(
         try:
             with open(spec_path, encoding="utf-8") as f:
                 n_buckets = int(json.load(f)["n_buckets"])
-        except (OSError, ValueError, KeyError):
-            # pre-sidecar layout: every historical writer used the default
+        except FileNotFoundError:
+            # pre-sidecar layout: every historical writer used the default.
+            # ONLY absence falls back — the sidecar is published atomically
+            # with the artifact (same one-rename), so a present-but-
+            # unparseable spec means corruption, and guessing 16 over a
+            # non-16-bucket layout would silently mis-place rows and drop
+            # matches. Corruption must surface, not degrade.
             n_buckets = 16
+        except (OSError, ValueError, KeyError) as e:
+            raise ValueError(
+                f"corrupt {_BUCKET_SPEC} at {path!r}: refusing to guess a "
+                f"bucket spec over an existing layout ({e})"
+            ) from e
     spark.sql(
         f"CREATE TABLE {table} (doc_id BIGINT, band_idx INT, band_hash STRING) "
         f"USING parquet CLUSTERED BY (band_hash) SORTED BY (band_hash) "
@@ -156,7 +166,49 @@ def register_minhash_index(
     )
 
 
-def append_minhash_batch(docs: DataFrame, table: str) -> None:
+# Committed-batch-id record, DATA-COLOCATED in the index directory (like
+# _BUCKET_SPEC): a fresh build publishes a directory with no record, so a
+# rebuilt table can never inherit stale ids from a prior incarnation of
+# the same name (a warehouse-homed record would leak exactly that), and
+# the record travels with the content-addressed path across processes.
+# Compaction copies it into the new generation before the location flip.
+_BATCHES_RECORD = "_BATCHES.json"
+
+
+def _table_location(spark: SparkSession, table: str) -> str:
+    loc = (
+        spark.sql(f"DESCRIBE FORMATTED {table}")
+        .filter(F.col("col_name") == "Location")
+        .collect()[0][1]
+    )
+    return loc[len("file:"):] if loc.startswith("file:") else loc
+
+
+def _committed_batch_ids(spark: SparkSession, table: str) -> list[str]:
+    """Batch ids already appended into ``table``'s live generation (call
+    under the maintenance lock for a read that can't race a writer)."""
+    try:
+        rec = os.path.join(_table_location(spark, table), _BATCHES_RECORD)
+        with open(rec, encoding="utf-8") as f:
+            return list(json.load(f)["batch_ids"])
+    except FileNotFoundError:
+        return []
+
+
+def _commit_batch_id(spark: SparkSession, table: str, batch_id: str) -> None:
+    rec = os.path.join(_table_location(spark, table), _BATCHES_RECORD)
+    ids = _committed_batch_ids(spark, table)
+    if batch_id in ids:
+        return
+    tmp = f"{rec}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"batch_ids": ids + [batch_id]}, f)
+    os.replace(tmp, rec)
+
+
+def append_minhash_batch(
+    docs: DataFrame, table: str, batch_id: str | None = None
+) -> None:
     """Incremental index maintenance: sketch ONLY the new batch and append
     its (doc_id, band_idx, band_hash) rows into the persisted band index —
     the corpus is never re-sketched and its existing bucket files are never
@@ -168,11 +220,28 @@ def append_minhash_batch(docs: DataFrame, table: str) -> None:
     instant before the location flip and be silently dropped. Because
     banding has no trained state (unlike IVF centroids), the
     incrementally-maintained index is EXACTLY the full rebuild — the
-    dedup_index_append catalog entry is gated on that equality."""
+    dedup_index_append catalog entry is gated on that equality.
+
+    ``batch_id`` makes retries idempotent, matching the other stores'
+    append protocol (nb_store append_nb_batch, ann_index append_ivf_batch):
+    an id already committed to the data-colocated batch record is a
+    no-op, so a crash-rerun can't double a batch's bands and the
+    maintained index keeps the full-rebuild MULTISET equality, not just
+    the duplicate-invariant probe equality. The id commits AFTER the data
+    lands (a crash exactly between the table append and the record rename
+    re-appends once on retry — the same post-commit window every
+    data+marker store has; probe results are duplicate-invariant, so the
+    window costs bytes, never wrong rows). ``None`` keeps the
+    unconditional-append behavior for callers with their own exactly-once
+    layer (the streaming entries' checkpoint)."""
     from map_reduce_ruby_spark.plans.dedup_queries import _bands_for_docs
 
     spark = docs.sparkSession
     with _maintenance_lock(spark, table):
+        if batch_id is not None and batch_id in _committed_batch_ids(
+            spark, table
+        ):
+            return
         n_buckets = _table_bucket_count(spark, table)
         (
             _bands_for_docs(docs)
@@ -182,6 +251,8 @@ def append_minhash_batch(docs: DataFrame, table: str) -> None:
             .format("parquet")
             .saveAsTable(table)
         )
+        if batch_id is not None:
+            _commit_batch_id(spark, table, batch_id)
 
 
 def compact_minhash_index(spark: SparkSession, table: str, dst_path: str) -> str:
@@ -245,6 +316,18 @@ def compact_minhash_index(spark: SparkSession, table: str, dst_path: str) -> str
             )
         finally:
             spark.conf.set(conf_key, saved)
+        # carry the committed-batch-id record into the new generation
+        # BEFORE the flip (appends serialize on this lock, so the record
+        # is stable here; a crash before the ALTER leaves the live table
+        # and its record untouched at the old location)
+        src_rec = os.path.join(
+            old_loc[len("file:"):] if old_loc.startswith("file:") else old_loc,
+            _BATCHES_RECORD,
+        )
+        if os.path.exists(src_rec):
+            import shutil
+
+            shutil.copyfile(src_rec, os.path.join(dst_path, _BATCHES_RECORD))
         # commit point: one metastore statement moves the data pointer
         spark.sql(f"ALTER TABLE {table} SET LOCATION '{dst_path}'")
         spark.sql(f"DROP TABLE {tmp_table}")  # external: dst files remain

@@ -1078,27 +1078,40 @@ def dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # CONTENT-fingerprinted cache (the knn_ivf_persisted rule): the
     # maintained table is deterministic — write A, append B — so a completed
-    # build+append is reusable; a regenerated fixture changes the tag. A
-    # sidecar marker commits B's membership AFTER the append (the
-    # append_ivf_batch model). Crash-retry safety is structural here: a
-    # duplicate band append cannot change the probe (MIN dup_of and
-    # COUNT(DISTINCT band_idx) are both duplicate-invariant), so a retry
-    # after a marker-less crash is merely wasted bytes, never a wrong row.
+    # build+append is reusable; a regenerated fixture changes the tag.
+    # B's membership commits as a BATCH ID through append_minhash_batch's
+    # idempotency record (the append_ivf_batch/append_nb_batch protocol),
+    # so a crash-rerun never doubles B's bands: the keep-winner publish
+    # keeps a committed A (half-built paths without _SUCCESS rebuild), and
+    # the committed batch id turns the retry's append into a no-op — the
+    # maintained index equals the full rebuild as a MULTISET, not just
+    # under the probe's duplicate-invariant aggregates.
     tag = table_fingerprint(sf_dir, "documents")
     table = f"mh_idx_append_{tag}"
     path = os.path.join(tempfile.gettempdir(), f"mh_idx_append_{tag}")
-    marker = os.path.join(path, "_APPEND_COMMITTED")
-    if not os.path.exists(marker):
-        # cold or half-built: overwrite resets A cleanly, then the
-        # incremental append runs; the marker commits B's membership last
+    bid = f"slice_b:{tag}"
+    legacy_marker = os.path.join(path, "_APPEND_COMMITTED")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # cold or half-built: staged build + keep-winner publish (a
+        # completed sibling build is attached, never deleted under its
+        # readers)
         write_minhash_index(corpus_a, table, path)
-        append_minhash_batch(batch_b, table)
-        open(marker, "w").close()
     elif not spark.catalog.tableExists(table):
         # committed by a sibling process: ATTACH the existing layout —
         # rebuilding would delete its live files under that process's
         # readers (register_minhash_index docstring)
         register_minhash_index(spark, table, path)
+    if os.path.exists(legacy_marker):
+        # pre-batch-id layout (r8): the marker proved B was appended;
+        # migrate it into the batch record so the append below no-ops
+        from map_reduce_ruby_spark.operators.dedup_index import (
+            _commit_batch_id,
+            _maintenance_lock,
+        )
+
+        with _maintenance_lock(spark, table):
+            _commit_batch_id(spark, table, bid)
+    append_minhash_batch(batch_b, table, batch_id=bid)
     return dedup_against_index(spark, probe, table)
 
 
@@ -1164,8 +1177,11 @@ def dedup_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(cmp_path, ignore_errors=True)
         if spark.catalog.tableExists(table):
             spark.sql(f"DROP TABLE {table}")
+        # keep-winner may KEEP a committed base from a crashed prior run
+        # that already appended B; the batch id makes the re-append a
+        # no-op, so the compacted generation never inherits doubled bands
         write_minhash_index(corpus_a, table, base_path)
-        append_minhash_batch(batch_b, table)
+        append_minhash_batch(batch_b, table, batch_id=f"slice_b:{tag}")
         # the returned old generation is LEFT on disk for a drain window:
         # the path is shared across processes (content-addressed in
         # tempdir), so a sibling suite's readers may still hold pre-flip

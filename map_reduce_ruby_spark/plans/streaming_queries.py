@@ -483,8 +483,16 @@ def streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # fresh table + checkpoint per invocation: the entry must be a pure
     # function of the fixture (overwrite resets A; a new checkpoint re-drains
-    # every B file)
-    ptag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    # every B file). The applicationId in the tag makes the reset path
+    # PER-PROCESS: replace=True drops the table and rmtree's the live
+    # path, and on a shared content-addressed path two processes running
+    # this entry concurrently would delete files under each other's scans
+    # — the cross-process reader-kill register_minhash_index closed for
+    # the keep-winner stores. A per-invocation-reset artifact has no
+    # cross-process reuse value, so it gets a per-process home instead.
+    ptag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:10]
     table = f"mh_idx_stream_{ptag}"
     path = os.path.join(tempfile.gettempdir(), f"mh_idx_stream_{ptag}")
     # replace=True: this entry's contract is a per-invocation reset (the
@@ -637,7 +645,11 @@ def _streaming_nb_oracle() -> str:
     "(md5 of the micro-batch's sorted doc_ids), so a fresh checkpoint's "
     "replay — even one assigning different epoch numbers to the files — "
     "skips exactly the already-committed micro-batches, never different "
-    "data hiding under a reused epoch id. After the availableNow drain "
+    "data hiding under a reused epoch id; the model path is keyed to the "
+    "drop's physical fingerprint, so a LOST-and-rewritten drop (whose "
+    "new grouping would mint new batch ids) rotates to a fresh model "
+    "instead of double-appending slice B into the survivor. After the "
+    "availableNow drain "
     "the probe slice (doc_id % 5 = 0) is classified FROM STORAGE; "
     "hash-matching the full-retrain oracle proves micro-batched model "
     "maintenance is exactly equivalent to batch training. At 100 TB each "
@@ -677,19 +689,43 @@ def streaming_nb_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = table_fingerprint(sf_dir, "documents")
 
     # slice B as a 3-file drop (content-fingerprinted, _SUCCESS-gated) so
-    # the stream sees several genuine micro-batches
+    # the stream sees several genuine micro-batches. repartition BY doc_id
+    # (hash on the value), not round-robin: a regenerated drop then groups
+    # the same doc_ids into the same files, so its content-derived batch
+    # ids match the committed ones instead of re-slicing slice B under
+    # new ids.
     drop = os.path.join(tempfile.gettempdir(), f"nb_stream_drop_{tag}")
     if not os.path.exists(os.path.join(drop, "_SUCCESS")):
-        docs.filter(F.col("doc_id") % 5 == 1).repartition(3).write.mode(
-            "overwrite"
-        ).parquet(drop)
+        docs.filter(F.col("doc_id") % 5 == 1).repartition(
+            3, F.col("doc_id")
+        ).write.mode("overwrite").parquet(drop)
 
     # the STANDING model: content-addressed, built once from slice A;
     # keep-winner publish makes concurrent builders safe, and the
     # content-derived batch ids below make every re-drain idempotent, so
-    # repeated invocations converge to exactly A ∪ B
+    # repeated invocations converge to exactly A ∪ B.
+    #
+    # The model path is additionally keyed to the DROP'S PHYSICAL IDENTITY
+    # (its file names+sizes — parquet part names are generation-unique):
+    # batch-id idempotency is only meaningful against the drop whose
+    # grouping produced those ids, so if the drop is ever lost and
+    # rewritten (tmp cleanup, reboot) while a model survives, the rewrite
+    # rotates the fingerprint and a FRESH model is built from slice A and
+    # re-fed exactly once — slice B can never be double-counted into a
+    # model whose committed ids came from a different grouping. The old
+    # model is orphaned in tmp, never deleted under a reader.
+    drop_fp = hashlib.md5(
+        ",".join(
+            sorted(
+                f"{name}:{os.path.getsize(os.path.join(drop, name))}"
+                for name in os.listdir(drop)
+                if name.endswith(".parquet")
+            )
+        ).encode()
+    ).hexdigest()[:10]
     path = os.path.join(
-        tempfile.gettempdir(), f"nb_stream_model_v{NB_MODEL_VERSION}_{tag}"
+        tempfile.gettempdir(),
+        f"nb_stream_model_v{NB_MODEL_VERSION}_{tag}_{drop_fp}",
     )
     if not nb_model_exists(path, _BUCKETS):
         write_nb_model(spark, train_a, path, _BUCKETS)

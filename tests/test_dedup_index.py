@@ -395,3 +395,76 @@ def test_streaming_probe_equals_batch_probe_and_leaves_index_untouched(
             p = os.path.join(root, f)
             got[p] = os.path.getmtime(p)
     assert got == mt, "the stream wrote into the standing index"
+
+
+def test_append_batch_id_makes_retry_a_noop(spark, sf_dir, tmp_path):
+    """A committed batch id turns a re-append into a no-op (the
+    append_ivf_batch/append_nb_batch protocol applied to the band index):
+    the maintained index must equal the full rebuild as a MULTISET, so a
+    crash-rerun of the same batch can't grow it. Without an id, the
+    legacy unconditional append still appends (callers with their own
+    exactly-once layer, e.g. a streaming checkpoint)."""
+    from map_reduce_ruby_spark.operators.dedup_index import (
+        append_minhash_batch,
+    )
+
+    corpus, batch = _split(spark, sf_dir)
+    write_minhash_index(corpus, "mh_bid_t", str(tmp_path / "idx_bid"))
+    base = spark.table("mh_bid_t").count()
+
+    append_minhash_batch(batch, "mh_bid_t", batch_id="b1")
+    once = spark.table("mh_bid_t").count()
+    assert once > base
+
+    append_minhash_batch(batch, "mh_bid_t", batch_id="b1")  # crash-rerun
+    assert spark.table("mh_bid_t").count() == once, (
+        "committed batch id must make the retry a no-op"
+    )
+
+    append_minhash_batch(batch, "mh_bid_t")  # no id: unconditional
+    assert spark.table("mh_bid_t").count() == 2 * once - base
+
+    # the record must survive the compaction location flip: a re-append
+    # of a committed id against the NEW generation stays a no-op
+    from map_reduce_ruby_spark.operators.dedup_index import (
+        compact_minhash_index,
+    )
+
+    compact_minhash_index(spark, "mh_bid_t", str(tmp_path / "idx_bid_g2"))
+    compacted = spark.table("mh_bid_t").count()
+    assert compacted == 2 * once - base
+    append_minhash_batch(batch, "mh_bid_t", batch_id="b1")
+    assert spark.table("mh_bid_t").count() == compacted, (
+        "committed ids must travel with the compacted generation"
+    )
+
+
+def test_register_raises_on_corrupt_sidecar(spark, sf_dir, tmp_path):
+    """Only ABSENCE of the bucket-spec sidecar falls back to the
+    historical default; a present-but-unparseable sidecar over a
+    non-default layout must raise, not silently attach a guessed spec
+    that mis-places rows and drops matches."""
+    import os
+
+    import pytest
+
+    from map_reduce_ruby_spark.operators.dedup_index import (
+        _BUCKET_SPEC,
+        _table_bucket_count,
+        register_minhash_index,
+    )
+
+    corpus, _batch = _split(spark, sf_dir)
+    path = str(tmp_path / "idx_corrupt")
+    write_minhash_index(corpus, "mh_corrupt_t", path, n_buckets=8)
+    spark.sql("DROP TABLE mh_corrupt_t")
+
+    spec = os.path.join(path, _BUCKET_SPEC)
+    with open(spec, "w", encoding="utf-8") as f:
+        f.write("{not json")
+    with pytest.raises(ValueError, match="corrupt"):
+        register_minhash_index(spark, "mh_corrupt_t", path)
+
+    os.remove(spec)  # pre-sidecar legacy layout: absence falls back
+    register_minhash_index(spark, "mh_corrupt_t", path)
+    assert _table_bucket_count(spark, "mh_corrupt_t") == 16

@@ -121,3 +121,35 @@ def test_compact_and_vacuum_are_invisible_to_classification(
     assert _classify(spark, path, probe) == want
     # second compaction is the single-generation no-op
     assert compact_nb_model(spark, path) is False
+
+
+def test_streaming_nb_ingest_survives_drop_loss(spark, sf_dir):
+    """The ADVICE scenario: tmp cleanup deletes the slice-B drop while
+    the persistent model survives. The regenerated drop may group doc_ids
+    differently (minting batch ids the model never committed), so the
+    model path is keyed to the drop's physical fingerprint — a rewritten
+    drop rotates to a FRESH model fed exactly once, and the entry's
+    result stays identical instead of silently double-counting B."""
+    import os
+    import shutil
+    import tempfile
+
+    from map_reduce_ruby_spark.plans import all_entries
+    from map_reduce_ruby_spark.sources.tables import table_fingerprint
+
+    e = all_entries()
+    first = sorted(
+        map(tuple, e["streaming_nb_ingest"].fn(spark, sf_dir).collect())
+    )
+
+    tag = table_fingerprint(sf_dir, "documents")
+    drop = os.path.join(tempfile.gettempdir(), f"nb_stream_drop_{tag}")
+    assert os.path.exists(drop)
+    shutil.rmtree(drop)  # the tmp-cleanup event
+
+    again = sorted(
+        map(tuple, e["streaming_nb_ingest"].fn(spark, sf_dir).collect())
+    )
+    assert again == first, (
+        "drop loss must never double slice B into the surviving model"
+    )
