@@ -13,10 +13,15 @@ oracle-gated twins):
                                                            (dedup_minhash_lsh)
     4. decontamination   n-gram overlap vs a held-out eval set
                                                    (contamination_ngram_overlap)
-    5. chunk             32-token sliding windows, 8 overlap  (doc_chunk_overlap)
-    6. chunk dedup       drop identical chunks by content hash     (dedup_exact)
-    7. epoch shuffle     seeded-hash shard + in-shard order (corpus_global_shuffle)
-    8. materialize       one parquet per shard, partitioned write
+    5. NB language filter   hashed-ngram Naive Bayes trained on a labeled
+                            seed slice; keep docs predicted as the target
+                            language                        (text_nb_langid)
+    6. DSIR selection    importance weights target-vs-raw + Gumbel top-k
+                         resampling            (corpus_dsir_weights/_select)
+    7. chunk             32-token sliding windows, 8 overlap  (doc_chunk_overlap)
+    8. chunk dedup       drop identical chunks by content hash     (dedup_exact)
+    9. epoch shuffle     seeded-hash shard + in-shard order (corpus_global_shuffle)
+   10. materialize       one parquet per shard, partitioned write
 
 Run with:
     python examples/pretraining_pipeline.py [sf_dir] [out_dir]
@@ -100,13 +105,70 @@ def main() -> int:
     clean = near.join(contaminated, "doc_id", "left_anti")
     n4 = clean.count()
 
-    # 5. chunk: 32-token sliding windows with 8-token overlap — the
+    # 5. model-based LANGUAGE filter: train the hashed-ngram Naive Bayes
+    # on a labeled seed slice (doc_id % 5 != 0 stands in for the small
+    # human-labeled set a real pipeline has) and keep only documents the
+    # model predicts as the target language. Scoring is a broadcast-model
+    # join + per-doc argmax — the corpus is featurized once and never
+    # joined against itself (text_nb_langid's plan shape).
+    from map_reduce_ruby_spark.plans.dsir_queries import (
+        _TARGET_LANG,
+        dsir_weights_for,
+        gram_buckets_for,
+        nb_scores_from_model,
+    )
+
+    db_all = gram_buckets_for(clean.select("doc_id", "lang", "text")).cache()
+    seed_db = db_all.filter(F.col("doc_id") % 5 != 0)
+    cb = seed_db.groupBy(F.col("lang").alias("cls"), "b").agg(
+        F.sum("cnt").alias("c_cb")
+    )
+    nd_c = (
+        seed_db.select("doc_id", "lang")
+        .distinct()
+        .groupBy(F.col("lang").alias("cls"))
+        .agg(F.count(F.lit(1)).alias("nd_c"))
+    )
+    lang_ids = (
+        nb_scores_from_model(db_all, cb, nd_c)
+        .filter(F.col("pred") == _TARGET_LANG)
+        .select("doc_id")
+    )
+    in_lang = clean.join(lang_ids, "doc_id", "left_semi")
+    n5 = in_lang.count()
+
+    # 6. DSIR data SELECTION (Xie et al.): importance weights of the
+    # target slice vs the raw corpus over hashed n-gram buckets, then
+    # Gumbel top-k — sampling-without-replacement proportional to
+    # importance, keeping half the surviving corpus. TakeOrdered top-k,
+    # never a global window; the importance model is a <=256-row
+    # broadcast.
+    w = dsir_weights_for(db_all.join(in_lang.select("doc_id"), "doc_id", "left_semi"))
+    u = (
+        h32(F.col("doc_id").cast("string"), seed="dsir") + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    scored = w.select(
+        "doc_id",
+        (
+            F.col("weight_milli")
+            + F.round(-F.log(-F.log(u)) * 1000).cast("long")
+        ).alias("skey_milli"),
+    )
+    k = max(1, (n5 + 1) // 2)
+    sel_ids = (
+        scored.orderBy(F.desc("skey_milli"), "doc_id").limit(k).select("doc_id")
+    )
+    selected = in_lang.join(sel_ids, "doc_id", "left_semi")
+    n6 = selected.count()
+    db_all.unpersist()
+
+    # 7. chunk: 32-token sliding windows with 8-token overlap — the
     # training unit becomes the chunk, not the document. The chunk
     # arithmetic is the SHARED helper behind doc_chunk_overlap (one
     # definition; narrow ops only, no shuffle).
     from map_reduce_ruby_spark.plans.pipeline_queries import chunk_token_arrays
 
-    toked = clean.select("doc_id", toks.alias("toks"))
+    toked = selected.select("doc_id", toks.alias("toks"))
     chunks = chunk_token_arrays(toked).select(
         "doc_id",
         "chunk_idx",
@@ -114,9 +176,9 @@ def main() -> int:
         F.size("chunk").cast("long").alias("n_tokens"),
         F.md5(F.concat_ws(" ", "chunk")).alias("chunk_hash"),
     )
-    n5 = chunks.count()
+    n7 = chunks.count()
 
-    # 6. chunk-level exact dedup: overlapping windows of near-identical docs
+    # 8. chunk-level exact dedup: overlapping windows of near-identical docs
     # produce identical chunks — keep the lowest (doc_id, chunk_idx) per
     # content hash (same keep-first rule as dedup_exact, one hash shuffle).
     from pyspark.sql import Window as W
@@ -127,9 +189,9 @@ def main() -> int:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    n6 = chunks_kept.count()
+    n8 = chunks_kept.count()
 
-    # 7. shard + epoch order: seeded-hash shard, deterministic in-shard
+    # 9. shard + epoch order: seeded-hash shard, deterministic in-shard
     # order (the corpus_global_shuffle layout), token counts carried along.
     key = F.concat_ws(":", F.col("doc_id").cast("string"), F.col("chunk_idx").cast("string"))
     sharded = chunks_kept.select(
@@ -141,7 +203,7 @@ def main() -> int:
         h32(key, seed=11).alias("ord_hash"),
     )
 
-    # 8. materialize: partitioned parquet, one directory per shard, sorted
+    # 10. materialize: partitioned parquet, one directory per shard, sorted
     # within shard by the epoch order (sortWithinPartitions after a shard
     # repartition — at scale this is the final shuffle of the ingest).
     (
@@ -152,7 +214,7 @@ def main() -> int:
         .parquet(out_dir)
     )
     back = spark.read.parquet(out_dir)
-    n7 = back.count()
+    n9 = back.count()
     tokens = back.agg(F.sum("n_tokens")).collect()[0][0]
 
     print(f"corpus:        {n0} docs")
@@ -160,12 +222,15 @@ def main() -> int:
     print(f"exact dedup:   {n2} kept")
     print(f"near dedup:    {n3} kept")
     print(f"decontam:      {n4} kept")
-    print(f"chunked:       {n5} chunks")
-    print(f"chunk dedup:   {n6} kept")
-    print(f"materialized:  {n7} chunks / {tokens} tokens -> {out_dir}")
-    assert n0 >= n1 >= n2 >= n3 >= n4
-    assert n5 >= n4  # every kept doc (>= 12 tokens) yields >= 1 chunk
-    assert n5 >= n6 == n7
+    print(f"NB lang filter:{n5} kept")
+    print(f"DSIR select:   {n6} kept")
+    print(f"chunked:       {n7} chunks")
+    print(f"chunk dedup:   {n8} kept")
+    print(f"materialized:  {n9} chunks / {tokens} tokens -> {out_dir}")
+    assert n0 >= n1 >= n2 >= n3 >= n4 >= n5 >= n6
+    assert n6 == k  # DSIR keeps exactly the Gumbel top-k
+    assert n7 >= n6  # every kept doc (>= 12 tokens) yields >= 1 chunk
+    assert n7 >= n8 == n9
     return 0
 
 

@@ -1,6 +1,9 @@
 from map_reduce_ruby_spark.operators.asof import asof_join
 from map_reduce_ruby_spark.operators.zorder import interleave_bits, zorder_by
-from map_reduce_ruby_spark.operators.bucketing import write_bucketed
+from map_reduce_ruby_spark.operators.bucketing import (
+    register_bucketed,
+    write_bucketed,
+)
 from map_reduce_ruby_spark.operators.compaction import compact
 from map_reduce_ruby_spark.operators.connected_components import (
     connected_components,
@@ -92,6 +95,7 @@ __all__ = [
     "pq_search",
     "build_ivf_pq_index",
     "ivf_pq_search",
+    "register_bucketed",
     "write_bucketed",
     "compact",
     "interleave_bits",

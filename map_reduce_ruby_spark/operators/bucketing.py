@@ -20,11 +20,34 @@ Usage::
 Bucket counts must match across tables meant to co-join; pick them so a
 bucket of the biggest table fits an executor core's working set (e.g. 100 TB
 / 2 GB ≈ 50k buckets, rounded to a power of two).
+
+Publish lifecycle (same rules as the band index, operators/dedup_index.py):
+the data is STAGED under a temp root and published by ONE rename with
+content-addressed keep-winner semantics — two processes cold-building the
+same path can never delete each other's live or in-flight files; the loser
+discards its staging copy and ATTACHES the winner's bytes. The writer's
+layout (key, bucket count, sort, column DDL) is recorded in a sidecar so a
+fresh process can re-register the exact spec (``register_bucketed``) —
+guessing a different bucket count would silently change row placement and
+corrupt every co-located join. ``replace=True`` is the only destructive
+mode (rebuild over DIFFERENT data at the same path) and is NOT reader-safe
+across processes; give such a path a per-process component.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from map_reduce_ruby_spark.operators.artifact_store import _publish_atomic
+
+# Sidecar recording the writer's full layout next to _SUCCESS (the band
+# index's _BUCKET_SPEC pattern, plus the column DDL so attaching needs no
+# parquet-footer sniff).
+_LAYOUT_SPEC = "_LAYOUT_SPEC.json"
 
 
 def write_bucketed(
@@ -34,13 +57,81 @@ def write_bucketed(
     n_buckets: int,
     path: str,
     sort: bool = True,
+    replace: bool = False,
 ) -> None:
     """Persist ``df`` as a bucketed (+sorted) table at an explicit path.
 
     Works with the default in-memory catalog — bucketing metadata lives in
     the session catalog, data in plain parquet part files per bucket.
+
+    Staged build + one-rename keep-winner publish: if ``path`` already
+    holds a completed layout (``_SUCCESS`` present), this build's staging
+    copy is discarded and the existing files are attached instead —
+    a concurrent or earlier builder's readers are never killed by a
+    delete-then-rewrite. Pass ``replace=True`` only for per-process reset
+    paths (it drops the table and removes the live files first).
     """
+    import shutil
+
+    spark = df.sparkSession
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    stage_table = f"{table}_stage_{uuid.uuid4().hex[:8]}"
     writer = df.write.bucketBy(n_buckets, key)
     if sort:
         writer = writer.sortBy(key)
-    writer.option("path", path).mode("overwrite").format("parquet").saveAsTable(table)
+    writer.option("path", tmp).mode("overwrite").format("parquet").saveAsTable(
+        stage_table
+    )
+    spark.sql(f"DROP TABLE {stage_table}")  # external: files remain at tmp
+    spec = {
+        "key": key,
+        "n_buckets": int(n_buckets),
+        "sorted": bool(sort),
+        "ddl": ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        ),
+    }
+    with open(os.path.join(tmp, _LAYOUT_SPEC), "w", encoding="utf-8") as f:
+        json.dump(spec, f)
+    if replace:
+        if spark.catalog.tableExists(table):
+            spark.sql(f"DROP TABLE {table}")
+        shutil.rmtree(path, ignore_errors=True)
+    _publish_atomic(
+        tmp,
+        path,
+        keep_if_valid=lambda p: os.path.exists(os.path.join(p, "_SUCCESS")),
+    )
+    if spark.catalog.tableExists(table):
+        spark.sql(f"DROP TABLE {table}")
+    register_bucketed(spark, table, path)
+
+
+def register_bucketed(spark: SparkSession, table: str, path: str) -> None:
+    """ATTACH a completed bucketed-table directory as ``table`` in THIS
+    process's catalog — the cross-process reuse path (the catalog is
+    per-process; the files are not). The DDL recreates the WRITER's exact
+    layout from the published sidecar; a corrupt sidecar raises rather
+    than guessing a spec that would silently mis-place rows in every
+    co-located join (register_minhash_index's rule)."""
+    spec_path = os.path.join(path, _LAYOUT_SPEC)
+    try:
+        with open(spec_path, encoding="utf-8") as f:
+            spec = json.load(f)
+        ddl, key = spec["ddl"], spec["key"]
+        n_buckets = int(spec["n_buckets"])
+        sort_clause = f"SORTED BY ({key}) " if spec["sorted"] else ""
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"no {_LAYOUT_SPEC} at {path!r}: not a published bucketed table"
+        ) from None
+    except (OSError, ValueError, KeyError) as e:
+        raise ValueError(
+            f"corrupt {_LAYOUT_SPEC} at {path!r}: refusing to guess a "
+            f"bucket layout ({e})"
+        ) from e
+    spark.sql(
+        f"CREATE TABLE {table} ({ddl}) USING parquet "
+        f"CLUSTERED BY ({key}) {sort_clause}"
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )

@@ -70,3 +70,67 @@ def test_bucketed_groupby_has_no_exchange(spark, bucketed):
     agg.collect()
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_write_bucketed_keeps_winner_and_attaches(spark, sf_dir, tmp_path):
+    """write_bucketed must follow the reader-safe lifecycle: a second
+    build over the same completed path (a sibling process cold-starting)
+    discards its staging copy and ATTACHES the winner's files — never an
+    overwrite that deletes live files under the sibling's readers."""
+    import os
+
+    from map_reduce_ruby_spark.operators.bucketing import register_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "ob")
+    write_bucketed(orders, "orders_kw1", "o_orderkey", 8, path)
+    files = {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    want = spark.table("orders_kw1").count()
+
+    write_bucketed(orders, "orders_kw2", "o_orderkey", 8, path)  # "loser"
+    after = {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    assert after == files, "loser must attach, never rewrite, the winner"
+    assert spark.table("orders_kw2").count() == want
+
+    # fresh-process attach from the sidecar alone recreates the exact
+    # layout: the bucketed groupBy stays exchange-free
+    spark.sql("DROP TABLE orders_kw1")
+    register_bucketed(spark, "orders_kw1", path)
+    agg = spark.table("orders_kw1").groupBy("o_orderkey").count()
+    agg.collect()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    spark.sql("DROP TABLE orders_kw1")
+    spark.sql("DROP TABLE orders_kw2")
+
+
+def test_register_bucketed_raises_on_bad_sidecar(spark, sf_dir, tmp_path):
+    import os
+
+    import pytest
+
+    from map_reduce_ruby_spark.operators.bucketing import (
+        _LAYOUT_SPEC,
+        register_bucketed,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "ob2")
+    write_bucketed(orders, "orders_sc", "o_orderkey", 8, path)
+    spark.sql("DROP TABLE orders_sc")
+    spec = os.path.join(path, _LAYOUT_SPEC)
+    with open(spec, "w", encoding="utf-8") as f:
+        f.write("{broken")
+    with pytest.raises(ValueError, match="corrupt"):
+        register_bucketed(spark, "orders_sc", path)
+    os.remove(spec)
+    with pytest.raises(FileNotFoundError, match="not a published"):
+        register_bucketed(spark, "orders_sc", path)
