@@ -386,14 +386,26 @@ def vacuum_index(path: str, grace_sec: float = 86400.0) -> list[str]:
                     removed.append(full)
                     if ingest_id is not None:
                         reclaimed_ids.add(ingest_id)
-        if reclaimed_ids:
-            _write_meta_atomic(
-                path,
-                dict(
-                    meta,
-                    retired={
-                        i: t for i, t in retired.items() if i not in reclaimed_ids
-                    },
-                ),
-            )
+        # Prune stamps for reclaimed generations AND for generations whose
+        # directory no longer exists anywhere: a vacuum killed between its
+        # rmtree and this meta write leaves a dirless stamp that would
+        # otherwise dangle forever (no retry can reclaim a dir that is
+        # already gone). Ingest ids are monotonic so a stale stamp can't
+        # mis-age a future generation, but the meta would grow without
+        # bound across crash cycles.
+        on_disk = set()
+        for root in data_roots:
+            try:
+                for name in os.listdir(root):
+                    if name.startswith("ingest="):
+                        on_disk.add(name.split("=", 1)[1])
+            except OSError:
+                pass
+        kept = {
+            i: t
+            for i, t in retired.items()
+            if i not in reclaimed_ids and i in on_disk
+        }
+        if kept != retired:
+            _write_meta_atomic(path, dict(meta, retired=kept))
     return removed
