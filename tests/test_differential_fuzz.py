@@ -23,7 +23,7 @@ NUMERIC = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 STRINGS = [("l_returnflag", ["A", "N", "R"]), ("l_linestatus", ["O", "F"])]
 GROUPS = ["l_returnflag", "l_linestatus", "l_suppkey % 7", "l_partkey % 5"]
 
-N_QUERIES = 72  # 18 arms x 4 runs each per seed
+N_QUERIES = 76  # 19 arms x 4 runs each per seed
 
 
 # (l_orderkey, l_linenumber) is NOT unique in the fixture; this 7-column
@@ -564,6 +564,221 @@ def _gen_nb_arm(rng: random.Random):
     return ("op", spark_fn, model_fn)
 
 
+def _gen_streaming_maint_arm(rng: random.Random):
+    """Arm 19 — streaming MAINTENANCE vs batch rebuild: a random corpus
+    is split into a base slice A and a streamed slice B with random
+    membership; B lands as a random file grouping in a drop directory
+    and is drained through the real streaming engine with a RANDOM drain
+    point (some files drained first, the rest added and drained under
+    the same checkpoint) and, half the time, a fresh-checkpoint REPLAY
+    of the whole drop (different epoch numbering — the content-derived
+    batch ids must make every re-append a no-op). The maintained
+    artifact must equal the batch rebuild exactly: for the NB model the
+    oracle is the pure-Python retrain over A ∪ B (tests/test_dsir.py);
+    for the band index it is a full re-sketch of A ∪ B probed by the
+    same batch."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    rows = _gen_dsir_corpus(rng)
+    which = rng.choice(["nb", "mh"])
+    in_b = {i: rng.random() < 0.4 for (i, _l, _t) in rows}
+    if all(in_b.values()):  # the base build needs at least one doc
+        in_b[rows[0][0]] = False
+    b_ids = sorted(i for i, v in in_b.items() if v)
+    n_files = rng.randint(1, 4)
+    groups: list[list[int]] = [[] for _ in range(n_files)]
+    for i in b_ids:
+        groups[rng.randrange(n_files)].append(i)
+    groups = [g for g in groups if g]
+    first_drain = rng.randint(0, len(groups))
+    replay = rng.random() < 0.5
+
+    def _write_group(drop: str, idx: int, ids: list[int]) -> None:
+        sub = [(i, l, " ".join(t)) for (i, l, t) in rows if i in set(ids)]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in sub], pa.int64()),
+                "lang": pa.array([r[1] for r in sub], pa.string()),
+                "text": pa.array([r[2] for r in sub], pa.string()),
+            }
+        )
+        papq.write_table(tbl, os.path.join(drop, f"group{idx}.parquet"))
+
+    def _drain(spark, drop: str, ckpt: str, ingest) -> None:
+        q = (
+            spark.readStream.schema("doc_id long, lang string, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(drop)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def spark_fn(spark):
+        a_rows = [(i, l, " ".join(t)) for (i, l, t) in rows if not in_b[i]]
+        all_docs = spark.createDataFrame(
+            [(i, l, " ".join(t)) for (i, l, t) in rows],
+            "doc_id long, lang string, text string",
+        )
+        base = tempfile.mkdtemp(prefix="fuzz_stream_")
+        drop = os.path.join(base, "drop")
+        os.makedirs(drop)
+        try:
+            if which == "nb":
+                from map_reduce_ruby_spark.operators.nb_store import (
+                    append_nb_batch,
+                    load_nb_model,
+                    write_nb_model,
+                )
+                from map_reduce_ruby_spark.plans.dsir_queries import (
+                    gram_buckets_for,
+                    nb_scores_from_model,
+                )
+
+                path = os.path.join(base, "model")
+                write_nb_model(
+                    spark,
+                    spark.createDataFrame(
+                        a_rows, "doc_id long, lang string, text string"
+                    ),
+                    path,
+                    64,
+                )
+
+                def ingest(batch_df, _eid):
+                    ids = sorted(
+                        r.doc_id for r in batch_df.select("doc_id").collect()
+                    )
+                    if not ids:
+                        return
+                    bid = hashlib.md5(
+                        ",".join(map(str, ids)).encode()
+                    ).hexdigest()[:16]
+                    append_nb_batch(spark, batch_df, path, batch_id=bid)
+
+                maintain = ingest
+            else:
+                from map_reduce_ruby_spark.operators.dedup_index import (
+                    append_minhash_batch,
+                    write_minhash_index,
+                )
+
+                table = f"fuzz_mh_{uuid.uuid4().hex[:10]}"
+                path = os.path.join(base, "idx")
+                write_minhash_index(
+                    spark.createDataFrame(
+                        [(i, t) for (i, _l, t) in a_rows],
+                        "doc_id long, text string",
+                    ),
+                    table,
+                    path,
+                )
+
+                def maintain(batch_df, _eid):
+                    ids = sorted(
+                        r.doc_id for r in batch_df.select("doc_id").collect()
+                    )
+                    if not ids:
+                        return
+                    bid = hashlib.md5(
+                        ",".join(map(str, ids)).encode()
+                    ).hexdigest()[:16]
+                    append_minhash_batch(
+                        batch_df.select("doc_id", "text"), table, batch_id=bid
+                    )
+
+            # random drain point: some files exist at the first drain, the
+            # rest are added and drained under the SAME checkpoint
+            ckpt = os.path.join(base, "ckpt")
+            for idx, g in enumerate(groups[:first_drain]):
+                _write_group(drop, idx, g)
+            if first_drain:
+                _drain(spark, drop, ckpt, maintain)
+            for idx, g in enumerate(groups[first_drain:], start=first_drain):
+                _write_group(drop, idx, g)
+            _drain(spark, drop, ckpt, maintain)
+            if replay:  # fresh checkpoint: every file replays as new epochs
+                _drain(spark, drop, os.path.join(base, "ckpt2"), maintain)
+
+            if which == "nb":
+                counts, class_docs, _meta = load_nb_model(spark, path)
+                return (
+                    nb_scores_from_model(
+                        gram_buckets_for(all_docs), counts, class_docs
+                    )
+                    .select("doc_id", "pred", "best_milli")
+                    .toPandas()
+                )
+            from map_reduce_ruby_spark.operators.dedup_index import (
+                dedup_against_index,
+            )
+
+            got = dedup_against_index(
+                spark, all_docs.select("doc_id", "text"), table
+            ).toPandas()
+            spark.sql(f"DROP TABLE {table}")
+            return got
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    def model_fn():
+        if which == "nb":
+            import test_dsir as td
+
+            model = td._model_nb(rows)
+            pdf = pd.DataFrame(
+                sorted((d, p, s) for d, (p, s) in model.items()) or None,
+                columns=["doc_id", "pred", "best_milli"],
+            )
+            return pdf.astype({"doc_id": "int64", "best_milli": "int64"})
+
+        # band-index oracle: FULL re-sketch of A ∪ B, same probe — runs
+        # on Spark too (the maintained path vs the rebuild path is the
+        # differential; pandas equality adjudicates)
+        spark = _ACTIVE_SPARK[0]
+        import uuid as _uuid
+
+        from map_reduce_ruby_spark.operators.dedup_index import (
+            dedup_against_index,
+            write_minhash_index,
+        )
+
+        all_docs = spark.createDataFrame(
+            [(i, " ".join(t)) for (i, _l, t) in rows],
+            "doc_id long, text string",
+        )
+        table = f"fuzz_mh_oracle_{_uuid.uuid4().hex[:10]}"
+        import os
+        import shutil
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix="fuzz_stream_oracle_")
+        try:
+            write_minhash_index(all_docs, table, os.path.join(base, "idx"))
+            got = dedup_against_index(spark, all_docs, table).toPandas()
+            spark.sql(f"DROP TABLE {table}")
+            return got
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    return ("op", spark_fn, model_fn)
+
+
+# the mh oracle needs the session; run_arm calls spark_fn(spark) first,
+# which records it here (arms receive no spark handle by design)
+_ACTIVE_SPARK = [None]
+
+
 def two_sided(gen_result) -> tuple[str, str]:
     """Arms return either one shared-dialect SQL string or a
     (spark_sql, duckdb_sql) pair; normalize to a pair."""
@@ -581,6 +796,7 @@ def run_arm(spark, con, arm, rng: random.Random, tag: str):
     r = arm(rng)
     if isinstance(r, tuple) and len(r) == 3 and r[0] == "op":
         _kind, spark_fn, model_fn = r
+        _ACTIVE_SPARK[0] = spark
         return compare(tag, spark_fn(spark), model_fn()), f"<operator arm {arm.__name__}>"
     spark_sql, duck_sql = two_sided(r)
     return (
@@ -676,6 +892,7 @@ ARMS = [
     _gen_knp_arm,
     _gen_dsir_arm,
     _gen_nb_arm,
+    _gen_streaming_maint_arm,
 ]
 
 
