@@ -96,3 +96,51 @@ def test_vacuum_respects_grace_window(tmp_path):
 def test_vacuum_requires_current_layout(tmp_path):
     with pytest.raises(ValueError):
         vacuum_index(str(tmp_path), grace_sec=0.0)
+
+
+def test_append_lock_steals_only_a_dead_writers_lock(tmp_path, monkeypatch):
+    """A SIGKILLed writer's lock file has no heartbeat and must be broken
+    after the stale window; a LIVE writer's lock (heartbeating mtime)
+    must never be stolen — the acquirer times out instead."""
+    import threading
+    import time
+
+    from map_reduce_ruby_spark.operators import artifact_store as ast
+
+    root = str(tmp_path)
+    lock = os.path.join(root, ast._APPEND_LOCK)
+
+    # dead writer: stale mtime, no heartbeat -> stolen, acquire succeeds
+    with open(lock, "w") as f:
+        f.write("99999")
+    old = time.time() - 10.0
+    os.utime(lock, (old, old))
+    monkeypatch.setattr(ast, "_LOCK_STALE_SEC", 1.0)
+    with ast._AppendLock(root):
+        assert os.path.exists(lock)  # we hold it now
+    assert not os.path.exists(lock)  # released
+
+    # live writer: heartbeat keeps mtime fresh -> acquire must TIME OUT,
+    # never steal
+    with open(lock, "w") as f:
+        f.write("88888")
+    stop = threading.Event()
+
+    def beat():
+        while not stop.wait(0.2):
+            try:
+                os.utime(lock)
+            except OSError:
+                return
+
+    t = threading.Thread(target=beat, daemon=True)
+    t.start()
+    try:
+        with pytest.raises(TimeoutError):
+            with ast._AppendLock(root):
+                pass
+        assert os.path.exists(lock), "a live lock must never be stolen"
+    finally:
+        stop.set()
+        t.join()
+        os.unlink(lock)

@@ -392,3 +392,81 @@ def _readers_for(store, spark, path):
         ]
 
     return read, lambda: compact_nb_model(spark, path), "counts"
+
+
+def test_append_kill_points_recoverable(spark, sf_dir, tmp_path, monkeypatch):
+    """The append path's two commit points, killed and retried (NB store —
+    the protocol is the shared one): a crash between the generation
+    publish and the meta commit leaves an UNLISTED orphan readers never
+    see, and the retried append (same batch id) converges to exactly the
+    batch-rebuild statistics; a crash after the meta commit is durable,
+    so the retry is a no-op."""
+    from map_reduce_ruby_spark.operators import nb_store
+    from map_reduce_ruby_spark.operators.nb_store import (
+        append_nb_batch,
+        load_nb_model,
+        write_nb_model,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    a = docs.filter(F.col("doc_id") % 3 == 0)
+    b = docs.filter(F.col("doc_id") % 3 == 1)
+    path = str(tmp_path / "nb_append")
+
+    def read(p):
+        counts, class_docs, _m = load_nb_model(spark, p)
+        return [
+            sorted(map(list, counts.collect())),
+            sorted(map(list, class_docs.collect())),
+        ]
+
+    write_nb_model(spark, a, path, 64)
+    base = read(path)
+
+    # batch-rebuild oracle: one model trained on A ∪ B in one shot
+    rebuilt = str(tmp_path / "nb_rebuilt")
+    write_nb_model(spark, a.unionByName(b), rebuilt, 64)
+    want = read(rebuilt)
+
+    # K: killed between the batch generation's publish and the meta
+    # commit — readers still see exactly the base model
+    real_pub = nb_store._publish_atomic
+
+    def pub_then_die(tmp, dst, keep_if_valid=None):
+        real_pub(tmp, dst, keep_if_valid)
+        if "ingest=" in os.path.basename(dst):
+            raise InjectedKill("killed after publish rename")
+
+    with monkeypatch.context() as m:
+        m.setattr(nb_store, "_publish_atomic", pub_then_die)
+        with pytest.raises(InjectedKill):
+            append_nb_batch(spark, b, path, batch_id="b2")
+    assert read(path) == base
+    assert read_index_meta(path)["ingests"] == [1]
+
+    # retry with the SAME batch id: the orphan is replaced, the append
+    # commits, and the maintained model equals the batch rebuild
+    append_nb_batch(spark, b, path, batch_id="b2")
+    assert read(path) == want
+    assert read_index_meta(path)["batch_ids"] == ["b2"]
+
+    # K: killed AFTER the meta commit — durable; the retry is a no-op
+    c = docs.filter(F.col("doc_id") % 3 == 2)
+    real_meta = nb_store._write_meta_atomic
+
+    def meta_then_die(p2, meta2):
+        real_meta(p2, meta2)
+        raise InjectedKill("killed after meta commit")
+
+    with monkeypatch.context() as m:
+        m.setattr(nb_store, "_write_meta_atomic", meta_then_die)
+        with pytest.raises(InjectedKill):
+            append_nb_batch(spark, c, path, batch_id="b3")
+    committed = read(path)
+    meta = read_index_meta(path)
+    assert meta["batch_ids"] == ["b2", "b3"]
+    append_nb_batch(spark, c, path, batch_id="b3")  # retry: no-op
+    assert read(path) == committed
+    assert read_index_meta(path)["batch_ids"] == ["b2", "b3"]
