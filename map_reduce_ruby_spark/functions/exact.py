@@ -26,8 +26,30 @@ def dsum(col: Column | str, alias: str) -> Column:
     return F.sum(c.cast(_DEC)).cast("double").alias(alias)
 
 
+def dec2dbl_sql(expr: str) -> str:
+    """DuckDB DECIMAL -> DOUBLE with ONE correctly-rounded conversion.
+
+    DuckDB's direct ``CAST(dec AS DOUBLE)`` on a scale>0 decimal is
+    two-step — ``(double)int128_units / (double)10^scale`` — and each
+    step rounds, so once the unit count crosses 2^53 (observed at the
+    sf100 fixture: SUM(l_extendedprice) ~ 2.86e12 = 2.86e18 micro-units)
+    the result can be 1 ulp off the nearest double. Spark's
+    ``Decimal.toDouble`` (BigDecimal.doubleValue) is correctly rounded at
+    any magnitude, so the two engines diverge exactly at scale. Routing
+    through a string (STRING — the alias BOTH dialects parse, since two
+    shared-dialect entries run this text through Spark SQL as well) makes
+    DuckDB's conversion a single strtod — the same correctly-rounded
+    value Spark produces (probed across magnitudes in SCALING.md round
+    9). Scale-0 decimals (exact integer cents summed as decimal(38,0))
+    never had the problem: one integer->double conversion is already
+    single-step."""
+    return f"CAST(CAST({expr} AS STRING) AS DOUBLE)"
+
+
 def dsum_sql(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+    return (
+        f"{dec2dbl_sql(f'SUM(CAST({expr} AS DECIMAL(18,6)))')} AS {alias}"
+    )
 
 
 def davg(col: Column | str, alias: str) -> Column:
@@ -40,7 +62,7 @@ def davg(col: Column | str, alias: str) -> Column:
 
 def davg_sql(expr: str, alias: str) -> str:
     return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+        f"{dec2dbl_sql(f'SUM(CAST({expr} AS DECIMAL(18,6)))')}"
         f" / COUNT({expr}) AS {alias}"
     )
 

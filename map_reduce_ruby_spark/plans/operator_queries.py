@@ -748,8 +748,8 @@ def ivf_index_for(spark: SparkSession, sf_dir: str):
     oracle="""
     SELECT s_nationkey,
            COUNT(*) AS n_lines,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS revenue
     FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
     GROUP BY s_nationkey
     """,

@@ -269,11 +269,10 @@ def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     "window_running_total",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
                 OVER (PARTITION BY o_custkey
                       ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DOUBLE) AS running_spend
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE) AS running_spend
     FROM orders
     """,
     doc="Running total per customer (cumulative frame). The windowed sum runs "
@@ -301,7 +300,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            COUNT(DISTINCT o_custkey) AS n_customers,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS total_price
     FROM orders GROUP BY o_orderpriority
     """,
     doc="COUNT(DISTINCT) alongside plain aggregates — Catalyst expands to a "
@@ -350,7 +349,7 @@ def rollup_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -488,7 +487,7 @@ def star_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_SQL = """
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
                AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
@@ -630,7 +629,7 @@ def q17_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GROUPING_SETS_SQL = """
     SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
            COALESCE(l_linestatus, '<all>') AS linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n_rows
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
@@ -947,10 +946,10 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_frame_spend",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
                PARTITION BY o_custkey ORDER BY epoch(o_orderdate) // 86400
                RANGE BETWEEN 60 PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS spend_60d,
+           ) AS STRING) AS DOUBLE) AS spend_60d,
            CAST(COUNT(*) OVER (
                PARTITION BY o_custkey ORDER BY epoch(o_orderdate) // 86400
                RANGE BETWEEN 60 PRECEDING AND CURRENT ROW

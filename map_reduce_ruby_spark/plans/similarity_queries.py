@@ -294,7 +294,7 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            pos AS dim_idx,
-           CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
                / COUNT(*) AS centroid
     FROM (
         SELECT label,

@@ -37,8 +37,8 @@ def _revenue() -> "F.Column":
     "q8_market_share",
     oracle=f"""
     SELECT o_year,
-           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_7' THEN volume
-                                ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+           ROUND(CAST(CAST(SUM(CASE WHEN nation = 'NATION_7' THEN volume
+                                ELSE CAST(0 AS DECIMAL(18,6)) END) AS STRING) AS DOUBLE)
                  / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
     FROM (
         SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
@@ -184,10 +184,10 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_effect",
     oracle=f"""
-    SELECT ROUND(100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+    SELECT ROUND(100.00 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
                       THEN CAST({_REVENUE_SQL} AS DECIMAL(18,6))
-                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-                 / CAST(SUM(CAST({_REVENUE_SQL} AS DECIMAL(18,6))) AS DOUBLE),
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS STRING) AS DOUBLE)
+                 / CAST(CAST(SUM(CAST({_REVENUE_SQL} AS DECIMAL(18,6))) AS STRING) AS DOUBLE),
                  6) AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -270,7 +270,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name, o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_totalprice,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS sum_qty
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -324,10 +324,10 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_dormant_rich_customers",
     oracle="""
     SELECT c_nationkey AS nationkey, COUNT(*) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS totacctbal
     FROM customer
     WHERE c_acctbal > (
-            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+            SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
                    / COUNT(*)
             FROM customer WHERE c_acctbal > 0.0
           )
@@ -440,9 +440,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_name AS nation,
            CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
-           CAST(SUM(CAST((l_extendedprice * (1 - l_discount))
+           CAST(CAST(SUM(CAST((l_extendedprice * (1 - l_discount))
                          - (0.1 * p_retailprice * l_quantity)
-                    AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+                    AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS sum_profit
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
