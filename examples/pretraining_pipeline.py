@@ -154,7 +154,10 @@ def main() -> int:
             + F.round(-F.log(-F.log(u)) * 1000).cast("long")
         ).alias("skey_milli"),
     )
-    k = max(1, (n5 + 1) // 2)
+    # k == 0 when nothing survived the language filter: limit(0) keeps the
+    # pipeline degrading gracefully (empty corpus -> empty shards) instead
+    # of tripping the n6 == k invariant on a forced 1-row ask.
+    k = (n5 + 1) // 2
     sel_ids = (
         scored.orderBy(F.desc("skey_milli"), "doc_id").limit(k).select("doc_id")
     )

@@ -65,8 +65,11 @@ def write_bucketed(
     the session catalog, data in plain parquet part files per bucket.
 
     Staged build + one-rename keep-winner publish: if ``path`` already
-    holds a completed layout (``_SUCCESS`` present), this build's staging
-    copy is discarded and the existing files are attached instead —
+    holds a completed layout (``_SUCCESS`` AND the layout sidecar present;
+    a sidecar-less directory is a legacy/torn artifact and is replaced),
+    this build's staging copy is discarded and the existing files are
+    attached instead (raising if the published layout differs from the
+    requested one) —
     a concurrent or earlier builder's readers are never killed by a
     delete-then-rewrite. Pass ``replace=True`` only for per-process reset
     paths (it drops the table and removes the live files first).
@@ -97,11 +100,35 @@ def write_bucketed(
         if spark.catalog.tableExists(table):
             spark.sql(f"DROP TABLE {table}")
         shutil.rmtree(path, ignore_errors=True)
+    # A complete layout needs BOTH markers: _SUCCESS (data finished) and the
+    # layout sidecar (spec attachable). A directory with only _SUCCESS is a
+    # legacy/torn artifact — keeping it would discard this fresh build and
+    # then fail register_bucketed's hard sidecar requirement, losing both.
     _publish_atomic(
         tmp,
         path,
-        keep_if_valid=lambda p: os.path.exists(os.path.join(p, "_SUCCESS")),
+        keep_if_valid=lambda p: all(
+            os.path.exists(os.path.join(p, m)) for m in ("_SUCCESS", _LAYOUT_SPEC)
+        ),
     )
+    # When keep-winner attached an EXISTING layout, its spec governs row
+    # placement — a caller who asked for a different (key, buckets, sort)
+    # must hear about it loudly: mismatched bucket layouts across co-joined
+    # tables silently mis-place rows in every downstream join.
+    with open(os.path.join(path, _LAYOUT_SPEC), encoding="utf-8") as f:
+        published = json.load(f)
+    mismatch = {
+        k: (spec[k], published.get(k))
+        for k in ("key", "n_buckets", "sorted")
+        if published.get(k) != spec[k]
+    }
+    if mismatch:
+        raise ValueError(
+            f"bucketed table at {path!r} already published with a different "
+            f"layout {mismatch} (requested, published); same-path builds are "
+            "content-addressed — use a new path (or replace=True on a "
+            "per-process path) to change the layout"
+        )
     if spark.catalog.tableExists(table):
         spark.sql(f"DROP TABLE {table}")
     register_bucketed(spark, table, path)

@@ -19,6 +19,34 @@ from map_reduce_ruby_spark.streaming import (
 )
 
 
+def _publish_drop(write_fn, drop: str) -> None:
+    """Stage-and-publish a content-addressed /tmp drop directory through the
+    shared keep-winner protocol (operators/artifact_store._publish_atomic).
+
+    A bare ``mode('overwrite')`` gated only on ``_SUCCESS`` lets two
+    processes cold-starting concurrently delete each other's in-flight
+    write; staging under a unique temp root and publishing in one rename
+    means the loser discards its copy and attaches the winner's files. This
+    matters most for the NB drop, whose FILE LISTING is fingerprinted into
+    a standing model path — a torn/mixed listing there would key a model to
+    a grouping no single writer produced. ``write_fn(stage_path)`` performs
+    the actual Spark write into the staging directory."""
+    import os
+    import uuid
+
+    from map_reduce_ruby_spark.operators.artifact_store import _publish_atomic
+
+    if os.path.exists(os.path.join(drop, "_SUCCESS")):
+        return
+    stage = f"{drop}.tmp-{uuid.uuid4().hex}"
+    write_fn(stage)
+    _publish_atomic(
+        stage,
+        drop,
+        keep_if_valid=lambda p: os.path.exists(os.path.join(p, "_SUCCESS")),
+    )
+
+
 @register(
     "streaming_tumbling_window",
     oracle=f"""
@@ -472,14 +500,16 @@ def streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slice B lands as a 3-file parquet drop (content-fingerprinted,
     # _SUCCESS-gated) so the stream sees multiple micro-batches
     tag = table_fingerprint(sf_dir, "documents")
+    # repartition, not coalesce: the filtered frame may already be a
+    # single partition, and coalesce can only shrink — 3 files are what
+    # make maxFilesPerTrigger=1 yield genuine micro-batches
     drop = os.path.join(tempfile.gettempdir(), f"mh_stream_drop_{tag}")
-    if not os.path.exists(os.path.join(drop, "_SUCCESS")):
-        # repartition, not coalesce: the filtered frame may already be a
-        # single partition, and coalesce can only shrink — 3 files are what
-        # make maxFilesPerTrigger=1 yield genuine micro-batches
-        docs.filter(F.col("doc_id") % 5 == 1).repartition(3).write.mode(
-            "overwrite"
-        ).parquet(drop)
+    _publish_drop(
+        lambda p: docs.filter(F.col("doc_id") % 5 == 1)
+        .repartition(3)
+        .write.parquet(p),
+        drop,
+    )
 
     # fresh table + checkpoint per invocation: the entry must be a pure
     # function of the fixture (overwrite resets A; a new checkpoint re-drains
@@ -587,10 +617,12 @@ def streaming_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multiple micro-batches (repartition, not coalesce — see
     # streaming_index_ingest)
     drop = os.path.join(tempfile.gettempdir(), f"mh_probe_drop_{tag}")
-    if not os.path.exists(os.path.join(drop, "_SUCCESS")):
-        docs.filter(F.col("doc_id") % 5 == 0).repartition(3).write.mode(
-            "overwrite"
-        ).parquet(drop)
+    _publish_drop(
+        lambda p: docs.filter(F.col("doc_id") % 5 == 0)
+        .repartition(3)
+        .write.parquet(p),
+        drop,
+    )
 
     sink = tempfile.mkdtemp(prefix="mh_probe_sink_")
     ckpt = tempfile.mkdtemp(prefix="mh_probe_ckpt_")
@@ -642,7 +674,10 @@ def _streaming_nb_oracle() -> str:
     "parquet file stream (maxFilesPerTrigger=1 — several genuine "
     "micro-batches) and foreachBatch appends each micro-batch's count "
     "statistics as a new index generation. Batch ids are CONTENT-derived "
-    "(md5 of the micro-batch's sorted doc_ids), so a fresh checkpoint's "
+    "(a commutative JVM-side digest of the micro-batch's doc_ids — "
+    "sum+xor of xxhash64 plus the row count, collected as ONE aggregate "
+    "row, so the streaming hot path materializes zero rows on the "
+    "driver), so a fresh checkpoint's "
     "replay — even one assigning different epoch numbers to the files — "
     "skips exactly the already-committed micro-batches, never different "
     "data hiding under a reused epoch id; the model path is keyed to the "
@@ -695,10 +730,12 @@ def streaming_nb_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ids match the committed ones instead of re-slicing slice B under
     # new ids.
     drop = os.path.join(tempfile.gettempdir(), f"nb_stream_drop_{tag}")
-    if not os.path.exists(os.path.join(drop, "_SUCCESS")):
-        docs.filter(F.col("doc_id") % 5 == 1).repartition(
-            3, F.col("doc_id")
-        ).write.mode("overwrite").parquet(drop)
+    _publish_drop(
+        lambda p: docs.filter(F.col("doc_id") % 5 == 1)
+        .repartition(3, F.col("doc_id"))
+        .write.parquet(p),
+        drop,
+    )
 
     # the STANDING model: content-addressed, built once from slice A;
     # keep-winner publish makes concurrent builders safe, and the
@@ -723,18 +760,36 @@ def streaming_nb_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).encode()
     ).hexdigest()[:10]
+    # d2 = batch-id derivation v2 (the commutative digest below): a stale
+    # /tmp model whose committed ids came from the old sorted-id md5 must
+    # rotate out, or the same micro-batches would re-append under new ids.
     path = os.path.join(
         tempfile.gettempdir(),
-        f"nb_stream_model_v{NB_MODEL_VERSION}_{tag}_{drop_fp}",
+        f"nb_stream_model_v{NB_MODEL_VERSION}d2_{tag}_{drop_fp}",
     )
     if not nb_model_exists(path, _BUCKETS):
         write_nb_model(spark, train_a, path, _BUCKETS)
 
     def _ingest(batch_df, _eid):
-        ids = sorted(r.doc_id for r in batch_df.select("doc_id").collect())
-        if not ids:
+        # Content-derived batch id as a COMMUTATIVE JVM-side digest:
+        # sum+xor of xxhash64(doc_id) plus the count, collected as one
+        # 1-row aggregate. Order-independent (a replay's different row
+        # order yields the same id) and grouping-sensitive (a different
+        # file grouping yields different ids — which the drop_fp keying
+        # above turns into a fresh model, never a double-append). The sum
+        # runs in decimal(38,0) so it can never overflow a long. This
+        # replaces a driver-side collect of every doc_id — the streaming
+        # hot path now materializes zero data rows on the driver.
+        row = batch_df.agg(
+            F.sum(F.xxhash64("doc_id").cast("decimal(38,0)")).alias("s"),
+            F.bit_xor(F.xxhash64("doc_id")).alias("x"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        if not row["n"]:
             return  # empty replay batch: nothing to commit
-        bid = hashlib.md5(",".join(map(str, ids)).encode()).hexdigest()[:16]
+        bid = hashlib.md5(
+            f"{row['s']},{row['x']},{row['n']}".encode()
+        ).hexdigest()[:16]
         append_nb_batch(spark, batch_df, path, batch_id=bid)
 
     ckpt = tempfile.mkdtemp(prefix="nb_stream_ckpt_")

@@ -39,7 +39,7 @@ def _revenue() -> "F.Column":
     SELECT o_year,
            ROUND(CAST(CAST(SUM(CASE WHEN nation = 'NATION_7' THEN volume
                                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS STRING) AS DOUBLE)
-                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+                 / CAST(CAST(SUM(volume) AS STRING) AS DOUBLE), 6) AS mkt_share
     FROM (
         SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
                CAST({_REVENUE_SQL} AS DECIMAL(18,6)) AS volume,
@@ -496,10 +496,11 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE n_name = 'NATION_3'
         GROUP BY l_partkey
     )
-    SELECT ps_partkey, CAST(value_dec AS DOUBLE) AS stock_value
+    SELECT ps_partkey, CAST(CAST(value_dec AS STRING) AS DOUBLE) AS stock_value
     FROM val
-    WHERE CAST(value_dec AS DOUBLE)
-          > (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM val) / 1000.0
+    WHERE CAST(CAST(value_dec AS STRING) AS DOUBLE)
+          > (SELECT CAST(CAST(SUM(value_dec) AS STRING) AS DOUBLE) FROM val)
+            / 1000.0
     """,
     doc="TPC-H Q11 shape (important stock identification), adapted: stock "
     "value per part is SUM(l_quantity * p_retailprice) over one nation's "
@@ -629,8 +630,9 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dominant AS (
         SELECT DISTINCT l_suppkey FROM (
-            SELECT l_suppkey, CAST(qty AS DOUBLE) AS q,
-                   CAST(SUM(qty) OVER (PARTITION BY l_partkey) AS DOUBLE) AS tot
+            SELECT l_suppkey, CAST(CAST(qty AS STRING) AS DOUBLE) AS q,
+                   CAST(CAST(SUM(qty) OVER (PARTITION BY l_partkey) AS STRING)
+                        AS DOUBLE) AS tot
             FROM shipped
         ) WHERE q > 0.3 * tot
     )

@@ -29,6 +29,21 @@ def get_spark(
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus else 32
+    # Shuffle-partition sizing is by BYTES, not by a fixed count (the sf100
+    # knee, SCALING.md round 9: the SNM verify sort at 32 partitions puts
+    # ~1.25 GB of candidate rows per task — the sort goes external and the
+    # job dies on spill disk; 256 partitions on a 6x-smaller heap wins).
+    # Mechanism: every SQL shuffle STARTS at ``initialPartitionNum`` and AQE
+    # coalesces down with target size = min(max(stage_bytes/parallelism,
+    # minPartitionSize), advisoryPartitionSizeInBytes) — so a small-fixture
+    # shuffle lands at ~cores partitions (nothing changes at sf0.1) while a
+    # big one is capped at ~128 MB post-shuffle bytes per task. The default
+    # covers initial x 128 MB = 0.5 TB per shuffle stage; at real 100 TB
+    # scale raise it to ~input_bytes/128 MB (~800k) via the env var.
+    # ``shuffle.partitions`` itself stays at cores: it is the fallback for
+    # AQE-ineligible plans and PINS stateful-streaming state partitioning
+    # (state stores can't re-partition across a checkpoint's lifetime).
+    initial_parts = int(os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "4096"))
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -37,6 +52,20 @@ def get_spark(
         # AQE: runtime coalescing, skew-join splitting, dynamic join strategy.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(initial_parts, shuffle_partitions)),
+        )
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
+        # Without this, cached-plan materialization pins AQE's OUTPUT
+        # partitioning: every .cache() below a shuffle would materialize at
+        # the full initialPartitionNum and every downstream scan would pay
+        # thousands of empty tasks (measured 10-15x on the iterative
+        # entries). Letting the cache build coalesce is safe here — nothing
+        # in the engine relies on a cached plan's partition count.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for every Python<->JVM hop (pandas UDFs, toPandas).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -112,6 +112,40 @@ def test_write_bucketed_keeps_winner_and_attaches(spark, sf_dir, tmp_path):
     spark.sql("DROP TABLE orders_kw2")
 
 
+def test_write_bucketed_replaces_sidecarless_legacy_dir(spark, sf_dir, tmp_path):
+    """A directory with _SUCCESS but NO layout sidecar is a legacy/torn
+    artifact: keep-winner must REPLACE it. Keeping it would discard the
+    fresh staging copy and then fail register_bucketed's hard sidecar
+    requirement — losing both the old data and the new build."""
+    import os
+
+    from map_reduce_ruby_spark.operators.bucketing import _LAYOUT_SPEC
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "legacy")
+    os.makedirs(path)
+    open(os.path.join(path, "_SUCCESS"), "w").close()
+    write_bucketed(orders, "orders_legacy", "o_orderkey", 8, path)
+    assert os.path.exists(os.path.join(path, _LAYOUT_SPEC))
+    assert spark.table("orders_legacy").count() == orders.count()
+    spark.sql("DROP TABLE orders_legacy")
+
+
+def test_write_bucketed_raises_on_layout_mismatch(spark, sf_dir, tmp_path):
+    """Keep-winner attach with a DIFFERENT requested layout must raise:
+    silently handing back the winner's layout when the caller asked for
+    another bucket count is exactly the co-located-join corruption the
+    sidecar exists to prevent."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "mm")
+    write_bucketed(orders, "orders_mm1", "o_orderkey", 8, path)
+    with pytest.raises(ValueError, match="different"):
+        write_bucketed(orders, "orders_mm2", "o_orderkey", 4, path)
+    # the winner's files and registration survive the refused build
+    assert spark.table("orders_mm1").count() == orders.count()
+    spark.sql("DROP TABLE orders_mm1")
+
+
 def test_register_bucketed_raises_on_bad_sidecar(spark, sf_dir, tmp_path):
     import os
 

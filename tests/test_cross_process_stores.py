@@ -224,6 +224,68 @@ print("SUMMARY " + json.dumps([cells.count(), centroids]))
     assert load_ivf_index(spark, path)[0].count() == want[0]
 
 
+def test_bucketed_table_second_process_attaches(spark, sf_dir, tmp_path):
+    """The bucketed-table store (operators/bucketing.py): a second process
+    running the standard write_bucketed against committed paths must
+    keep-winner attach from the sidecar, and the co-located join must stay
+    Exchange-free in BOTH processes (same bucket placement, no re-shuffle)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_ruby_spark.operators.bucketing import write_bucketed
+    from map_reduce_ruby_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    base = str(tmp_path / "bkt")
+    os.makedirs(base)
+    write_bucketed(orders, "xp_orders_b", "o_orderkey", 8, os.path.join(base, "o"))
+    write_bucketed(
+        lineitem, "xp_lineitem_b", "l_orderkey", 8, os.path.join(base, "l")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("xp_lineitem_b").join(
+            spark.table("xp_orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        want = joined.count()  # pre-spawn plan
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        mt = _mtimes(base)
+
+        got = _run_child(
+            """
+import os
+from map_reduce_ruby_spark.operators.bucketing import write_bucketed
+orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+write_bucketed(orders, "xp_orders_c", "o_orderkey", 8, os.path.join(path, "o"))
+write_bucketed(
+    lineitem, "xp_lineitem_c", "l_orderkey", 8, os.path.join(path, "l"))
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+j = spark.table("xp_lineitem_c").join(
+    spark.table("xp_orders_c"), F.col("l_orderkey") == F.col("o_orderkey"))
+n = j.count()
+plan = j._jdf.queryExecution().executedPlan().toString()
+print("SUMMARY " + json.dumps(
+    [n, "Exchange" not in plan, "Bucketed: true" in plan]))
+""",
+            sf_dir,
+            base,
+        )
+        assert _mtimes(base) == mt, "child rewrote the live bucketed tables"
+        n, no_exchange, bucketed_scan = json.loads(got)
+        assert n == want
+        assert no_exchange, "child's co-located join re-shuffled"
+        assert bucketed_scan, "child's scan lost the bucket layout"
+        assert joined.count() == want  # pre-spawn plan still green
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS xp_orders_b")
+        spark.sql("DROP TABLE IF EXISTS xp_lineitem_b")
+
+
 def test_bpe_tokenizer_second_process_attaches(spark, sf_dir, tmp_path):
     from map_reduce_ruby_spark.operators.tokenizer_store import (
         load_bpe_tokenizer,
