@@ -104,7 +104,14 @@ def sorted_neighborhood_candidates(
             F.col("rec_id").alias("db"), F.col("side").alias("sb"),
             F.col("rk").alias("rk_b"),
         )
-        per_pass.append(left.join(right, "rk_b").select("da", "sa", "db", "sb"))
+        # SHUFFLE_HASH on the un-exploded side: the left side is n*window
+        # exploded rows and SortMergeJoin would sort it per task; hash-
+        # building the n-row ranked side (narrow (rec_id, side, rk) rows)
+        # and streaming the exploded side never sorts either input.
+        per_pass.append(
+            left.join(right.hint("SHUFFLE_HASH"), "rk_b")
+            .select("da", "sa", "db", "sb")
+        )
     pairs = per_pass[0]
     for p in per_pass[1:]:
         pairs = pairs.unionAll(p)

@@ -113,7 +113,29 @@ def _verify_jaccard(
     cand: DataFrame, keyed: DataFrame, a_col: str, b_col: str
 ) -> DataFrame:
     """Exact shingle-Jaccard verify of candidate pairs: two equi-joins
-    back to the shingle sets, one rounded division, threshold filter."""
+    back to the shingle sets, one rounded division, threshold filter.
+
+    Both joins carry a SHUFFLE_HASH hint on the keyed (shingle-set) side.
+    The default SortMergeJoin SORTS both inputs, and the second join's
+    probe side is the candidate table already carrying one shingle array
+    per row (n*window*passes rows x ~KB) — at sf100 that sort goes
+    external per task and its spill amplification was the measured knee
+    (SCALING.md rounds 9-10: >45 GB of transient spill, 405-521 s; with
+    the hints the heavy side is only hash-PROBED, never sorted, and peak
+    spill drops to the exchange files themselves).
+
+    The join partitioning is pinned EXPLICITLY, sized from the known row
+    geometry (n docs -> ~n/10k partitions), instead of left to AQE: the
+    hash-relation build is UNSPILLABLE, and AQE's coalescing targets
+    post-shuffle bytes per task across BOTH join inputs — blind to build
+    memory — so at sf100 it merged the keyed side into ~150-250 MB raw
+    builds that 32 concurrent tasks cannot all hold (measured: "Can't
+    acquire 67108864 bytes to build hash relation"). n/10k partitions puts
+    one build at ~10k docs x ~1.5 KB = ~15 MB — inside the per-task
+    execution share at any scale, since docs and partitions grow together
+    (at 100 TB / 5B docs that is ~500k partitions of the same 15 MB)."""
+    n_docs = keyed.count()  # keyed is session-cached by _keyed_shingles
+    n_parts = max(32, min(65536, n_docs // 10_000))
     la = keyed.select(F.col("rec_id").alias(a_col), F.col("sh").alias("sh_a"))
     lb = keyed.select(F.col("rec_id").alias(b_col), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -121,8 +143,10 @@ def _verify_jaccard(
         inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter), 6
     )
     return (
-        cand.join(la, a_col)
-        .join(lb, b_col)
+        cand.repartition(n_parts, F.col(a_col))
+        .join(la.repartition(n_parts, F.col(a_col)).hint("SHUFFLE_HASH"), a_col)
+        .repartition(n_parts, F.col(b_col))
+        .join(lb.repartition(n_parts, F.col(b_col)).hint("SHUFFLE_HASH"), b_col)
         .select(a_col, b_col, jacc.alias("jacc"))
         .filter(F.col("jacc") >= _ER_THRESHOLD)
     )

@@ -35,15 +35,29 @@ def get_spark(
     # job dies on spill disk; 256 partitions on a 6x-smaller heap wins).
     # Mechanism: every SQL shuffle STARTS at ``initialPartitionNum`` and AQE
     # coalesces down with target size = min(max(stage_bytes/parallelism,
-    # minPartitionSize), advisoryPartitionSizeInBytes) — so a small-fixture
-    # shuffle lands at ~cores partitions (nothing changes at sf0.1) while a
-    # big one is capped at ~128 MB post-shuffle bytes per task. The default
-    # covers initial x 128 MB = 0.5 TB per shuffle stage; at real 100 TB
-    # scale raise it to ~input_bytes/128 MB (~800k) via the env var.
-    # ``shuffle.partitions`` itself stays at cores: it is the fallback for
-    # AQE-ineligible plans and PINS stateful-streaming state partitioning
-    # (state stores can't re-partition across a checkpoint's lifetime).
-    initial_parts = int(os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "4096"))
+    # minPartitionSize), advisoryPartitionSizeInBytes) — a small-fixture
+    # shuffle lands at ~cores partitions while a big one is capped at the
+    # advisory post-shuffle bytes per task. BOTH knobs have measured knees
+    # on this box (SCALING.md round 10):
+    #   - initial count is NOT free: every map task materializes one bucket
+    #     per initial partition before AQE can coalesce the read side; 4096
+    #     buckets cost ~2.3x at mid-scale (SNM at sf10: 33.5 s warm vs
+    #     14-15.6 s at 32 or 256). 256 = 8x cores is the measured plateau:
+    #     identical to 32 at sf0.1-sf10 AND past the sf100 knee.
+    #   - advisory size must fit the per-task EXECUTION share (heap x 0.6 /
+    #     2 / concurrent tasks = ~75 MB at 8g/32 cores): at 128m the sf100
+    #     SNM verify sort went external per task and spill amplification
+    #     filled the box's 55 GB free disk; at Spark's default 64m the same
+    #     job finishes in ~220 s with bounded spill. So the advisory stays
+    #     at 64m — on a real cluster with 4-8 GB per core, raise it with
+    #     the heap (same rule, bigger share).
+    # At real 100 TB scale raise SPARK_GRAFT_INITIAL_PARTITIONS to
+    # ~input_bytes/64 MB; the knob scales, the default serves the
+    # single-node envelope. ``shuffle.partitions`` itself stays at cores:
+    # it is the fallback for AQE-ineligible plans and PINS stateful-
+    # streaming state partitioning (state stores can't re-partition across
+    # a checkpoint's lifetime).
+    initial_parts = int(os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "256"))
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -56,7 +70,7 @@ def get_spark(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             str(max(initial_parts, shuffle_partitions)),
         )
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         # Without this, cached-plan materialization pins AQE's OUTPUT
         # partitioning: every .cache() below a shuffle would materialize at
         # the full initialPartitionNum and every downstream scan would pay
@@ -80,6 +94,21 @@ def get_spark(
         # captured logs and once clipped the bench's one-line JSON record.
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # G1 + Spark's 16 MB memory pages: with an 8g heap G1 picks 4 MB
+        # regions, so every HashedRelation/sorter page is a HUMONGOUS
+        # allocation racing JNI critical sections (Arrow, parquet) for the
+        # GCLocker; JDK-8192647 makes the loser throw a spurious
+        # "Java heap space" after 2 retries (observed at sf100: SHJ build
+        # OOM at 54 s with a mostly-empty heap, while an identical-plan
+        # run stayed clean). 32 MB regions take 16 MB pages out of the
+        # humongous path entirely; the retry bump covers allocations that
+        # still land there. Applies to executors too in local mode (one
+        # JVM); on a real cluster mirror it in executor.extraJavaOptions.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:G1HeapRegionSize=32m -XX:+UnlockDiagnosticVMOptions "
+            "-XX:GCLockerRetryAllocationCount=64",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
