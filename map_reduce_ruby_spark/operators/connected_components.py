@@ -48,11 +48,20 @@ def connected_components(
     Raises ``RuntimeError`` if no fixpoint is reached within ``max_rounds``
     (diameter larger than expected — use a log-rounds algorithm instead).
     """
+    from pyspark.sql import Observation
+
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # The symmetric edge set is PRE-PARTITIONED on the per-round join key
+    # ``b`` before it is persisted: every round joins ``sym.b == labels.node``,
+    # and an unpartitioned cache would re-Exchange the full edge set each
+    # round — the largest shuffle in the loop, paid (rounds) times. Hashed on
+    # ``b`` once, the cached partitioning satisfies the join's distribution
+    # requirement and only the (much narrower) labels side shuffles per round.
     sym = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .repartition(F.col("b"))
         .persist()
     )
 
@@ -70,9 +79,13 @@ def connected_components(
                 .groupBy(F.col("a").alias("node"))
                 .agg(F.min("component").alias("nbr_component"))
             )
-            # Carry the previous label through the round so convergence is a
-            # scan of the checkpointed result — not an extra shuffle join of
-            # new labels against old every round.
+            # Convergence is OBSERVED on the materializing pass itself
+            # (Observation metrics fire on the eager localCheckpoint): the
+            # previous label rides along as __old and max(component != __old)
+            # is folded into the same job — no second probe job scanning the
+            # checkpointed result every round (guide §1: one action per
+            # round; at corpus scale the probe was a full labels scan).
+            obs = Observation()
             new_full = (
                 labels.join(nbr_min, "node", "left")
                 .select(
@@ -83,13 +96,16 @@ def connected_components(
                     ).alias("component"),
                     F.col("component").alias("__old"),
                 )
+                .observe(
+                    obs,
+                    F.max(
+                        F.when(F.col("component") != F.col("__old"), 1).otherwise(0)
+                    ).alias("changed"),
+                )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_full.filter(F.col("component") != F.col("__old")).limit(1).count()
-            )
             labels = new_full.drop("__old")
-            if changed == 0:
+            if not (obs.get["changed"] or 0):  # None on an empty edge set
                 return labels
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds; "
@@ -135,10 +151,15 @@ def incremental_connected_components(
     clusters (the merged cluster takes the min id, which may be a new
     batch doc's id — same contract as a full rebuild).
     """
+    # The batch edge set feeds THREE subtrees (contraction, batch-node
+    # derivation, fresh-node labeling); materialize it once — its upstream
+    # is typically the day's candidate-pair derivation (an LSH band
+    # self-join), which must not re-run per consumer.
     e = (
         new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     base = base_labels.select("node", "component")
 
@@ -211,27 +232,42 @@ def connected_components_star(
     (member -> component root). Same output contract as
     ``connected_components``: (node, component=min node id in component).
     """
+    from pyspark.sql import Observation
+
     e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") != F.col("b")
     )
-    nodes = (
-        e0.select(F.col("a").alias("node"))
-        .union(e0.select(F.col("b").alias("node")))
-        .distinct()
-        .persist()
-    )
     # current directed forest: (u, v) meaning "u points at v"; start with
-    # both directions so every node sees its full neighborhood.
+    # both directions so every node sees its full neighborhood. The starting
+    # cardinality for the fixpoint probe is observed on the same
+    # materializing pass (no separate count job).
+    obs0 = Observation()
     cur = (
         e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    # The node set is derived from the CHECKPOINTED start state (cur holds
+    # both directions of every edge, so its `a` column is exactly the node
+    # set) — deriving it from the raw `edges` plan re-ran the full upstream
+    # pair derivation (LSH self-join and all) once more at the final join.
+    nodes = cur.select(F.col("a").alias("node")).distinct()
 
     def star(edges_uv: DataFrame, large: bool) -> DataFrame:
-        sym = edges_uv.union(
-            edges_uv.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).distinct()
+        # Lazy localCheckpoint: sym feeds BOTH the neighborhood-min agg and
+        # the rewire join below. Left as a plan it would execute twice
+        # inside the round's one materializing job; checkpointed, the first
+        # path computes+stores each partition and the second reads the
+        # blocks (the _bpe_learn fusion pattern) — one union+distinct
+        # shuffle per star step instead of two, with no extra job.
+        sym = (
+            edges_uv.union(
+                edges_uv.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
         m = sym.groupBy("a").agg(
             F.least(F.min("b"), F.first("a")).alias("m")
         )
@@ -246,33 +282,36 @@ def connected_components_star(
             )
         return out.filter(F.col("a") != F.col("b")).distinct()
 
-    try:
-        cur_count = cur.count()
-        for _ in range(max_rounds):
-            nxt = star(star(cur, large=True), large=False).localCheckpoint(eager=True)
-            # Cheap fixpoint probe: both sides are distinct edge SETS, so
-            # equal cardinality + empty one-direction difference == equality
-            # (one count on checkpointed blocks, and the exceptAll join runs
-            # only in rounds where the counts already agree).
-            nxt_count = nxt.count()
-            changed = 1
-            if nxt_count == cur_count:
-                changed = nxt.exceptAll(cur).limit(1).count()
-            cur, cur_count = nxt, nxt_count
-            if changed == 0:
-                # cur is a star forest: (member -> root); roots self-label
-                labels = cur.select(
-                    F.col("a").alias("node"), F.col("b").alias("component")
-                )
-                return (
-                    nodes.join(labels, "node", "left")
-                    .select(
-                        "node",
-                        F.coalesce("component", F.col("node")).alias("component"),
-                    )
-                )
-        raise RuntimeError(
-            f"connected_components_star did not converge in {max_rounds} rounds"
+    cur_count = int(obs0.get["n"])
+    for _ in range(max_rounds):
+        # Fixpoint probe: both sides are distinct edge SETS, so equal
+        # cardinality + empty one-direction difference == equality. The
+        # cardinality is OBSERVED on the round's materializing pass itself
+        # (no separate count job), and the exceptAll join runs only in
+        # rounds where the counts already agree.
+        obs = Observation()
+        nxt = (
+            star(star(cur, large=True), large=False)
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
         )
-    finally:
-        nodes.unpersist()
+        nxt_count = int(obs.get["n"])
+        changed = 1
+        if nxt_count == cur_count:
+            changed = nxt.exceptAll(cur).limit(1).count()
+        cur, cur_count = nxt, nxt_count
+        if changed == 0:
+            # cur is a star forest: (member -> root); roots self-label
+            labels = cur.select(
+                F.col("a").alias("node"), F.col("b").alias("component")
+            )
+            return (
+                nodes.join(labels, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce("component", F.col("node")).alias("component"),
+                )
+            )
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_rounds} rounds"
+    )

@@ -683,7 +683,14 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_connected_components,
     )
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # One materialization of the LSH pair set for BOTH slices: the corpus
+    # CC consumes old_pairs and the incremental fold consumes new_pairs —
+    # filtered from a lazy plan, each side would re-run the band self-join.
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     is_batch_a = F.col("doc_a") % 5 == 0
     is_batch_b = F.col("doc_b") % 5 == 0
     old_pairs = pairs.filter(~is_batch_a & ~is_batch_b)
@@ -1378,12 +1385,31 @@ def graph_pagerank_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     ).unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
-    edges = edges.cache()  # read every iteration (3 joins) + for nodes/deg
-    nodes = edges.select(F.col("a").alias("node")).distinct()
+    # Read every iteration (2 joins each) plus nodes/deg — ~8 consumers of
+    # the ~15-operator-deep LSH derivation. Pre-partitioned on the
+    # per-iteration join key ``a`` so the standing edge set never
+    # re-Exchanges (only the narrow rank side shuffles per iteration, and
+    # ``deg`` — grouped by the same key — aggregates Exchange-free and
+    # comes out co-partitioned for its join); cache() for cross-run reuse;
+    # eager localCheckpoint truncates the LSH lineage to a leaf so the
+    # unrolled 3-iteration plan analyzes against a LogicalRDD instead of
+    # ~8 copies of the band self-join (the graph_triangle_count pathology:
+    # driver-side analysis alone cost ~12 s at sf0.1 on such trees).
+    edges = edges.repartition(F.col("a")).cache().localCheckpoint(eager=True)
+    # nodes feeds r0 plus a left join in every iteration, deg a join in
+    # every iteration: checkpointed (both |V|-sized) so the distinct/agg
+    # over the edge set runs once, not once per unrolled iteration.
+    nodes = (
+        edges.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=True)
+    )
     n = nodes.count()  # bounded: one integer (the |V| of the dup graph)
     if n == 0:
         return spark.createDataFrame([], "doc_id long, pagerank double")
-    deg = edges.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    deg = (
+        edges.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     r = nodes.withColumn("r", F.lit(1.0 / n))
     for _ in range(_PR_ITERS):
         contrib = (
@@ -1580,9 +1606,23 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
-    e = pairs.cache()  # read 3x: orientation, closing-edge probe, degrees
+    # Edge list: cached (cross-run reuse, CacheManager dedupes the identical
+    # plan) AND eagerly localCheckpoint()ed. The checkpoint is what matters
+    # for plan health: the LSH pair derivation is ~15 operators deep and is
+    # read by 3 consumers (orientation, closing-edge probe, degrees) —
+    # duplicated per consumer it made the analyzed tree ~150 Exchange nodes
+    # and cost ~12 s of DRIVER-SIDE analysis per call at sf0.1 (round-10
+    # measurement), before any task ran. Checkpointing truncates lineage to a
+    # LogicalRDD (blocks context-cleaned when the frame drops), so the graph
+    # math below analyzes against a leaf, and the pair join is never
+    # recomputed. deg and oe get the same treatment: deg feeds 3 subtrees
+    # (orientation x2, final join), oe feeds both sides of the wedge
+    # self-join — at corpus scale each recompute is an O(|E|) shuffle.
+    e = pairs.cache().localCheckpoint(eager=True)
     und = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    deg = und.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=True)
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
     ranked = e.join(da, "a").join(db, "b")
@@ -1590,7 +1630,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oe = ranked.select(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    )
+    ).localCheckpoint(eager=True)
     e1 = oe.select(F.col("u"), F.col("v").alias("y"))
     e2 = oe.select(F.col("u"), F.col("v").alias("z"))
     wedges = e1.join(e2, "u").filter(F.col("y") < F.col("z"))
