@@ -65,9 +65,13 @@ def _publish_drop(write_fn, drop: str) -> None:
     tags=("streaming", "window"),
 )
 def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # state keyspace = active 5-min windows (bounded by the 30-min
+    # watermark horizon) x |event_type| — size state to |keys|, not the
+    # batch shuffle default (see run_stream_to_memory)
     return run_stream_to_memory(
         streaming_tumbling_counts(streaming_events(spark, sf_dir)),
         f"catalog_stream_tumbling_{abs(hash(sf_dir)) % 10**8}",
+        state_partitions=8,
     )
 
 
@@ -175,7 +179,10 @@ def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("total_value"),
     )
     name = f"catalog_stream_enrich_{abs(hash(sf_dir)) % 10**8}"
-    return run_stream_to_memory(agg, name, output_mode="complete")
+    # state keyspace = 10 cohorts — bounded (see run_stream_to_memory)
+    return run_stream_to_memory(
+        agg, name, output_mode="complete", state_partitions=8
+    )
 
 
 @register(
@@ -326,10 +333,13 @@ def streaming_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").cast("long").alias("r"), "bucket"
     )
     agg = keyed.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    # state keyspace = the FIXED 4x64 counter grid (256 keys however large
+    # the stream) — size state to |keys| (see run_stream_to_memory)
     return run_stream_to_memory(
         agg,
         f"catalog_stream_cms_{abs(hash(sf_dir)) % 10**8}",
         output_mode="complete",
+        state_partitions=8,
     )
 
 
@@ -357,9 +367,12 @@ def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_id") % 10 == 7)
         .withColumn("day_no", F.expr("ts_us div 86400000000"))
     )
+    # state keyspace = (day_no x event_type) view grain — bounded at any
+    # stream volume (see run_stream_to_memory)
     delta_mv = run_stream_to_memory(
         mv_grain_agg(delta_stream),
         f"catalog_stream_mv_{abs(hash(sf_dir)) % 10**8}",
+        state_partitions=8,
     )
     base = load_table(spark, sf_dir, "events").withColumn(
         "day_no", F.expr("ts_us div 86400000000")

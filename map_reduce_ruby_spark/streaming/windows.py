@@ -151,17 +151,44 @@ def streaming_stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+def run_stream_to_memory(
+    df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Drain all available input through the streaming plan into a memory
     sink (tests / smoke only — a real deployment writes a kafka/parquet sink)
-    and return the final table."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    and return the final table.
+
+    ``state_partitions`` sizes the stream's state store. A streaming query
+    pins its shuffle/state partition count at first start from
+    ``spark.sql.shuffle.partitions`` (AQE coalescing does NOT apply to
+    streaming), and every state partition pays file-backed snapshot+commit
+    overhead on EVERY micro-batch — at any scale, partitions beyond the
+    aggregation's key cardinality hold no state and are pure per-batch
+    overhead. Callers whose keyspace is provably bounded (a CMS grid, a
+    (day, event_type) view grain, a 10-cohort rollup) should pass a small
+    value sized to |keys|; unbounded keyspaces (per-user, per-word,
+    stream-stream join state) leave it None and inherit the session
+    default, which scales with the cluster. Measured on this box: a
+    single-micro-batch complete-mode drain at 32 state partitions takes
+    ~1.6-2.2 s vs ~0.9-1.2 s at 4-8 (sf0.1, warm session).
+    """
     spark = df.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
