@@ -325,14 +325,30 @@ def nb_scores_from_model(
             "prior_milli"
         ),
     )
-    # Full class x bucket grid WITHOUT a cartesian plan: the class list is
-    # a bounded driver-side collect (|langs| rows — the same bounded-dims
-    # pattern as the ANN centroid collects), exploded over the <=256-row
-    # bucket table; absent (class, bucket) pairs get the Laplace floor.
-    classes = [r["cls"] for r in ctot.select("cls").collect()]
+    # Full class x bucket grid WITHOUT a cartesian plan: the class lists
+    # are bounded driver-side collects (|langs| rows — the same
+    # bounded-dims pattern as the ANN centroid collects), exploded over
+    # the <=256-row bucket table; absent (class, bucket) pairs get the
+    # Laplace floor. Only classes present in BOTH the gram model and the
+    # doc-count table score (the prior join was inner already).
+    cls_rows = (
+        ctot.select(F.lit(0).alias("src"), "cls")
+        .unionAll(nd_c.select(F.lit(1).alias("src"), "cls"))
+        .collect()
+    )  # one driver job for both bounded class lists
+    model_classes = {r["cls"] for r in cls_rows if r["src"] == 0}
+    prior_classes = {r["cls"] for r in cls_rows if r["src"] == 1}
+    classes = sorted(model_classes & prior_classes)
+    if not classes:
+        return db.select("doc_id", "lang").filter(F.lit(False)).select(
+            "doc_id",
+            "lang",
+            F.lit(None).cast("string").alias("pred"),
+            F.lit(None).cast("long").alias("best_milli"),
+        )
     buckets = db.select("b").distinct()
     grid = buckets.select(
-        "b", F.explode(F.array(*[F.lit(c) for c in sorted(classes)])).alias("cls")
+        "b", F.explode(F.array(*[F.lit(c) for c in classes])).alias("cls")
     )
     llm = (
         grid.join(cb, ["cls", "b"], "left")
@@ -351,22 +367,53 @@ def nb_scores_from_model(
             .alias("llm_milli"),
         )
     )
-    scores = (
-        db.join(F.broadcast(llm), "b")
-        .groupBy("doc_id", F.col("lang"), "cls")
-        .agg(F.sum(F.col("cnt") * F.col("llm_milli")).alias("s_milli"))
-        .join(F.broadcast(prior), "cls")
-        .select(
-            "doc_id",
-            "lang",
-            "cls",
-            (F.col("s_milli") + F.col("prior_milli")).alias("score_milli"),
+    # Pivot the tiny model tables to ONE row per bucket (and one 1-row
+    # prior frame) so scoring pays a single broadcast join that does NOT
+    # multiply the (doc, bucket) table by n_classes, one hash aggregation
+    # with per-class sum columns, and a codegen'd argmax expression —
+    # instead of an n_docs x n_classes shuffle followed by a second
+    # exchange + full sort for max(struct) (SortAggregate: struct agg
+    # buffers are not hash-aggregable). Scores stay exact int64 sums of
+    # the same llm_milli/prior_milli values, so results are bit-identical.
+    llm_wide = llm.groupBy("b").agg(
+        *[
+            F.max(F.when(F.col("cls") == c, F.col("llm_milli"))).alias(f"__llm_{i}")
+            for i, c in enumerate(classes)
+        ]
+    )
+    prior_wide = prior.agg(
+        *[
+            F.max(F.when(F.col("cls") == c, F.col("prior_milli"))).alias(f"__pri_{i}")
+            for i, c in enumerate(classes)
+        ]
+    )
+    sums = (
+        db.join(F.broadcast(llm_wide), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            *[
+                F.sum(F.col("cnt") * F.col(f"__llm_{i}")).alias(f"__s_{i}")
+                for i in range(len(classes))
+            ]
         )
     )
     # Exact-integer argmax; ties (possible only on identical int scores)
-    # break to the lexicographically LAST class name on both engines.
-    best = scores.groupBy("doc_id", "lang").agg(
-        F.max(F.struct("score_milli", "cls")).alias("m")
+    # break to the lexicographically LAST class name on both engines
+    # (struct ordering: score first, then class name).
+    best = sums.crossJoin(F.broadcast(prior_wide)).select(
+        "doc_id",
+        "lang",
+        F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col(f"__s_{i}") + F.col(f"__pri_{i}")).alias("score_milli"),
+                        F.lit(c).alias("cls"),
+                    )
+                    for i, c in enumerate(classes)
+                ]
+            )
+        ).alias("m"),
     )
     return best.select(
         "doc_id", "lang", F.col("m.cls").alias("pred"), F.col("m.score_milli").alias("best_milli")
