@@ -604,8 +604,17 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    uni = big.groupBy(F.col("w1").alias("w")).agg(F.count(F.lit(1)).alias("cw"))
-    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # One corpus explode, not three: the bigram-TYPE table is materialized
+    # once and the unigram table derives from it exactly (cw = count of w1
+    # occurrences in big = SUM of c12 over bc grouped by w1 — same
+    # integers), so uni and vocab aggregate the small type table instead
+    # of re-running the scan+explode per consumer.
+    bc = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
+    uni = bc.groupBy(F.col("w1").alias("w")).agg(F.sum("c12").alias("cw"))
     vocab = uni.agg(F.countDistinct("w").alias("v"))
     scored = (
         big.join(bc, ["w1", "w2"])
@@ -690,12 +699,20 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
         ).alias("b"),
     ).select("b.w1", "b.w2")
-    n = big.agg(F.count(F.lit(1)).alias("total"))
-    uni1 = big.groupBy(F.col("w1").alias("w")).agg(F.count(F.lit(1)).alias("c1"))
-    uni2 = big.groupBy(F.col("w2").alias("w")).agg(F.count(F.lit(1)).alias("c2"))
-    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).filter(
-        F.col("c12") >= 5
+    # One corpus explode, not four: every other count table is an exact
+    # re-aggregation of the bigram-TYPE table (c1/c2 = SUM of c12 grouped
+    # by w1/w2, total = SUM of all c12 — same integers), so they derive
+    # from the materialized type table instead of re-running the
+    # scan+explode per consumer.
+    bc_all = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
     )
+    n = bc_all.agg(F.sum("c12").alias("total"))
+    uni1 = bc_all.groupBy(F.col("w1").alias("w")).agg(F.sum("c12").alias("c1"))
+    uni2 = bc_all.groupBy(F.col("w2").alias("w")).agg(F.sum("c12").alias("c2"))
+    bc = bc_all.filter(F.col("c12") >= 5)
     pmi = (
         bc.join(uni1.withColumnRenamed("w", "w1"), "w1")
         .join(uni2.withColumnRenamed("w", "w2"), "w2")
@@ -1631,11 +1648,23 @@ def kn_trigram_prob_table(tri: DataFrame, d_discount: float = _KN_D) -> DataFram
     trigram TYPE, from the trigram count table ``tri`` (w1, w2, w3, c3).
     ``p`` is the unrounded double; callers round at their own grid. Shared
     by kn_trigram_scores (top-k estimation) and text_kn_perplexity_filter
-    (per-document scoring)."""
+    (per-document scoring).
+
+    The trigram-type table feeds three subtrees here (ctx, cont, the
+    scoring join) and ``cont`` feeds four (mid, uni, tot, the join):
+    without materialization every derivation re-runs the caller's full
+    upstream plan — for the catalog entries that is the corpus scan +
+    trigram explode + type aggregation, SEVEN parquet scans in the
+    before-plan. Two eager localCheckpoints make the corpus explode
+    happen once; every model table then derives from the (much smaller)
+    type tables."""
+    tri = tri.localCheckpoint(eager=True)
     ctx = tri.groupBy("w1", "w2").agg(
         F.sum("c3").alias("c2"), F.count(F.lit(1)).alias("t3")
     )
-    cont = tri.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("n1b"))
+    cont = tri.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("n1b")).localCheckpoint(
+        eager=True
+    )
     mid = cont.groupBy("w2").agg(
         F.sum("n1b").alias("nmid"), F.count(F.lit(1)).alias("t2")
     )
