@@ -164,20 +164,25 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dsir_weights_for(db: DataFrame) -> DataFrame:
-    """DSIR weights over a (doc_id, lang, b, cnt) feature frame."""
-    ct = db.filter(F.col("lang") == _TARGET_LANG).groupBy("b").agg(
-        F.sum("cnt").alias("c_t")
-    )
-    cr = db.groupBy("b").agg(F.sum("cnt").alias("c_r"))
-    tot = db.agg(
+    """DSIR weights over a (doc_id, lang, b, cnt) feature frame.
+
+    Both bucket margins come out of ONE aggregation pass (c_t is the
+    target-slice conditional sum — the same integers the separate
+    filtered groupBy produced), and the corpus totals n_t/n_r are exact
+    re-sums of the <=256-row margin table rather than a third full pass
+    over the feature frame."""
+    cm = db.groupBy("b").agg(
+        F.sum("cnt").alias("c_r"),
         F.sum(
-            F.when(F.col("lang") == _TARGET_LANG, F.col("cnt")).otherwise(F.lit(0))
-        ).alias("n_t"),
-        F.sum("cnt").alias("n_r"),
+            F.when(F.col("lang") == _TARGET_LANG, F.col("cnt"))
+        ).alias("c_t"),
+    )
+    tot = cm.agg(
+        F.coalesce(F.sum("c_t"), F.lit(0)).alias("n_t"),
+        F.sum("c_r").alias("n_r"),
     )
     lam = (
-        cr.join(ct, "b", "left")
-        .crossJoin(F.broadcast(tot))  # 1-row scalar (corpus gram totals)
+        cm.crossJoin(F.broadcast(tot))  # 1-row scalar (corpus gram totals)
         .select(
             "b",
             F.round(
@@ -279,12 +284,17 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # k counts the docs the WEIGHTS frame contains — docs with >= 1 token
     # (a whitespace-only text yields no grams and no weight row, and the
-    # oracle's COUNT(*) OVER () runs over its weights CTE): one cheap
-    # no-explode scan, never the raw table count, which would diverge by
-    # exactly the zero-token docs.
-    docs = load_table(spark, sf_dir, "documents")
-    tok = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
-    n = docs.filter(F.size(tok) > 0).count()
+    # oracle's COUNT(*) OVER () runs over its weights CTE). Every tokened
+    # doc has >= 1 unigram and therefore >= 1 row in the cached feature
+    # table, so count distinct doc_ids there instead of re-tokenizing the
+    # full corpus text (the feature table is narrow and session-cached;
+    # the text scan is the widest column in the schema).
+    n = (
+        _doc_gram_buckets(spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
     k = (n + _SELECT_DENOM - 1) // _SELECT_DENOM
     return scored.orderBy(F.desc("skey_milli"), "doc_id").limit(k)
 
