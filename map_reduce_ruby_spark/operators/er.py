@@ -89,7 +89,12 @@ def sorted_neighborhood_candidates(
         raise ValueError(f"window must be >= 1, got {window}")
     per_pass = []
     for key in keys:
-        ranked = _global_rank(records, key, bucket_fn)
+        # Both join sides below consume the ranked table; without
+        # materialization each side re-runs the full rank derivation —
+        # the per-bucket window SORT over every record, the dominant
+        # per-pass cost — twice. One eager checkpoint of the narrow
+        # (rec_id, side, rk) table halves that.
+        ranked = _global_rank(records, key, bucket_fn).localCheckpoint(eager=True)
         # two selects: materialize the exploded offset FIRST, then compute
         # rk_b from it — a single select computing (rk + off) alongside the
         # explode that defines 'off' resolves only through the analyzer's
