@@ -13,7 +13,10 @@ equi-join on node id.
 Scale notes (100 TB posture):
 - Per round: one join (edges x labels, shuffle on node id) + one min-agg
   (map-side partial) — no collect, no driver-side graph.
-- ``localCheckpoint(eager=True)`` after every round truncates the lineage so
+- ``materialize.truncate(..., eager=True)`` after every round truncates the
+  lineage (localCheckpoint locally; reliable checkpoint() on a durable dir
+  when ``SPARK_GRAFT_CHECKPOINT_DIR`` is set — a multi-hour fixpoint loop is
+  exactly where executor-local checkpoint blocks are NOT acceptable) so
   the plan does not grow O(rounds) deep (the classic iterative-Spark trap).
 - The convergence probe is ``isEmpty()``-style: a join + LIMIT 1, not a full
   count.
@@ -29,6 +32,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from map_reduce_ruby_spark.materialize import truncate
 
 
 def connected_components(
@@ -65,11 +70,12 @@ def connected_components(
         .persist()
     )
 
-    labels = (
+    # Lazy: round 1's materializing pass (the first eager round checkpoint)
+    # computes and stores the initial labels — no separate job for them.
+    labels = truncate(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("component"))
-        .localCheckpoint(eager=True)
     )
 
     try:
@@ -86,7 +92,7 @@ def connected_components(
             # checkpointed result every round (guide §1: one action per
             # round; at corpus scale the probe was a full labels scan).
             obs = Observation()
-            new_full = (
+            new_full = truncate(
                 labels.join(nbr_min, "node", "left")
                 .select(
                     "node",
@@ -101,8 +107,8 @@ def connected_components(
                     F.max(
                         F.when(F.col("component") != F.col("__old"), 1).otherwise(0)
                     ).alias("changed"),
-                )
-                .localCheckpoint(eager=True)
+                ),
+                eager=True,  # obs.get below needs the action to run NOW
             )
             labels = new_full.drop("__old")
             if not (obs.get["changed"] or 0):  # None on an empty edge set
@@ -155,11 +161,10 @@ def incremental_connected_components(
     # derivation, fresh-node labeling); materialize it once — its upstream
     # is typically the day's candidate-pair derivation (an LSH band
     # self-join), which must not re-run per consumer.
-    e = (
+    e = truncate(
         new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     base = base_labels.select("node", "component")
 
@@ -242,11 +247,11 @@ def connected_components_star(
     # cardinality for the fixpoint probe is observed on the same
     # materializing pass (no separate count job).
     obs0 = Observation()
-    cur = (
+    cur = truncate(
         e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .observe(obs0, F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
+        .observe(obs0, F.count(F.lit(1)).alias("n")),
+        eager=True,  # obs0.get is read before the first star round runs
     )
     # The node set is derived from the CHECKPOINTED start state (cur holds
     # both directions of every edge, so its `a` column is exactly the node
@@ -255,18 +260,16 @@ def connected_components_star(
     nodes = cur.select(F.col("a").alias("node")).distinct()
 
     def star(edges_uv: DataFrame, large: bool) -> DataFrame:
-        # Lazy localCheckpoint: sym feeds BOTH the neighborhood-min agg and
+        # Lazy truncate: sym feeds BOTH the neighborhood-min agg and
         # the rewire join below. Left as a plan it would execute twice
         # inside the round's one materializing job; checkpointed, the first
         # path computes+stores each partition and the second reads the
         # blocks (the _bpe_learn fusion pattern) — one union+distinct
         # shuffle per star step instead of two, with no extra job.
-        sym = (
+        sym = truncate(
             edges_uv.union(
                 edges_uv.select(F.col("b").alias("a"), F.col("a").alias("b"))
-            )
-            .distinct()
-            .localCheckpoint(eager=False)
+            ).distinct()
         )
         m = sym.groupBy("a").agg(
             F.least(F.min("b"), F.first("a")).alias("m")
@@ -290,10 +293,10 @@ def connected_components_star(
         # (no separate count job), and the exceptAll join runs only in
         # rounds where the counts already agree.
         obs = Observation()
-        nxt = (
+        nxt = truncate(
             star(star(cur, large=True), large=False)
-            .observe(obs, F.count(F.lit(1)).alias("n"))
-            .localCheckpoint(eager=True)
+            .observe(obs, F.count(F.lit(1)).alias("n")),
+            eager=True,  # obs.get below needs the action to run NOW
         )
         nxt_count = int(obs.get["n"])
         changed = 1

@@ -37,6 +37,8 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from map_reduce_ruby_spark.materialize import truncate
+
 
 def _global_rank(
     records: DataFrame, key: str, bucket_fn: Callable[[Column], Column] | None
@@ -92,9 +94,13 @@ def sorted_neighborhood_candidates(
         # Both join sides below consume the ranked table; without
         # materialization each side re-runs the full rank derivation —
         # the per-bucket window SORT over every record, the dominant
-        # per-pass cost — twice. One eager checkpoint of the narrow
-        # (rec_id, side, rk) table halves that.
-        ranked = _global_rank(records, key, bucket_fn).localCheckpoint(eager=True)
+        # per-pass cost — twice. One LAZY checkpoint of the narrow
+        # (rec_id, side, rk) table halves that: both sides fuse into the
+        # pass's first consuming job (one path computes+stores each
+        # partition, the other reads the blocks), with no separate
+        # materialization job — the round-11 fixed-cost trim (round 10's
+        # eager form paid one extra job per pass per invocation).
+        ranked = truncate(_global_rank(records, key, bucket_fn))
         # two selects: materialize the exploded offset FIRST, then compute
         # rk_b from it — a single select computing (rk + off) alongside the
         # explode that defines 'off' resolves only through the analyzer's

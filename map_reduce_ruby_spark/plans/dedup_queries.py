@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_ruby_spark.functions import h32, h32_sql, h60, h60_sql
+from map_reduce_ruby_spark.materialize import truncate
 from map_reduce_ruby_spark.plans.catalog import register
 from map_reduce_ruby_spark.sources import load_table
 
@@ -396,14 +397,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Doc-frequency cap via a window on the same shuffle key the self-join
     # uses, so the exchange is reused, not repeated.
-    sh = (
+    sh = truncate(
         sh_all.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
         .filter(F.col("df") <= _SHINGLE_DF_CAP)
         .drop("df")
         # Materialize once (tokenize+shingle+hash+window is the expensive
         # scan): sizes and BOTH self-join sides reuse it instead of
-        # recomputing the explode three times.
-        .localCheckpoint(eager=True)
+        # recomputing the explode three times. Lazy: all three consumers
+        # live in the entry's one materializing job.
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -686,10 +687,9 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One materialization of the LSH pair set for BOTH slices: the corpus
     # CC consumes old_pairs and the incremental fold consumes new_pairs —
     # filtered from a lazy plan, each side would re-run the band self-join.
-    pairs = (
-        dedup_minhash_lsh(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+    # Lazy: the corpus CC's first round materializes it; no separate job.
+    pairs = truncate(
+        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     )
     is_batch_a = F.col("doc_a") % 5 == 0
     is_batch_b = F.col("doc_b") % 5 == 0
@@ -1391,24 +1391,21 @@ def graph_pagerank_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-Exchanges (only the narrow rank side shuffles per iteration, and
     # ``deg`` — grouped by the same key — aggregates Exchange-free and
     # comes out co-partitioned for its join); cache() for cross-run reuse;
-    # eager localCheckpoint truncates the LSH lineage to a leaf so the
-    # unrolled 3-iteration plan analyzes against a LogicalRDD instead of
-    # ~8 copies of the band self-join (the graph_triangle_count pathology:
-    # driver-side analysis alone cost ~12 s at sf0.1 on such trees).
-    edges = edges.repartition(F.col("a")).cache().localCheckpoint(eager=True)
+    # the truncate makes the unrolled 3-iteration plan analyze against a
+    # LogicalRDD leaf instead of ~8 copies of the band self-join (the
+    # graph_triangle_count pathology: driver-side analysis alone cost
+    # ~12 s at sf0.1 on such trees). Lazy: the nodes.count() below is the
+    # first action and materializes it — no separate checkpoint job.
+    edges = truncate(edges.repartition(F.col("a")).cache())
     # nodes feeds r0 plus a left join in every iteration, deg a join in
     # every iteration: checkpointed (both |V|-sized) so the distinct/agg
     # over the edge set runs once, not once per unrolled iteration.
-    nodes = (
-        edges.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=True)
-    )
+    nodes = truncate(edges.select(F.col("a").alias("node")).distinct())
     n = nodes.count()  # bounded: one integer (the |V| of the dup graph)
     if n == 0:
         return spark.createDataFrame([], "doc_id long, pagerank double")
-    deg = (
-        edges.groupBy(F.col("a").alias("node"))
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=True)
+    deg = truncate(
+        edges.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     )
     r = nodes.withColumn("r", F.lit(1.0 / n))
     for _ in range(_PR_ITERS):
@@ -1607,30 +1604,35 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
     # Edge list: cached (cross-run reuse, CacheManager dedupes the identical
-    # plan) AND eagerly localCheckpoint()ed. The checkpoint is what matters
-    # for plan health: the LSH pair derivation is ~15 operators deep and is
+    # plan) AND truncated. The truncation is what matters for plan health:
+    # the LSH pair derivation is ~15 operators deep and is
     # read by 3 consumers (orientation, closing-edge probe, degrees) —
     # duplicated per consumer it made the analyzed tree ~150 Exchange nodes
     # and cost ~12 s of DRIVER-SIDE analysis per call at sf0.1 (round-10
-    # measurement), before any task ran. Checkpointing truncates lineage to a
-    # LogicalRDD (blocks context-cleaned when the frame drops), so the graph
-    # math below analyzes against a leaf, and the pair join is never
+    # measurement), before any task ran. Truncation swaps the lineage for a
+    # LogicalRDD leaf (blocks context-cleaned when the frame drops), so the
+    # graph math below analyzes against a leaf, and the pair join is never
     # recomputed. deg and oe get the same treatment: deg feeds 3 subtrees
     # (orientation x2, final join), oe feeds both sides of the wedge
     # self-join — at corpus scale each recompute is an O(|E|) shuffle.
-    e = pairs.cache().localCheckpoint(eager=True)
+    # All three are LAZY: every consumer lives in the entry's one
+    # materializing job, which computes each table once and stores it
+    # (round 10's eager form paid three extra jobs per call).
+    e = truncate(pairs.cache())
     und = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    deg = und.groupBy(F.col("a").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
-    ).localCheckpoint(eager=True)
+    deg = truncate(
+        und.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    )
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
     ranked = e.join(da, "a").join(db, "b")
     lower_first = F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
-    oe = ranked.select(
-        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    ).localCheckpoint(eager=True)
+    oe = truncate(
+        ranked.select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
     e1 = oe.select(F.col("u"), F.col("v").alias("y"))
     e2 = oe.select(F.col("u"), F.col("v").alias("z"))
     wedges = e1.join(e2, "u").filter(F.col("y") < F.col("z"))

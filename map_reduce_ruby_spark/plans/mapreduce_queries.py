@@ -123,12 +123,17 @@ def compat_spill_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts = mapper.shuffle(out_dir=out_dir)
         if not parts:
             return spark.createDataFrame([], "word string, cnt long")
+        from map_reduce_ruby_spark.materialize import truncate
+
         lines = spark.read.text(list(parts.values()))
         # chunk line = json [word, count]: scalar JSON paths decode both
-        return lines.select(
-            F.get_json_object("value", "$[0]").alias("word"),
-            F.get_json_object("value", "$[1]").cast("long").alias("cnt"),
-        ).localCheckpoint()  # eager: materialize before the dir vanishes
+        return truncate(
+            lines.select(
+                F.get_json_object("value", "$[0]").alias("word"),
+                F.get_json_object("value", "$[1]").cast("long").alias("cnt"),
+            ),
+            eager=True,  # materialize before the dir vanishes
+        )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -13,10 +13,24 @@ from map_reduce_ruby_spark.plans.catalog import register
 from map_reduce_ruby_spark.plans.events_queries import MV_DIRECT_ORACLE, mv_grain_agg, mv_merge
 from map_reduce_ruby_spark.streaming import (
     run_stream_to_memory,
+    state_partitions_for,
     streaming_events,
     streaming_stateful_user_totals,
     streaming_tumbling_counts,
 )
+
+# Bounded state keyspaces for the sized streaming entries — properties of
+# each QUERY's grain, not of stream volume (state_partitions_for derives
+# the store size from these; the unbounded-keyspace entries deliberately
+# have no bound here and inherit the session default):
+_N_EVENT_TYPES = 5  # events.event_type domain (click/error/purchase/signup/view)
+# tumbling: active 5-min windows inside the 30-min watermark horizon (+1
+# in-flight) x event types
+_TUMBLING_KEYS = (30 // 5 + 1) * _N_EVENT_TYPES
+_ENRICH_KEYS = 10  # user_id % 10 cohorts
+_CMS_KEYS = 4 * 64  # the fixed d x w counter grid
+# mv: (day_no x event_type) view grain over the month-long retention window
+_MV_KEYS = 31 * _N_EVENT_TYPES
 
 
 def _publish_drop(write_fn, drop: str) -> None:
@@ -67,11 +81,13 @@ def _publish_drop(write_fn, drop: str) -> None:
 def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state keyspace = active 5-min windows (bounded by the 30-min
     # watermark horizon) x |event_type| — size state to |keys|, not the
-    # batch shuffle default (see run_stream_to_memory)
+    # batch shuffle default (see run_stream_to_memory); the builder form
+    # constructs the stream on the scoped session clone
     return run_stream_to_memory(
-        streaming_tumbling_counts(streaming_events(spark, sf_dir)),
+        lambda s: streaming_tumbling_counts(streaming_events(s, sf_dir)),
         f"catalog_stream_tumbling_{abs(hash(sf_dir)) % 10**8}",
-        state_partitions=8,
+        state_partitions=state_partitions_for(_TUMBLING_KEYS),
+        spark=spark,
     )
 
 
@@ -166,22 +182,30 @@ def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from map_reduce_ruby_spark.sources import load_table
 
-    dim = (
-        load_table(spark, sf_dir, "events")
-        .select("user_id")
-        .distinct()
-        .withColumn("cohort", F.col("user_id") % 10)
-    )
-    ev = streaming_events(spark, sf_dir)
-    enriched = ev.join(F.broadcast(dim), "user_id")
-    agg = enriched.groupBy("cohort").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("total_value"),
-    )
+    def build(s: SparkSession) -> DataFrame:
+        dim = (
+            load_table(s, sf_dir, "events")
+            .select("user_id")
+            .distinct()
+            .withColumn("cohort", F.col("user_id") % 10)
+        )
+        ev = streaming_events(s, sf_dir)
+        enriched = ev.join(F.broadcast(dim), "user_id")
+        return enriched.groupBy("cohort").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                "total_value"
+            ),
+        )
+
     name = f"catalog_stream_enrich_{abs(hash(sf_dir)) % 10**8}"
     # state keyspace = 10 cohorts — bounded (see run_stream_to_memory)
     return run_stream_to_memory(
-        agg, name, output_mode="complete", state_partitions=8
+        build,
+        name,
+        output_mode="complete",
+        state_partitions=state_partitions_for(_ENRICH_KEYS),
+        spark=spark,
     )
 
 
@@ -324,22 +348,25 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    ev = streaming_events(spark, sf_dir)
     from map_reduce_ruby_spark.functions import h32
 
-    uid = F.col("user_id").cast("string")
-    buckets = F.array(*[h32(uid, seed=100 + r) % 64 for r in range(4)])
-    keyed = ev.select(F.posexplode(buckets).alias("r", "bucket")).select(
-        F.col("r").cast("long").alias("r"), "bucket"
-    )
-    agg = keyed.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    def build(s: SparkSession) -> DataFrame:
+        ev = streaming_events(s, sf_dir)
+        uid = F.col("user_id").cast("string")
+        buckets = F.array(*[h32(uid, seed=100 + r) % 64 for r in range(4)])
+        keyed = ev.select(F.posexplode(buckets).alias("r", "bucket")).select(
+            F.col("r").cast("long").alias("r"), "bucket"
+        )
+        return keyed.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
     # state keyspace = the FIXED 4x64 counter grid (256 keys however large
     # the stream) — size state to |keys| (see run_stream_to_memory)
     return run_stream_to_memory(
-        agg,
+        build,
         f"catalog_stream_cms_{abs(hash(sf_dir)) % 10**8}",
         output_mode="complete",
-        state_partitions=8,
+        state_partitions=state_partitions_for(_CMS_KEYS),
+        spark=spark,
     )
 
 
@@ -362,17 +389,21 @@ def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from map_reduce_ruby_spark.sources import load_table
 
-    delta_stream = (
-        streaming_events(spark, sf_dir)
-        .filter(F.col("event_id") % 10 == 7)
-        .withColumn("day_no", F.expr("ts_us div 86400000000"))
-    )
+    def build(s: SparkSession) -> DataFrame:
+        delta_stream = (
+            streaming_events(s, sf_dir)
+            .filter(F.col("event_id") % 10 == 7)
+            .withColumn("day_no", F.expr("ts_us div 86400000000"))
+        )
+        return mv_grain_agg(delta_stream)
+
     # state keyspace = (day_no x event_type) view grain — bounded at any
     # stream volume (see run_stream_to_memory)
     delta_mv = run_stream_to_memory(
-        mv_grain_agg(delta_stream),
+        build,
         f"catalog_stream_mv_{abs(hash(sf_dir)) % 10**8}",
-        state_partitions=8,
+        state_partitions=state_partitions_for(_MV_KEYS),
+        spark=spark,
     )
     base = load_table(spark, sf_dir, "events").withColumn(
         "day_no", F.expr("ts_us div 86400000000")
@@ -660,8 +691,11 @@ def streaming_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not any(f.endswith(".parquet") for f in os.listdir(sink)):
             return spark.createDataFrame([], empty)  # no arrivals at all
         # detach the result from the sink files so the per-invocation sink
-        # can be reclaimed now instead of accumulating in /tmp
-        return spark.read.parquet(sink).localCheckpoint(eager=True)
+        # can be reclaimed now instead of accumulating in /tmp (eager:
+        # must materialize before the rmtree below)
+        from map_reduce_ruby_spark.materialize import truncate
+
+        return truncate(spark.read.parquet(sink), eager=True)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)

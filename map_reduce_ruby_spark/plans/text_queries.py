@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_ruby_spark.functions import h32_sql
+from map_reduce_ruby_spark.materialize import truncate
 from map_reduce_ruby_spark.plans.catalog import register
 from map_reduce_ruby_spark.plans.memo import LruMemo
 from map_reduce_ruby_spark.sources import load_table
@@ -609,11 +610,9 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # occurrences in big = SUM of c12 over bc grouped by w1 — same
     # integers), so uni and vocab aggregate the small type table instead
     # of re-running the scan+explode per consumer.
-    bc = (
-        big.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
-        .localCheckpoint(eager=True)
-    )
+    bc = truncate(
+        big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    )  # lazy: uni/vocab/the scoring join all fuse into the one final job
     uni = bc.groupBy(F.col("w1").alias("w")).agg(F.sum("c12").alias("cw"))
     vocab = uni.agg(F.countDistinct("w").alias("v"))
     scored = (
@@ -704,11 +703,9 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by w1/w2, total = SUM of all c12 — same integers), so they derive
     # from the materialized type table instead of re-running the
     # scan+explode per consumer.
-    bc_all = (
-        big.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
-        .localCheckpoint(eager=True)
-    )
+    bc_all = truncate(
+        big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    )  # lazy: all four re-aggregations fuse into the one final job
     n = bc_all.agg(F.sum("c12").alias("total"))
     uni1 = bc_all.groupBy(F.col("w1").alias("w")).agg(F.sum("c12").alias("c1"))
     uni2 = bc_all.groupBy(F.col("w2").alias("w")).agg(F.sum("c12").alias("c2"))
@@ -1248,9 +1245,9 @@ def _bpe_learn(
     )
     # t0 is read by round 1's fused top job — checkpoint it lazily so the
     # corpus word-count runs once, like every later round's table
-    t0 = wf.select(
-        "word", "w", F.expr(_BPE_CHARS_SPARK).alias("toks")
-    ).localCheckpoint(eager=False)
+    t0 = truncate(
+        wf.select("word", "w", F.expr(_BPE_CHARS_SPARK).alias("toks"))
+    )
     t = t0
     # CASE guard: a doc can collapse to ONE token after a merge round, and
     # sequence(1, 0) is the DESCENDING [1, 0] — element_at(toks, 2)/(, 0)
@@ -1272,24 +1269,24 @@ def _bpe_learn(
             .groupBy("p", "q")
             .agg(F.sum("w").alias("cnt"))
         )
-        top = (
+        top = truncate(
             pairs.orderBy(F.desc("cnt"), F.asc("p"), F.asc("q"))
             .limit(1)
-            .select(F.lit(s).cast("long").alias("step"), "p", "q", "cnt")
-            .localCheckpoint()  # 1-row artifact: consumed by the next
+            .select(F.lit(s).cast("long").alias("step"), "p", "q", "cnt"),
+            eager=True,  # 1-row artifact: consumed by the next
             # round's fold AND the final union — materialize once. This
-            # EAGER checkpoint is also what materializes the previous
+            # EAGER truncation is also what materializes the previous
             # round's LAZY one: the fold and the pair count fuse into the
             # same job, so each round costs ONE pass over the previous
             # round's materialized table.
         )
         tops.append(top)
         if s < steps or return_tokens:
-            t = (
+            t = truncate(
                 t.crossJoin(F.broadcast(top.select("p", "q")))
                 .select("word", "w", F.expr(fold).alias("toks"))
-                .localCheckpoint(eager=False)  # persists inside the next
-                # round's top job (fold -> explode -> count in one pass)
+                # lazy: persists inside the next round's top job
+                # (fold -> explode -> count in one pass)
             )
     out = tops[0]
     for more in tops[1:]:
@@ -1655,15 +1652,15 @@ def kn_trigram_prob_table(tri: DataFrame, d_discount: float = _KN_D) -> DataFram
     without materialization every derivation re-runs the caller's full
     upstream plan — for the catalog entries that is the corpus scan +
     trigram explode + type aggregation, SEVEN parquet scans in the
-    before-plan. Two eager localCheckpoints make the corpus explode
-    happen once; every model table then derives from the (much smaller)
-    type tables."""
-    tri = tri.localCheckpoint(eager=True)
+    before-plan. Two LAZY truncations make the corpus explode happen
+    once (every consumer fuses into the caller's one materializing job);
+    every model table then derives from the (much smaller) type tables."""
+    tri = truncate(tri)
     ctx = tri.groupBy("w1", "w2").agg(
         F.sum("c3").alias("c2"), F.count(F.lit(1)).alias("t3")
     )
-    cont = tri.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("n1b")).localCheckpoint(
-        eager=True
+    cont = truncate(
+        tri.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("n1b"))
     )
     mid = cont.groupBy("w2").agg(
         F.sum("n1b").alias("nmid"), F.count(F.lit(1)).alias("t2")

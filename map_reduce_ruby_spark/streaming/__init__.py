@@ -4,6 +4,7 @@ from map_reduce_ruby_spark.streaming.windows import (
     streaming_sessionize,
     streaming_stateful_user_totals,
     run_stream_to_memory,
+    state_partitions_for,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "streaming_sessionize",
     "streaming_stateful_user_totals",
     "run_stream_to_memory",
+    "state_partitions_for",
 ]

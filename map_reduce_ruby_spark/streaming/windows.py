@@ -151,44 +151,112 @@ def streaming_stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def state_partitions_for(
+    n_keys: int, keys_per_partition: int = 32, floor: int = 8
+) -> int:
+    """State-store partition count for a stream whose aggregation keyspace
+    is provably bounded at ``n_keys`` keys.
+
+    A streaming query pins its shuffle/state partition count at first
+    start from ``spark.sql.shuffle.partitions`` (AQE coalescing does NOT
+    apply to streaming), and every state partition pays file-backed
+    snapshot+commit overhead on EVERY micro-batch — at any cluster size,
+    partitions beyond the aggregation's key cardinality hold no state and
+    are pure per-batch overhead. ``ceil(n_keys / keys_per_partition)``
+    sizes the store to the keyspace; the floor keeps even a tiny keyspace
+    spread over a few tasks. Measured on this box (round 10): a
+    single-micro-batch complete-mode drain at 32 state partitions takes
+    ~1.6-2.2 s vs ~0.9-1.2 s at 4-8 (sf0.1, warm session). DERIVED from
+    the caller's keyspace bound rather than hardcoded, so the value
+    tracks the bound if an upstream constant (CMS grid, window/watermark
+    span, cohort count) changes. Unbounded keyspaces (per-user, per-word,
+    stream-stream join state) must NOT use this — they inherit the
+    session default, which scales with the cluster.
+    """
+    if int(n_keys) < 1:
+        raise ValueError(f"n_keys must be >= 1, got {n_keys}")
+    return max(int(floor), -(-int(n_keys) // int(keys_per_partition)))
+
+
+# One scoped clone per (root session, partition count), reused across
+# invocations: newSession() itself is cheap but the clone's FIRST query
+# pays session-state init (analyzer, catalog, temp-dir wiring) — measured
+# ~+0.45 s per sized entry when every call made a fresh clone. The clone
+# only ever carries the one conf override, so reuse is safe; sequential
+# streams on it don't interact (distinct queryNames/checkpoints).
+_SCOPED_SESSIONS: dict = {}
+
+
+def _scoped_session(spark: SparkSession, state_partitions: int) -> SparkSession:
+    key = (id(spark), int(state_partitions))
+    scoped = _SCOPED_SESSIONS.get(key)
+    # getActiveSession survives; a stopped context would invalidate — the
+    # engine never stops/restarts contexts mid-process, keep it simple
+    if scoped is None:
+        scoped = spark.newSession()
+        scoped.conf.set(
+            "spark.sql.shuffle.partitions", str(int(state_partitions))
+        )
+        _SCOPED_SESSIONS[key] = scoped
+    return scoped
+
+
+def _drain(df: DataFrame, name: str, output_mode: str) -> None:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_to_memory(
-    df: DataFrame,
+    build,
     name: str,
     output_mode: str = "complete",
     state_partitions: int | None = None,
+    spark: SparkSession | None = None,
 ) -> DataFrame:
     """Drain all available input through the streaming plan into a memory
     sink (tests / smoke only — a real deployment writes a kafka/parquet sink)
     and return the final table.
 
-    ``state_partitions`` sizes the stream's state store. A streaming query
-    pins its shuffle/state partition count at first start from
-    ``spark.sql.shuffle.partitions`` (AQE coalescing does NOT apply to
-    streaming), and every state partition pays file-backed snapshot+commit
-    overhead on EVERY micro-batch — at any scale, partitions beyond the
-    aggregation's key cardinality hold no state and are pure per-batch
-    overhead. Callers whose keyspace is provably bounded (a CMS grid, a
-    (day, event_type) view grain, a 10-cohort rollup) should pass a small
-    value sized to |keys|; unbounded keyspaces (per-user, per-word,
-    stream-stream join state) leave it None and inherit the session
-    default, which scales with the cluster. Measured on this box: a
-    single-micro-batch complete-mode drain at 32 state partitions takes
-    ~1.6-2.2 s vs ~0.9-1.2 s at 4-8 (sf0.1, warm session).
+    ``build`` is either a ready streaming DataFrame or a callable
+    ``SparkSession -> DataFrame`` constructing one. ``state_partitions``
+    sizes the stream's state store (see ``state_partitions_for``); because
+    a stream pins state partitioning from ``spark.sql.shuffle.partitions``
+    at first start, the override must reach the STREAM's session conf —
+    and must not reach anyone else's queries. Round 10 set/restored the
+    shared session conf around ``start()``, which let any batch query
+    planned concurrently in that window silently inherit the stream's
+    partition count (and two concurrent sized streams could race the
+    restore). The sized stream now plans on a CLONED session
+    (``spark.newSession()``: same SparkContext, own SQLConf seeded from
+    the SparkConf the session factory populated) carrying the override —
+    the caller's session conf is never touched. The memory sink registers
+    in the clone's catalog, so the drained table is re-rooted into the
+    caller's session through a GLOBAL temp view (cross-session by
+    definition). Sizing therefore requires the callable form plus
+    ``spark=`` so the plan is constructed on the clone; unbounded-keyspace
+    streams pass a plain DataFrame and inherit the session default, which
+    scales with the cluster.
     """
-    spark = df.sparkSession
-    old = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
-            df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        if state_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", old)
-    return spark.table(name)
+        if not callable(build) or spark is None:
+            raise ValueError(
+                "state_partitions requires build to be a callable "
+                "(SparkSession -> streaming DataFrame) and spark= to be "
+                "passed: the sized stream must be constructed on the "
+                "scoped session clone, not the shared session"
+            )
+        scoped = _scoped_session(spark, state_partitions)
+        _drain(build(scoped), name, output_mode)
+        gview = f"{name}_g"
+        scoped.table(name).createOrReplaceGlobalTempView(gview)
+        gdb = spark.conf.get("spark.sql.globalTempDatabase", "global_temp")
+        return spark.table(f"{gdb}.{gview}")
+    df = build(spark) if callable(build) else build
+    _drain(df, name, output_mode)
+    return df.sparkSession.table(name)

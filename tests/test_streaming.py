@@ -281,3 +281,81 @@ def test_streaming_index_ingest_idempotent_and_microbatched(spark, sf_dir):
     drop = os.path.join(tempfile.gettempdir(), f"mh_stream_drop_{tag}")
     parts = glob.glob(os.path.join(drop, "part-*.parquet"))
     assert len(parts) >= 2, parts  # several micro-batches, not one big append
+
+
+def test_state_partitions_derived_from_keyspace_bounds():
+    """The four sized streaming entries DERIVE their state partition count
+    from their keyspace bound (VERDICT r10 item 7). Pins both the formula
+    and the entries' bounds: all four resolve to the 8 partitions round 10
+    measured as the knee — if an upstream constant (CMS grid, watermark
+    span, cohort count) changes, the derived value tracks it."""
+    import pytest as _pytest
+
+    from map_reduce_ruby_spark.plans.streaming_queries import (
+        _CMS_KEYS,
+        _ENRICH_KEYS,
+        _MV_KEYS,
+        _TUMBLING_KEYS,
+    )
+    from map_reduce_ruby_spark.streaming import state_partitions_for
+
+    assert (_TUMBLING_KEYS, _ENRICH_KEYS, _CMS_KEYS, _MV_KEYS) == (
+        35, 10, 256, 155
+    )
+    for bound in (_TUMBLING_KEYS, _ENRICH_KEYS, _CMS_KEYS, _MV_KEYS):
+        assert state_partitions_for(bound) == 8
+    # the formula itself: ceil over keys_per_partition with a floor
+    assert state_partitions_for(257) == 9
+    assert state_partitions_for(1024) == 32
+    assert state_partitions_for(1) == 8
+    with _pytest.raises(ValueError):
+        state_partitions_for(0)
+
+
+def test_sized_stream_never_touches_shared_session_conf(spark, sf_dir):
+    """A sized stream must scope its shuffle-partition override to its own
+    session clone (VERDICT r10 item 8): the shared session's conf is never
+    set, so a batch query planned concurrently can't inherit the stream's
+    partition count. A poller thread reads the shared conf THROUGHOUT the
+    drain — under the round-10 implementation (set + restore around
+    start()) it reliably observed the override for the whole drain; now it
+    must never see anything but the session default."""
+    import threading
+
+    default = spark.conf.get("spark.sql.shuffle.partitions")
+    seen: set[str] = set()
+    stop = threading.Event()
+
+    def poll():
+        while not stop.is_set():
+            seen.add(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    t = threading.Thread(target=poll, daemon=True)
+    t.start()
+    try:
+        # 5, not the entries' 8: the test session's default is ALSO 8
+        # (conftest), and a value equal to the default couldn't distinguish
+        # scoped from leaked conf
+        got = run_stream_to_memory(
+            lambda s: streaming_tumbling_counts(streaming_events(s, sf_dir)),
+            "t_tumbling_scoped",
+            state_partitions=5,
+            spark=spark,
+        )
+        n = got.count()
+    finally:
+        stop.set()
+        t.join(timeout=10)
+    assert seen == {default}
+    assert spark.conf.get("spark.sql.shuffle.partitions") == default
+    assert n > 0
+    # and the scoped result still equals the batch twin
+    expected = _tumbling_batch_expected(load_table(spark, sf_dir, "events"))
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(expected))
+
+
+def test_sized_stream_requires_builder():
+    from map_reduce_ruby_spark.streaming import run_stream_to_memory as r
+
+    with pytest.raises(ValueError, match="callable"):
+        r(object(), "t_x", state_partitions=8)
