@@ -100,7 +100,15 @@ def write_minhash_index(
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
     stage_table = f"{table}_stage_{uuid.uuid4().hex[:8]}"
     (
+        # Pre-partition the bands on the BUCKET key before the bucketed
+        # write: repartition(n, col) is the same pmod(murmur3) placement
+        # the native bucketed writer uses, so each writer task holds
+        # exactly one bucket and emits ONE file — without it every task
+        # writes a file into every bucket it holds rows for (tasks x
+        # n_buckets small files per generation). The sketch still runs at
+        # full scan parallelism BEFORE the exchange.
         _bands_for_docs(docs)
+        .repartition(n_buckets, F.col("band_hash"))
         .write.bucketBy(n_buckets, "band_hash")
         .sortBy("band_hash")
         .option("path", tmp)
@@ -244,7 +252,9 @@ def append_minhash_batch(
             return
         n_buckets = _table_bucket_count(spark, table)
         (
+            # one file per bucket per append (see write_minhash_index)
             _bands_for_docs(docs)
+            .repartition(n_buckets, F.col("band_hash"))
             .write.bucketBy(n_buckets, "band_hash")
             .sortBy("band_hash")
             .mode("append")

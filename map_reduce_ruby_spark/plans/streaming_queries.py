@@ -33,6 +33,26 @@ _CMS_KEYS = 4 * 64  # the fixed d x w counter grid
 _MV_KEYS = 31 * _N_EVENT_TYPES
 
 
+def _spread(batch_df: DataFrame) -> DataFrame:
+    """Fan a small arriving micro-batch out to the session's parallelism.
+
+    A file-stream micro-batch is typically ONE parquet file -> one scan
+    task, so every per-batch transform (the minhash sketch, the NB gram
+    count) runs on a single core while the rest idle — measured on the
+    probe entry: addBatch is ~95% of drain time and the sketch task is
+    serial (guide §2.6 idle capacity). Round-robin repartition spreads the
+    batch once (deterministic row placement via sort-before-repartition;
+    all downstream results are row-order-independent aggregates/appends,
+    so output is unchanged). Batches already wider than the core count — a
+    real day-batch at scale — pass through untouched, so this never
+    SHRINKS parallelism or adds a shuffle where width is adequate."""
+    sc = batch_df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if batch_df.rdd.getNumPartitions() < p:
+        return batch_df.repartition(p)
+    return batch_df
+
+
 def _publish_drop(write_fn, drop: str) -> None:
     """Stage-and-publish a content-addressed /tmp drop directory through the
     shared keep-winner protocol (operators/artifact_store._publish_atomic).
@@ -588,7 +608,9 @@ def streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q = (
             stream.writeStream.foreachBatch(
-                lambda batch_df, _eid: append_minhash_batch(batch_df, table)
+                lambda batch_df, _eid: append_minhash_batch(
+                    _spread(batch_df), table
+                )
             )
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -679,7 +701,7 @@ def streaming_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (
             stream.writeStream.foreachBatch(
                 lambda batch_df, _eid: dedup_against_index(
-                    spark, batch_df, table
+                    spark, _spread(batch_df), table
                 ).write.mode("append").parquet(sink)
             )
             .option("checkpointLocation", ckpt)
@@ -837,7 +859,9 @@ def streaming_nb_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         bid = hashlib.md5(
             f"{row['s']},{row['x']},{row['n']}".encode()
         ).hexdigest()[:16]
-        append_nb_batch(spark, batch_df, path, batch_id=bid)
+        # spread AFTER the digest (the digest is order-independent anyway);
+        # the gram-count aggregation then runs at full width
+        append_nb_batch(spark, _spread(batch_df), path, batch_id=bid)
 
     ckpt = tempfile.mkdtemp(prefix="nb_stream_ckpt_")
     try:

@@ -214,7 +214,15 @@ _STORES = {
 }
 
 
-@pytest.mark.parametrize("store", sorted(_STORES))
+# 'ivf' is the default-run smoke (full kill-point sweep on one store);
+# the other stores share the compaction protocol and run as slow breadth
+@pytest.mark.parametrize(
+    "store",
+    [
+        s if s == "ivf" else pytest.param(s, marks=pytest.mark.slow)
+        for s in sorted(_STORES)
+    ],
+)
 def test_compaction_and_vacuum_survive_kills(
     store, spark, sf_dir, tmp_path, monkeypatch
 ):

@@ -18,6 +18,8 @@ from __future__ import annotations
 import json
 import os
 import subprocess
+
+import pytest
 import sys
 import tempfile
 
@@ -100,6 +102,7 @@ print("SUMMARY " + json.dumps(rows))
     spark.sql("DROP TABLE xp_mh_parent")
 
 
+@pytest.mark.slow
 def test_nb_model_second_process_attaches(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 
@@ -150,6 +153,7 @@ print("SUMMARY " + json.dumps(rows))
     )
 
 
+@pytest.mark.slow
 def test_bm25_index_second_process_attaches(spark, sf_dir, tmp_path):
     from map_reduce_ruby_spark.operators.text_index import (
         load_bm25_postings,
@@ -183,6 +187,7 @@ print("SUMMARY " + json.dumps(
     assert load_bm25_postings(spark, path)[0].count() == want[0]
 
 
+@pytest.mark.slow
 def test_ivf_index_second_process_attaches(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 
@@ -224,6 +229,7 @@ print("SUMMARY " + json.dumps([cells.count(), centroids]))
     assert load_ivf_index(spark, path)[0].count() == want[0]
 
 
+@pytest.mark.slow
 def test_bucketed_table_second_process_attaches(spark, sf_dir, tmp_path):
     """The bucketed-table store (operators/bucketing.py): a second process
     running the standard write_bucketed against committed paths must
@@ -286,6 +292,7 @@ print("SUMMARY " + json.dumps(
         spark.sql("DROP TABLE IF EXISTS xp_lineitem_b")
 
 
+@pytest.mark.slow
 def test_bpe_tokenizer_second_process_attaches(spark, sf_dir, tmp_path):
     from map_reduce_ruby_spark.operators.tokenizer_store import (
         load_bpe_tokenizer,

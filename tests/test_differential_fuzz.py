@@ -896,7 +896,18 @@ ARMS = [
 ]
 
 
-@pytest.mark.parametrize("seed", [7, 42, 555, 1234])
+# seed 7 is the default-run smoke (all arms, one seed); the extra seeds
+# are breadth-only and run under SPARK_GRAFT_FULL_TESTS=1 (and any fresh
+# seed via tools/fuzz_sweep.py)
+@pytest.mark.parametrize(
+    "seed",
+    [
+        7,
+        pytest.param(42, marks=pytest.mark.slow),
+        pytest.param(555, marks=pytest.mark.slow),
+        pytest.param(1234, marks=pytest.mark.slow),
+    ],
+)
 def test_differential_sql_corpus(spark, oracle, views, seed):
     rng = random.Random(seed)
     failures = []

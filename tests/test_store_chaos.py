@@ -75,7 +75,10 @@ print("SUMMARY " + json.dumps({{"reads_ok": reads_ok}}))
 """
 
 
-@pytest.mark.parametrize("seed", [11, 23])
+# seed 11 is the default-run smoke; the second schedule is slow breadth
+@pytest.mark.parametrize(
+    "seed", [11, pytest.param(23, marks=pytest.mark.slow)]
+)
 def test_interleaved_maintenance_two_processes(spark, sf_dir, tmp_path, seed):
     from map_reduce_ruby_spark.operators.artifact_store import (
         read_index_meta,
